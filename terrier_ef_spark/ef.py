@@ -1,0 +1,432 @@
+"""Quasi-succinct Elias-Fano codec, vectorized NumPy implementation.
+
+Re-implements (from scratch, behavior only) the Elias-Fano sequence
+encoding used by tonellotto/terrier-ef, which itself follows MG4J's
+QuasiSuccinctIndexWriter (Vigna, "Quasi-succinct indices", WSDM'13):
+
+- parameter formulas: ``/root/reference/.../util/EFUtils.java:48-91``
+- encoder semantics (prefix sums, strict mode, skip/forward pointers,
+  sentinel docid, pointer zero-padding, dump order
+  ``[pointers][lower][upper]``): ``util/SequenceEncoder.java:143-225``
+- bit order: LSB-first within 64-bit little-endian words
+  (``util/LongWordBitWriter.java:81-105``)
+- gamma / non-zero-gamma codes: ``util/LongWordBitWriter.java:153-169``
+- docid read path (``l`` computed on numEntries+1, EOL when
+  prefix-sum >= N): ``structures/EFBasicIterablePosting.java:76-95,146-159``
+- strict (freq) decode ``tf[i] = ps[i] - ps[i-1] + 1``:
+  ``util/FreqReader.java:107-167``
+- positions layout (first element ``1 + pos[0]``, then deltas, upper
+  bound ``num + sumMaxPos``): ``EliasFanoBlockEncoders.java:60-73``
+
+Everything here is plain NumPy over whole arrays — no per-element Python
+in encode or decode hot paths — so it can run inside Arrow-vectorized
+Spark UDFs (``mapInPandas`` / ``applyInPandas``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_LOG2_QUANTUM = 8  # Generator.java:278 default
+
+
+# ---------------------------------------------------------------------------
+# Parameter formulas (EFUtils.java semantics)
+# ---------------------------------------------------------------------------
+
+def msb(x: int) -> int:
+    """Most significant bit index; -1 for x == 0 (Fast.mostSignificantBit)."""
+    return int(x).bit_length() - 1
+
+
+def ceil_log2(x: int) -> int:
+    """ceil(log2(x)); 0 for x in {0, 1} after the max(0, .) guards below."""
+    if x <= 1:
+        return 0
+    return int(x - 1).bit_length()
+
+
+def lower_bits(length: int, upper_bound: int, strict: bool) -> int:
+    """Number of lower bits l for an EF list (EFUtils.lowerBits)."""
+    if length == 0:
+        return 0
+    return max(0, msb((upper_bound - (length if strict else 0)) // length))
+
+
+def pointer_size(length: int, upper_bound: int, strict: bool, index_zeroes: bool) -> int:
+    """Width in bits of one skip/forward pointer (EFUtils.pointerSize)."""
+    l = lower_bits(length, upper_bound, strict)
+    return max(
+        0,
+        ceil_log2(
+            length
+            + ((upper_bound - (length if strict else 0)) >> l)
+            + (0 if index_zeroes else 1)
+        ),
+    )
+
+
+def number_of_pointers(
+    length: int, upper_bound: int, log2_quantum: int, strict: bool, index_zeroes: bool
+) -> int:
+    """Expected number of skip/forward pointers (EFUtils.numberOfPointers)."""
+    if length == 0:
+        return 0
+    if index_zeroes:
+        l = lower_bits(length, upper_bound, strict)
+        return ((upper_bound - (length if strict else 0)) >> l) >> log2_quantum
+    return length >> log2_quantum
+
+
+# ---------------------------------------------------------------------------
+# Bit packing helpers (LSB-first, little-endian words)
+# ---------------------------------------------------------------------------
+
+def _fields_to_bits(values: np.ndarray, width: int) -> np.ndarray:
+    """Pack each value's low `width` bits, LSB-first, into a uint8 bit array."""
+    if width == 0 or len(values) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    v = values.astype(np.int64, copy=False)
+    shifts = np.arange(width, dtype=np.int64)
+    return ((v[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+
+
+def _bits_to_fields(bits: np.ndarray, count: int, width: int) -> np.ndarray:
+    """Inverse of _fields_to_bits: read `count` fields of `width` bits."""
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.int64)
+    mat = bits[: count * width].astype(np.int64).reshape(count, width)
+    weights = np.int64(1) << np.arange(width, dtype=np.int64)
+    return mat @ weights
+
+
+def _pack_blob(bit_segments: list[np.ndarray]) -> bytes:
+    """Concatenate bit segments and pack to little-endian bytes padded to
+    a 64-bit word boundary (LongWordBitWriter word discipline)."""
+    bits = np.concatenate(bit_segments) if bit_segments else np.zeros(0, dtype=np.uint8)
+    packed = np.packbits(bits, bitorder="little")
+    pad = (-len(packed)) % 8
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, dtype=np.uint8)])
+    return packed.tobytes()
+
+
+def _unpack_blob(blob: bytes) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(blob, dtype=np.uint8), bitorder="little")
+
+
+# ---------------------------------------------------------------------------
+# Core encode/decode of one EF sequence
+# ---------------------------------------------------------------------------
+
+def ef_encode(
+    values,
+    upper_bound: int,
+    *,
+    strict: bool,
+    index_zeroes: bool,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> bytes:
+    """Encode a sequence of natural numbers as one EF blob.
+
+    `values` are the raw per-element increments exactly as fed to
+    SequenceEncoder.add(): docid gaps for docid lists, tf values for
+    frequency lists, (1+pos0, deltas...) for position lists.
+
+    Layout: [pointers][lower bits][upper bits], LSB-first bits in
+    little-endian 64-bit words. For non-strict indexZeroes lists a
+    sentinel element raising the prefix sum to `upper_bound` is appended
+    (SequenceEncoder.dump:212-215); skip pointers are zero-padded to the
+    expected count (dump:216-218).
+    """
+    v = np.asarray(values, dtype=np.int64)
+    n = int(len(v))
+    if strict and n and int(v.min()) < 1:
+        raise ValueError("strict EF list cannot contain zeroes")
+    corrected_ub = upper_bound - (n if strict else 0)
+    if corrected_ub < 0:
+        raise ValueError("upper bound too small")
+    # prefix sums after each add(); strict subtracts 1 per element
+    cps = np.cumsum(v, dtype=np.int64)
+    if strict:
+        cps = cps - np.arange(1, n + 1, dtype=np.int64)
+    if n and int(cps[-1]) > corrected_ub:
+        raise ValueError(f"prefix sum {int(cps[-1])} exceeds bound {corrected_ub}")
+
+    sentinel = (not strict) and index_zeroes
+    if sentinel:
+        cps = np.append(cps, np.int64(corrected_ub))
+    m = int(len(cps))  # "corrected length" incl. sentinel
+
+    l = lower_bits(m, upper_bound, strict)
+    psize = pointer_size(m, upper_bound, strict, index_zeroes)
+    n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, strict, index_zeroes)
+
+    if m == 0:
+        return _pack_blob([])
+
+    high = cps >> np.int64(l)
+    one_pos = high + np.arange(m, dtype=np.int64)
+
+    # pointers
+    q = 1 << log2_quantum
+    if psize > 0 and n_ptrs > 0:
+        if index_zeroes:
+            # skip pointers: position+1 of every q-th zero in the upper array.
+            # the k*q-th zero sits at (k*q - 1) + #{i: high[i] < k*q}
+            total_zeroes = int(high[-1])
+            actual = total_zeroes >> log2_quantum
+            ks = (np.arange(1, actual + 1, dtype=np.int64)) * q
+            ptr_vals = ks + np.searchsorted(high, ks, side="left")
+            if actual < n_ptrs:  # zero-pad (dump:216-218)
+                ptr_vals = np.concatenate(
+                    [ptr_vals, np.zeros(n_ptrs - actual, dtype=np.int64)]
+                )
+        else:
+            # forward pointers: upper position + 1 of every q-th element
+            ptr_vals = one_pos[q - 1 :: q][:n_ptrs] + 1
+        ptr_bits = _fields_to_bits(ptr_vals, psize)
+    else:
+        ptr_bits = np.zeros(0, dtype=np.uint8)
+
+    lower_seg = _fields_to_bits(cps & np.int64((1 << l) - 1), l)
+
+    upper_len = int(one_pos[-1]) + 1
+    upper_seg = np.zeros(upper_len, dtype=np.uint8)
+    upper_seg[one_pos] = 1
+
+    return _pack_blob([ptr_bits, lower_seg, upper_seg])
+
+
+def ef_decode_prefix_sums(
+    blob: bytes,
+    n: int,
+    upper_bound: int,
+    *,
+    strict: bool,
+    index_zeroes: bool,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> np.ndarray:
+    """Whole-list decode of the prefix-sum sequence (incl. sentinel)."""
+    m = n + (1 if (not strict) and index_zeroes else 0)
+    if m == 0:
+        return np.zeros(0, dtype=np.int64)
+    l = lower_bits(m, upper_bound, strict)
+    psize = pointer_size(m, upper_bound, strict, index_zeroes)
+    n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, strict, index_zeroes)
+
+    bits = _unpack_blob(blob)
+    off = n_ptrs * psize
+    lower = _bits_to_fields(bits[off : off + m * l], m, l)
+    upper = bits[off + m * l :]
+    ones = np.flatnonzero(upper)[:m].astype(np.int64)
+    if len(ones) != m:
+        raise ValueError(f"corrupt EF blob: expected {m} upper bits, got {len(ones)}")
+    high = ones - np.arange(m, dtype=np.int64)
+    return (high << np.int64(l)) | lower
+
+
+def ef_pointers(
+    blob: bytes,
+    n: int,
+    upper_bound: int,
+    *,
+    strict: bool,
+    index_zeroes: bool,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> np.ndarray:
+    """Read back the raw pointer array of a blob (for skip-parity tests)."""
+    m = n + (1 if (not strict) and index_zeroes else 0)
+    psize = pointer_size(m, upper_bound, strict, index_zeroes)
+    n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, strict, index_zeroes)
+    bits = _unpack_blob(blob)
+    return _bits_to_fields(bits[: n_ptrs * psize], n_ptrs, psize)
+
+
+# ---------------------------------------------------------------------------
+# Docid / freq / position wrappers (the three index columns)
+# ---------------------------------------------------------------------------
+
+def encode_docids(docids, num_docs: int, log2_quantum: int = DEFAULT_LOG2_QUANTUM) -> bytes:
+    """Encode a strictly-increasing docid list (absolute ids, gap-coded
+    internally; EliasFanoEncoders.java:41-49). Non-strict, indexZeroes,
+    trailing sentinel == num_docs."""
+    d = np.asarray(docids, dtype=np.int64)
+    if len(d) and (int(d[0]) < 0 or np.any(np.diff(d) <= 0)):
+        raise ValueError("docids must be non-negative and strictly increasing")
+    gaps = np.diff(d, prepend=np.int64(0))
+    return ef_encode(
+        gaps, num_docs, strict=False, index_zeroes=True, log2_quantum=log2_quantum
+    )
+
+
+def decode_docids(
+    blob: bytes, df: int, num_docs: int, log2_quantum: int = DEFAULT_LOG2_QUANTUM
+) -> np.ndarray:
+    cps = ef_decode_prefix_sums(
+        blob, df, num_docs, strict=False, index_zeroes=True, log2_quantum=log2_quantum
+    )
+    return cps[:-1]  # drop sentinel
+
+
+def encode_freqs(tfs, cf: int, log2_quantum: int = DEFAULT_LOG2_QUANTUM) -> bytes:
+    """Encode a tf sequence (each >= 1): strict, forward pointers,
+    upper bound = collection frequency (BasicCompressor.java:112)."""
+    return ef_encode(
+        tfs, cf, strict=True, index_zeroes=False, log2_quantum=log2_quantum
+    )
+
+
+def decode_freqs(
+    blob: bytes, df: int, cf: int, log2_quantum: int = DEFAULT_LOG2_QUANTUM
+) -> np.ndarray:
+    cps = ef_decode_prefix_sums(
+        blob, df, cf, strict=True, index_zeroes=False, log2_quantum=log2_quantum
+    )
+    return np.diff(cps, prepend=np.int64(0)) + 1  # FreqReader.java:118,166
+
+
+def encode_positions(
+    pos_lists: list[np.ndarray],
+    num_postings: int,
+    sum_max_pos: int,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> bytes:
+    """Encode all postings' positions as one strict EF sequence:
+    per posting [1 + pos[0], deltas...], ub = num + sumMaxPos
+    (EliasFanoBlockEncoders.java:60-73)."""
+    vals = []
+    for p in pos_lists:
+        p = np.asarray(p, dtype=np.int64)
+        v = np.diff(p, prepend=np.int64(-1))  # first element becomes pos[0]+1
+        vals.append(v)
+    flat = np.concatenate(vals) if vals else np.zeros(0, dtype=np.int64)
+    return ef_encode(
+        flat,
+        num_postings + sum_max_pos,
+        strict=True,
+        index_zeroes=False,
+        log2_quantum=log2_quantum,
+    )
+
+
+def decode_positions(
+    blob: bytes,
+    tfs: np.ndarray,
+    num_postings: int,
+    sum_max_pos: int,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> list[np.ndarray]:
+    """Decode back to one position array per posting (lazy decode in the
+    reference, EFBlockIterablePosting.java:94-106; whole-list here)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    cf = int(tfs.sum())
+    cps = ef_decode_prefix_sums(
+        blob,
+        cf,
+        num_postings + sum_max_pos,
+        strict=True,
+        index_zeroes=False,
+        log2_quantum=log2_quantum,
+    )
+    vals = np.diff(cps, prepend=np.int64(0)) + 1
+    # per-posting: positions = cumsum(segment) - 1
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    cum = np.cumsum(vals)
+    base = np.zeros(len(tfs), dtype=np.int64)
+    base[1:] = cum[ends[:-1] - 1]
+    flat_pos = cum - np.repeat(base, tfs) - 1
+    return [flat_pos[s:e] for s, e in zip(starts, ends)]
+
+
+# ---------------------------------------------------------------------------
+# Skip semantics (next(target)) — pointer-driven, mirrors DocidReader.skipTo
+# ---------------------------------------------------------------------------
+
+class DocidCursor:
+    """Decoded-view cursor over one docid blob exposing the reference's
+    cursor API: next() and next(target) with 'smallest docid >= target'
+    semantics and END_OF_LIST == -1 (EFBasicIterablePosting.java:146-178).
+
+    The underlying access is a whole-list vectorized decode (the Spark
+    engine scores whole lists); this class exists to make the semantics
+    testable one-call-at-a-time like the reference's iterator tests.
+    """
+
+    END_OF_LIST = -1
+
+    def __init__(self, blob: bytes, df: int, num_docs: int,
+                 log2_quantum: int = DEFAULT_LOG2_QUANTUM):
+        self.docids = decode_docids(blob, df, num_docs, log2_quantum)
+        self.num_docs = num_docs
+        self.idx = -1
+
+    def next(self) -> int:
+        self.idx += 1
+        if self.idx >= len(self.docids):
+            return self.END_OF_LIST
+        return int(self.docids[self.idx])
+
+    def next_geq(self, target: int) -> int:
+        if target >= self.num_docs:
+            self.idx = len(self.docids)
+            return self.END_OF_LIST
+        if 0 <= self.idx < len(self.docids) and self.docids[self.idx] >= target:
+            return int(self.docids[self.idx])
+        j = int(np.searchsorted(self.docids, target, side="left"))
+        j = max(j, self.idx + 1)
+        self.idx = j
+        if j >= len(self.docids):
+            return self.END_OF_LIST
+        return int(self.docids[j])
+
+
+# ---------------------------------------------------------------------------
+# Gamma / unary codes (LongWordBitWriter.writeGamma / writeNonZeroGamma)
+# ---------------------------------------------------------------------------
+
+def write_gamma_array(values) -> bytes:
+    """Gamma-code an int array (value >= 0 -> nonZeroGamma(value+1)).
+    Used for the doc-length index artifact (EFDocumentIndex.java:106-112)."""
+    v = np.asarray(values, dtype=np.int64) + 1
+    if len(v) and int(v.min()) < 1:
+        raise ValueError("gamma code requires values >= 0")
+    # exact integer msb per element (no float log)
+    msbs = np.zeros(len(v), dtype=np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= (np.int64(1) << np.int64(shift))
+        msbs[mask] += shift
+        tmp[mask] >>= np.int64(shift)
+    segments = []
+    for val, b in zip(v.tolist(), msbs.tolist()):
+        unary = np.zeros(b + 1, dtype=np.uint8)
+        unary[b] = 1  # 1 << msb written in msb+1 bits, LSB-first
+        rest = _fields_to_bits(np.array([val ^ (1 << b)], dtype=np.int64), b)
+        segments.append(unary)
+        segments.append(rest)
+    return _pack_blob(segments)
+
+
+def read_gamma_array(blob: bytes, count: int) -> np.ndarray:
+    """Decode `count` gamma-coded values (inverse of write_gamma_array)."""
+    bits = _unpack_blob(blob)
+    out = np.zeros(count, dtype=np.int64)
+    pos = 0
+    ones = np.flatnonzero(bits)
+    ones_iter = 0
+    for i in range(count):
+        # find next set bit at/after pos -> msb
+        while ones[ones_iter] < pos:
+            ones_iter += 1
+        b = int(ones[ones_iter]) - pos
+        pos += b + 1
+        rest = int(_bits_to_fields(bits[pos : pos + b], 1, b)[0]) if b else 0
+        pos += b
+        out[i] = ((1 << b) | rest) - 1
+    return out
+
+
+def bits_in_blob(blob: bytes) -> int:
+    return len(blob) * 8
