@@ -1,0 +1,175 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. `--scaling` additionally measures the
+index-build + query throughput at local[8] vs local[32] on identical
+input and reports scaling efficiency (the sandbox stand-in for the
+N-vs-4N-executor criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# synthetic source-code corpus size for the build-throughput headline
+# (the sf-dir documents table is small; FIXTURES.md F1 'bench' scale)
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "100000"))
+
+# a 32-query reference batch over the documents vocabulary (mixed df)
+_VOCAB = [
+    "table", "value", "spark", "window", "merge", "hash", "customer", "query",
+    "scan", "row", "fast", "slow", "filter", "group", "big", "small", "data",
+    "column", "agg", "join", "key", "line", "order", "part", "batch", "vector",
+]
+
+
+def _query_batch():
+    qs = []
+    qid = 0
+    for i in range(16):
+        qid += 1
+        terms = [_VOCAB[(i + j) % len(_VOCAB)] for j in range(1 + i % 4)]
+        qs.append({"qid": qid, "terms": terms, "mode": "disjunctive"})
+    for i in range(8):
+        qid += 1
+        terms = [_VOCAB[(2 * i + j) % len(_VOCAB)] for j in range(2 + i % 2)]
+        qs.append({"qid": qid, "terms": terms, "mode": "conjunctive"})
+    return qs
+
+
+def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
+    """Build indexes + run query batch at a given parallelism."""
+    from terrier_ef_spark.corpus import corpus_from_documents, synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.engine import run_queries
+    from terrier_ef_spark.session import get_spark
+
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    out = {}
+
+    # headline build: synthetic source-code corpus (input_hint schema)
+    shutil.rmtree(workdir + "_synth", ignore_errors=True)
+    synth = synthesize_corpus(spark, synth_docs, seed=42, n_partitions=2 * max(cores, 8))
+    t0 = time.time()
+    sidx = build_index(
+        spark, synth, workdir + "_synth", n_partitions=max(cores, 8), resume=False
+    )
+    out["synth_build_sec"] = time.time() - t0
+    out["num_postings"] = sidx.stats["num_postings"]
+    out["bits_per_posting"] = sidx.stats["bits_per_posting"]
+    out["postings_per_sec"] = sidx.stats["num_postings"] / out["synth_build_sec"]
+
+    # sf-dir documents build (small) — feeds the query benches
+    shutil.rmtree(workdir, ignore_errors=True)
+    corpus = corpus_from_documents(spark, SF_DIR)
+    t0 = time.time()
+    idx = build_index(spark, corpus, workdir, n_partitions=max(cores, 8), resume=False)
+    out["build_sec"] = time.time() - t0
+
+    batch = _query_batch()
+    for algo, name in (("naive", "bm25_naive"), ("bmw", "bm25_bmw")):
+        t0 = time.time()
+        n = run_queries(idx, batch, k=10, algo=algo).count()
+        dt = time.time() - t0
+        out[f"{name}_sec"] = dt
+        out[f"{name}_qps"] = len(batch) / dt
+        out[f"{name}_rows"] = n
+
+    spark.stop()
+    return out
+
+
+def pipeline_queries(spark):
+    """Non-IR headline ops timed as single actions."""
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.pipeline import dedup, similarity, textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timings = {}
+
+    t0 = time.time()
+    dedup.lsh_candidate_pairs(docs).count()
+    timings["dedup_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    textstats.quality_score(docs).agg(F.avg("punct_ratio")).collect()
+    timings["quality_score"] = time.time() - t0
+
+    t0 = time.time()
+    import numpy as np
+
+    qrows = emb.limit(16).select("embedding").collect()
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    similarity.batch_cosine_topk(emb, qmat, k=10).count()
+    timings["ann_batch16"] = time.time() - t0
+    return timings
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    work = os.path.join(REPO, ".bench_idx")
+
+    result = run_once(cpus, work)
+
+    from terrier_ef_spark.session import get_spark
+
+    spark = get_spark("bench-pipeline", cores=cpus)
+    pipe = pipeline_queries(spark)
+    spark.stop()
+
+    queries = {
+        "index_build_synth": round(result["synth_build_sec"], 3),
+        "index_build_docs": round(result["build_sec"], 3),
+        "bm25_disjunctive_batch24": round(result["bm25_naive_sec"], 3),
+        "bm25_bmw_batch24": round(result["bm25_bmw_sec"], 3),
+        **{k: round(v, 3) for k, v in pipe.items()},
+    }
+    total = round(sum(queries.values()), 3)
+
+    extra = {}
+    if scaling:
+        lo = run_once(8, work + "_lo")
+        hi = run_once(32, work + "_hi")
+        eff_build = (hi["postings_per_sec"]) / (4 * lo["postings_per_sec"])
+        eff_query = (hi["bm25_naive_qps"]) / (4 * lo["bm25_naive_qps"])
+        extra["scaling"] = {
+            "build_pps_8": round(lo["postings_per_sec"]),
+            "build_pps_32": round(hi["postings_per_sec"]),
+            "build_efficiency": round(eff_build, 3),
+            "query_qps_8": round(lo["bm25_naive_qps"], 2),
+            "query_qps_32": round(hi["bm25_naive_qps"], 2),
+            "query_efficiency": round(eff_query, 3),
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "ef_index_build_plus_bm25",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "postings_per_sec": round(result["postings_per_sec"]),
+                "bits_per_posting": round(result["bits_per_posting"], 3),
+                "bm25_qps": round(result["bm25_naive_qps"], 2),
+                "bm25_bmw_qps": round(result["bm25_bmw_qps"], 2),
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,323 @@
+"""Index build pipeline — the Spark-first re-expression of terrier-ef's
+Generator pipeline (Generator.java:149-247).
+
+Reference dataflow (partition terms -> parallel EF-encode -> ordered
+byte-merge -> finalize) becomes:
+
+    corpus --tokenize--> posting rows (term, docid, tf[, positions])
+           --groupBy(term, block)--> applyInPandas EF-encode
+           --> postings parquet (one self-contained EF blob set per
+               term-block; per-blob offsets replace the reference's
+               global bitfile offsets, so the ordered merge
+               CompressorReducer.java:58-151 disappears entirely)
+
+Skew/scale design (BASELINE.json north_rule):
+- hot terms are *deterministically* salted by docid range: block_id =
+  docid >> block_bits caps every encode group at the number of docs per
+  block, independent of term df (cf. TermPartition.java:52-59 which
+  partitions by termid only and cannot split one hot term);
+- each stage is checkpointed to parquet with _SUCCESS markers and is
+  skipped on resume (the north_rule 'resumable mid-build' requirement);
+- per-bucket lineage metrics incl. bits/posting are written alongside
+  the index (role of Generator.writeProperties, Generator.java:249-325).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrier_ef_spark import ef
+from terrier_ef_spark.index.ids import assign_dense_ids
+from terrier_ef_spark.tokenizer import TOKENIZERS, tokenize_expr
+
+K1 = 1.2
+B = 0.75
+
+POSTINGS_SCHEMA = (
+    "term string, block_id long, df int, cf long, maxtf int,"
+    " first_docid long, last_docid long,"
+    " docids_ef binary, freqs_ef binary,"
+    " positions_ef binary, sum_max_pos long,"
+    " q_last_docid array<long>, q_max_tfn array<double>"
+)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def lexicon(self) -> str:
+        return os.path.join(self.root, "lexicon")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def metrics(self) -> str:
+        return os.path.join(self.root, "metrics")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "MANIFEST.json")
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _make_encode_fn(num_docs: int, avgdl: float, log2_quantum: int,
+                    block_bits: int | None, positions: bool):
+    """Build the per-(term, block) EF encode kernel (applyInPandas).
+
+    Replaces CompressorMapper.apply + BasicCompressor.compress
+    (CompressorMapper.java:44-61, BasicCompressor.java:94-126): instead
+    of each thread re-reading the source index, the shuffle delivers
+    exactly one term-block's postings to the kernel.
+    """
+    q = 1 << log2_quantum
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, block_id = key[0], int(key[1])
+        pdf = pdf.sort_values("docid")
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        doclens = pdf["doclen"].to_numpy(dtype=np.int64)
+        df_ = len(docids)
+        cf = int(tfs.sum())
+
+        if block_bits is None:
+            rel, ub = docids, num_docs
+        else:
+            base = block_id << block_bits
+            rel = docids - base
+            ub = min(1 << block_bits, num_docs - base)
+
+        docids_ef = ef.encode_docids(rel, ub, log2_quantum)
+        freqs_ef = ef.encode_freqs(tfs, cf, log2_quantum)
+
+        if positions and "positions" in pdf.columns:
+            plists = [np.sort(np.asarray(p, dtype=np.int64)) for p in pdf["positions"]]
+            smp = int(sum(int(p[-1]) for p in plists))
+            pos_ef = ef.encode_positions(plists, df_, smp, log2_quantum)
+        else:
+            pos_ef, smp = None, 0
+
+        # per-quantum block metadata for Block-Max WAND (Ding & Suel
+        # SIGIR'11; the reference stores only term-level maxtf,
+        # EFLexiconEntry.java:47-48 — quantum blocks reuse its skip grid)
+        tfn = tfs * (K1 + 1) / (K1 * (1 - B + B * doclens / avgdl) + tfs)
+        n_q = (df_ + q - 1) // q
+        q_last = docids[np.minimum(np.arange(1, n_q + 1) * q - 1, df_ - 1)]
+        padded = np.full(n_q * q, -np.inf)
+        padded[:df_] = tfn
+        q_max_tfn = padded.reshape(n_q, q).max(axis=1)
+
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "block_id": block_id,
+                    "df": df_,
+                    "cf": cf,
+                    "maxtf": int(tfs.max()),
+                    "first_docid": int(docids[0]),
+                    "last_docid": int(docids[-1]),
+                    "docids_ef": docids_ef,
+                    "freqs_ef": freqs_ef,
+                    "positions_ef": pos_ef,
+                    "sum_max_pos": smp,
+                    "q_last_docid": q_last.tolist(),
+                    "q_max_tfn": q_max_tfn.tolist(),
+                }
+            ]
+        )
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    log2_quantum: int = ef.DEFAULT_LOG2_QUANTUM,
+    positions: bool = False,
+    block_bits: int | None = None,
+    n_partitions: int = 32,
+    tokenizer: str = "simple",
+    resume: bool = True,
+) -> "EFIndex":
+    """Build the full EF index from a corpus DataFrame.
+
+    corpus columns: repo, path, commit, lang, content[, doc_id].
+    If doc_id is absent, dense docids are assigned by global
+    (repo, path, commit) order (deterministic at any parallelism).
+    """
+    from terrier_ef_spark.index.reader import EFIndex  # avoid cycle
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = IndexPaths(out_dir)
+    t0 = time.time()
+    tok = TOKENIZERS.get(tokenizer, tokenize_expr)
+
+    # ---- stage 1: docs table (docid, docno, doclen, sha256) ----
+    if not (resume and _stage_done(paths.docs)):
+        base = corpus
+        if "doc_id" not in base.columns:
+            base = assign_dense_ids(
+                base, ["repo", "path", "commit"], "doc_id", n_partitions
+            )
+        docs = base.select(
+            F.col("doc_id").alias("docid"),
+            F.concat_ws(
+                "", F.col("repo"), F.lit(":"), F.col("path"),
+                F.lit("@"), F.substring("commit", 1, 8),
+            ).alias("docno"),
+            F.size(tok(F.col("content"))).alias("doclen"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            F.col("content"),
+        )
+        (docs.drop("content")
+             .repartitionByRange(n_partitions, "docid")
+             .sortWithinPartitions("docid")
+             .write.mode("overwrite").parquet(paths.docs))
+
+    docs_df = spark.read.parquet(paths.docs)
+    row = docs_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doclen").alias("tokens"),
+        F.avg("doclen").alias("avgdl"),
+    ).collect()[0]
+    num_docs, num_tokens, avgdl = int(row["n"]), int(row["tokens"]), float(row["avgdl"])
+
+    # ---- stage 2: posting rows -> blocked EF encode -> postings parquet ----
+    if not (resume and _stage_done(paths.postings)):
+        base = corpus
+        if "doc_id" not in base.columns:
+            # re-derive the same ids (cheap at this scale; at production
+            # scale stage 1 persists content+docid and is reused)
+            base = assign_dense_ids(
+                base, ["repo", "path", "commit"], "doc_id", n_partitions
+            )
+        toks = base.select(
+            F.col("doc_id").alias("docid"), tok(F.col("content")).alias("tokens")
+        )
+        exploded = toks.select(
+            "docid", F.posexplode("tokens").alias("pos", "term")
+        )
+        agg_cols = [F.count(F.lit(1)).alias("tf")]
+        if positions:
+            agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        rows = exploded.groupBy("term", "docid").agg(*agg_cols)
+
+        doclens = docs_df.select("docid", "doclen")
+        rows = rows.join(F.broadcast(doclens), "docid")
+
+        if block_bits is None:
+            rows = rows.withColumn("block_id", F.lit(0).cast("long"))
+        else:
+            rows = rows.withColumn(
+                "block_id", (F.col("docid") / (1 << block_bits)).cast("long")
+            )
+
+        encode = _make_encode_fn(num_docs, avgdl, log2_quantum, block_bits, positions)
+        encoded = rows.groupBy("term", "block_id").applyInPandas(
+            encode, schema=POSTINGS_SCHEMA
+        )
+        (encoded.repartitionByRange(n_partitions, "term", "block_id")
+                .sortWithinPartitions("term", "block_id")
+                .write.mode("overwrite").parquet(paths.postings))
+
+    postings_df = spark.read.parquet(paths.postings)
+
+    # ---- stage 3: lexicon (term -> termid, df, cf, maxtf, bits) ----
+    if not (resume and _stage_done(paths.lexicon)):
+        lex = postings_df.groupBy("term").agg(
+            F.sum("df").cast("int").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("maxtf").alias("maxtf"),
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
+            (F.sum(F.length("docids_ef")) * 8).alias("bits_docids"),
+            (F.sum(F.length("freqs_ef")) * 8).alias("bits_freqs"),
+        )
+        lex = assign_dense_ids(lex, ["term"], "termid", n_partitions)
+        (lex.repartitionByRange(n_partitions, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite").parquet(paths.lexicon))
+
+    lexicon_df = spark.read.parquet(paths.lexicon)
+
+    # ---- stage 4: stats + per-bucket lineage metrics + manifest ----
+    if not (resume and _stage_done(paths.metrics)):
+        metrics = (
+            postings_df.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(32)))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_term_blocks"),
+                F.sum("df").alias("n_postings"),
+                (F.sum(F.length("docids_ef")) * 8).alias("bits_docids"),
+                (F.sum(F.length("freqs_ef")) * 8).alias("bits_freqs"),
+            )
+            .withColumn(
+                "bits_per_posting",
+                (F.col("bits_docids") + F.col("bits_freqs")) / F.col("n_postings"),
+            )
+        )
+        metrics.coalesce(1).write.mode("overwrite").parquet(paths.metrics)
+
+    lex_row = lexicon_df.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("df").alias("np"),
+        F.sum("bits_docids").alias("bd"), F.sum("bits_freqs").alias("bf"),
+    ).collect()[0]
+    stats = {
+        "num_docs": num_docs,
+        "num_terms": int(lex_row["nt"]),
+        "num_postings": int(lex_row["np"]),
+        "num_tokens": num_tokens,
+        "avgdl": avgdl,
+        "log2_quantum": log2_quantum,
+        "has_positions": positions,
+        "block_bits": block_bits,
+        "byte_order": "little",
+        "bits_per_posting": (int(lex_row["bd"]) + int(lex_row["bf"])) / max(1, int(lex_row["np"])),
+        "k1": K1,
+        "b": B,
+    }
+    with open(paths.stats, "w") as fh:
+        json.dump(stats, fh, indent=2)
+    with open(paths.manifest, "w") as fh:
+        json.dump(
+            {
+                "stages": ["docs", "postings", "lexicon", "metrics"],
+                "params": {
+                    "log2_quantum": log2_quantum,
+                    "positions": positions,
+                    "block_bits": block_bits,
+                    "n_partitions": n_partitions,
+                    "tokenizer": tokenizer,
+                },
+                "build_seconds": time.time() - t0,
+            },
+            fh,
+            indent=2,
+        )
+
+    return EFIndex(spark, out_dir)

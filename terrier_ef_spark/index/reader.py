@@ -1,0 +1,82 @@
+"""Index artifact loader — the role of IndexOnDisk.createIndex +
+EFInvertedIndex mmap (EFInvertedIndex.java:64-86), on Parquet: blobs are
+read as contiguous bytes and viewed zero-copy with np.frombuffer inside
+the decode kernels; term-range-sorted parquet gives row-group pruning
+for term lookups (the lexicon binary-search role, Generator.java:286-296).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from terrier_ef_spark import ef
+from terrier_ef_spark.index.builder import IndexPaths
+
+
+class EFIndex:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as fh:
+            self.stats = json.load(fh)
+
+    # DataFrame views -------------------------------------------------
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    @property
+    def lexicon(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.lexicon)
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs)
+
+    @property
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.metrics)
+
+    # decode helpers (used by kernels and tests) ----------------------
+    def decode_block_docids(self, row) -> np.ndarray:
+        """Decode one postings row's docid blob to absolute docids."""
+        bb = self.stats.get("block_bits")
+        n_docs = self.stats["num_docs"]
+        q = self.stats["log2_quantum"]
+        if bb is None:
+            return ef.decode_docids(bytes(row["docids_ef"]), row["df"], n_docs, q)
+        base = int(row["block_id"]) << bb
+        ub = min(1 << bb, n_docs - base)
+        return ef.decode_docids(bytes(row["docids_ef"]), row["df"], ub, q) + base
+
+    def decode_block_freqs(self, row) -> np.ndarray:
+        return ef.decode_freqs(
+            bytes(row["freqs_ef"]), row["df"], row["cf"], self.stats["log2_quantum"]
+        )
+
+    def decode_block_positions(self, row) -> list[np.ndarray]:
+        tfs = self.decode_block_freqs(row)
+        return ef.decode_positions(
+            bytes(row["positions_ef"]), tfs, int(row["df"]),
+            int(row["sum_max_pos"]), self.stats["log2_quantum"],
+        )
+
+    def doclen_array(self) -> np.ndarray:
+        """Dense doclen array indexed by docid (role of the reference's
+        in-RAM int[] doc-length index, EFDocumentIndex.java:43-47).
+        Broadcast to scoring kernels; viable to ~1e8 docs — beyond that
+        the partitioned doclen join path in query/engine.py applies."""
+        pdf = self.docs.select("docid", "doclen").toPandas()
+        arr = np.zeros(self.stats["num_docs"], dtype=np.int32)
+        arr[pdf["docid"].to_numpy()] = pdf["doclen"].to_numpy()
+        return arr
+
+
+def open_index(spark: SparkSession, root: str) -> EFIndex:
+    if not os.path.exists(IndexPaths(root).stats):
+        raise FileNotFoundError(f"no index at {root}")
+    return EFIndex(spark, root)

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: pure Catalyst expressions (zip_with +
+  aggregate), one scan + one global top-k — the exact baseline.
+- IVF top-k: centroids per label (posexplode + groupBy(pos) — the
+  distributed column-mean), probe the nearest centroid's cluster only —
+  the scale path (scan shrinks by ~n_clusters).
+- embedding near-dup: exact-duplicate vectors via rounded-vector hash.
+- a Pandas-UDF batch-cosine kernel for when the query set is large
+  (Arrow matrix multiply instead of per-row expressions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cos_expr(vec_col, qvec: list[float]):
+    # cast to double BEFORE multiplying so the arithmetic matches the
+    # DuckDB oracle's ::DOUBLE[] semantics exactly
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    n2 = float(np.sqrt(np.dot(qvec, qvec)))
+    return dot / (n1 * F.lit(n2))
+
+
+def cosine_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k of `qvec` against all embeddings.
+    (vec_id, cos, rank), tie-break (cos desc, vec_id asc)."""
+    scored = embeddings.select(
+        "vec_id", F.round(_cos_expr(F.col("embedding"), qvec), 6).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "cos", "rank")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid via posexplode + groupBy(label, pos) + avg —
+    the shuffle-friendly distributed column mean (no whole-vector agg).
+    Row output (label, pos, centroid_val) so values hash stably."""
+    ex = embeddings.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "v")
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+        .select(F.col("label").cast("long").alias("label"),
+                F.col("pos").cast("long").alias("pos"), "centroid_val")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS v
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+)
+SELECT label::bigint AS label, pos::bigint AS pos,
+       round(avg(v), 6) AS centroid_val
+FROM ex GROUP BY label, pos
+"""
+
+
+def _collect_centroids(embeddings: DataFrame) -> list[dict]:
+    rows = label_centroids(embeddings).collect()
+    by_label: dict[int, list[tuple[int, float]]] = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), []).append((int(r["pos"]), float(r["centroid_val"])))
+    return [
+        {"label": lab, "centroid": [v for _, v in sorted(pv)]}
+        for lab, pv in sorted(by_label.items())
+    ]
+
+
+def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFrame:
+    """IVF-style ANN: pick nearest label-centroid to qvec, then exact
+    cosine top-k within that cluster only (the 1/n_clusters scan)."""
+    cen = _collect_centroids(embeddings)
+    q = np.asarray(qvec, dtype=np.float64)
+
+    def cos(c):
+        c = np.asarray(c, dtype=np.float64)
+        return float(c @ q / (np.linalg.norm(c) * np.linalg.norm(q)))
+
+    best = max(cen, key=lambda r: (cos(r["centroid"]), -r["label"]))["label"]
+    cluster = embeddings.where(F.col("label") == int(best))
+    scored = cluster.select(
+        "vec_id", F.round(_cos_expr(F.col("embedding"), qvec), 6).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "cos", "rank")
+    )
+
+
+def embedding_exact_dups(embeddings: DataFrame, decimals: int = 6) -> DataFrame:
+    """Exact near-dup vectors: hash of the vector rounded to `decimals`."""
+    key = F.md5(
+        F.to_json(F.transform("embedding", lambda x: F.round(x.cast("double"), decimals)))
+    )
+    return (
+        embeddings.select("vec_id", key.alias("vhash"))
+        .groupBy("vhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("keep_vec_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+def batch_cosine_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10) -> DataFrame:
+    """Arrow-batched matrix-multiply cosine: many query vectors at once.
+    Returns (qidx, vec_id, cos) for per-partition top-k, then global
+    top-k per qidx — the scale path for bulk ANN scoring."""
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    n_q = len(qn)
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ qn.T  # (rows, n_q)
+            top = min(k, len(pdf))
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, n_q)
+            rows = idx.T.ravel()  # query-major so it aligns with qidx
+            qidx = np.repeat(np.arange(n_q), top)
+            yield pd.DataFrame(
+                {
+                    "qidx": qidx.astype(np.int32),
+                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "cos": sims[rows, qidx],
+                }
+            )
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, schema="qidx int, vec_id long, cos double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qidx").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qidx", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )

@@ -1,0 +1,163 @@
+"""BM25 scoring kernels — pure NumPy, whole-array (no per-posting Python).
+
+Query matching is NOT in the reference repo (it lives in Terrier core;
+pom.xml:61-71 declares the dependency) but is required by the north
+star. Semantics follow Terrier 5's published BM25 weighting model:
+
+    idf  = log2((N - df + 0.5) / (df + 0.5))          (Robertson idf)
+    tfn  = tf * (k1 + 1) / (k1 * (1 - b + b * dl/avgdl) + tf)
+    score(d) = sum over query terms of idf * tfn
+    k1 = 1.2, b = 0.75; query-term weight = 1 for single-occurrence terms
+
+Tie-break: (score desc, docid asc), fixed so ranking is deterministic
+across partitions (SURVEY.md §7 risk 2).
+
+Three algorithms, all rank-identical (tested):
+- disjunctive exhaustive (bincount over the union),
+- conjunctive (sorted-list intersection via np.searchsorted — the
+  vectorized equivalent of the reference's next(target) galloping,
+  EFBasicIterablePosting.java:163-178),
+- block-max WAND, vectorized as safe block-max filtering over the
+  2^log2Quantum posting blocks (Ding & Suel SIGIR'11): a provisional
+  exact threshold from the rarest term's candidates, per-block upper
+  bounds prune docs whose bound is strictly below it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(num_docs: int, df: int) -> float:
+    return float(np.log2((num_docs - df + 0.5) / (df + 0.5)))
+
+
+def tfn(tfs: np.ndarray, doclens: np.ndarray, avgdl: float) -> np.ndarray:
+    tfs = tfs.astype(np.float64)
+    return tfs * (K1 + 1) / (K1 * (1 - B + B * doclens / avgdl) + tfs)
+
+
+@dataclass
+class TermPostings:
+    """One query term's decoded postings + metadata for scoring."""
+
+    term: str
+    idf: float
+    docids: np.ndarray          # int64, ascending
+    tfs: np.ndarray             # int64
+    q_last_docid: np.ndarray | None = None   # block boundaries (BMW)
+    q_max_tfn: np.ndarray | None = None      # block max tf-norm (BMW)
+
+    def contribs(self, doclen_arr: np.ndarray, avgdl: float) -> np.ndarray:
+        return self.idf * tfn(self.tfs, doclen_arr[self.docids].astype(np.float64), avgdl)
+
+
+def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
+    """(score desc, docid asc) top-k, deterministic."""
+    if len(docids) == 0:
+        return docids[:0], scores[:0]
+    order = np.lexsort((docids, -scores))[:k]
+    return docids[order], scores[order]
+
+
+def topk_disjunctive(
+    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int
+):
+    """Exhaustive union scoring: concat (docid, contrib) from each term,
+    aggregate with unique+bincount (the vectorized equivalent of the
+    per-partition score accumulation in SURVEY.md §2.3)."""
+    if not terms:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    all_d = np.concatenate([t.docids for t in terms])
+    all_c = np.concatenate([t.contribs(doclen_arr, avgdl) for t in terms])
+    uniq, inv = np.unique(all_d, return_inverse=True)
+    scores = np.bincount(inv, weights=all_c)
+    return _topk(uniq, scores, k)
+
+
+def topk_conjunctive(
+    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int
+):
+    """Intersection scoring, smallest-df list first (mirrors the
+    skipping cascade Q2 in SURVEY.md §2.2)."""
+    if not terms:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    order = np.argsort([len(t.docids) for t in terms])
+    cand = terms[int(order[0])].docids
+    for i in order[1:]:
+        d = terms[int(i)].docids
+        if len(d) == 0 or len(cand) == 0:
+            return cand[:0], np.zeros(0)
+        pos = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+        cand = cand[d[pos] == cand]
+    if len(cand) == 0:
+        return cand, np.zeros(0)
+    scores = np.zeros(len(cand))
+    for t in terms:
+        pos = np.searchsorted(t.docids, cand)
+        scores += t.contribs(doclen_arr, avgdl)[pos]
+    return _topk(cand, scores, k)
+
+
+def topk_bmw(
+    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int
+):
+    """Safe-to-k block-max pruned disjunctive top-k; rank-identical to
+    topk_disjunctive by construction (prunes only docs whose per-block
+    upper bound is strictly below a provably-valid threshold)."""
+    if not terms:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    live = [t for t in terms if len(t.docids)]
+    if not live:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    contribs = {t.term: t.contribs(doclen_arr, avgdl) for t in live}
+
+    def exact_scores(cand: np.ndarray) -> np.ndarray:
+        s = np.zeros(len(cand))
+        for t in live:
+            pos = np.searchsorted(t.docids, cand)
+            pos_c = np.minimum(pos, len(t.docids) - 1)
+            hit = t.docids[pos_c] == cand
+            s += np.where(hit, contribs[t.term][pos_c], 0.0)
+        return s
+
+    # 1. provisional threshold from the rarest (highest-idf) term's list
+    seed = max(live, key=lambda t: t.idf)
+    seed_scores = exact_scores(seed.docids)
+    if len(seed_scores) >= k:
+        theta = np.partition(seed_scores, -k)[-k]
+    else:
+        theta = -np.inf
+
+    # 2. per-doc upper bound = sum over terms of the containing block's
+    #    max contribution; prune strictly below theta
+    all_d = np.concatenate([t.docids for t in live])
+    ubs = []
+    for t in live:
+        if t.q_last_docid is None or t.q_max_tfn is None:
+            ub_t = np.full(len(t.docids), max(t.idf, 0.0) * (K1 + 1))
+        else:
+            blk = np.searchsorted(t.q_last_docid, t.docids, side="left")
+            block_ub = t.idf * np.asarray(t.q_max_tfn)
+            ub_t = np.maximum(block_ub, 0.0)[blk] if t.idf < 0 else block_ub[blk]
+        ubs.append(ub_t)
+    all_ub = np.concatenate(ubs)
+    uniq, inv = np.unique(all_d, return_inverse=True)
+    doc_ub = np.bincount(inv, weights=all_ub)
+    survivors = uniq[doc_ub >= theta] if np.isfinite(theta) else uniq
+
+    # 3. exact-score survivors only
+    scores = exact_scores(survivors)
+    return _topk(survivors, scores, k)
+
+
+ALGOS = {
+    "naive": topk_disjunctive,
+    "bmw": topk_bmw,
+}

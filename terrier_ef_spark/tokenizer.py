@@ -1,0 +1,56 @@
+"""Tokenization — owned by our engine (the reference delegates it to
+Terrier core's termpipelines, EFSetupTest.java:106-107; ours must be a
+pluggable pure function per SURVEY.md §2.1).
+
+The default tokenizer is a pure Catalyst expression (JVM-side, inside
+whole-stage codegen — faster than any Python UDF) with an exact ANSI-SQL
+equivalent for the DuckDB oracle: lowercase, split on runs of
+non-alphanumeric characters, drop empty strings. No stemming for source
+code.
+
+A code-aware variant (camelCase / snake_case splitting) is provided as a
+vectorized Arrow pandas UDF for corpora where identifier sub-tokens
+matter; it is pluggable via TOKENIZERS.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize_expr(content: Column) -> Column:
+    """Catalyst-expression tokenizer: array of non-empty lowercase tokens."""
+    return F.filter(
+        F.split(F.lower(content), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def tokenize_sql_duckdb(col: str) -> str:
+    """The DuckDB-SQL twin of tokenize_expr, for oracle queries."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'),"
+        " x -> x <> '')"
+    )
+
+
+_CAMEL_RE = r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_code_udf(content: pd.Series) -> pd.Series:
+    """Code-aware tokenizer (Arrow-vectorized, no per-row Python loop):
+    splits camelCase/snake_case identifiers before the standard split."""
+    expanded = content.fillna("").str.replace(_CAMEL_RE, " ", regex=True)
+    toks = expanded.str.lower().str.split(TOKEN_SPLIT_RE, regex=True)
+    return toks.map(lambda xs: [x for x in xs if x])
+
+
+TOKENIZERS = {
+    "simple": tokenize_expr,
+    "code": lambda col: tokenize_code_udf(col),
+}

@@ -1,0 +1,107 @@
+"""Top-k BM25 rank-identity tests: engine (naive + BMW + conjunctive)
+vs the plain-Python oracle (FIXTURES.md F4): rank-identical docids,
+scores equal to 1e-9, BMW pruning on and off."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from terrier_ef_spark.query.engine import run_queries
+
+# query set: high-df head tokens, low-df tail, absent terms, mixed
+QUERIES = [
+    {"qid": 1, "terms": ["the"], "mode": "disjunctive"},
+    {"qid": 2, "terms": ["import", "def"], "mode": "disjunctive"},
+    {"qid": 3, "terms": ["v150", "v73"], "mode": "disjunctive"},
+    {"qid": 4, "terms": ["the", "v999"], "mode": "disjunctive"},
+    {"qid": 5, "terms": ["zzz_absent_zzz"], "mode": "disjunctive"},
+    {"qid": 6, "terms": ["the", "import", "class", "return", "v9"], "mode": "disjunctive"},
+    {"qid": 7, "terms": ["import", "def"], "mode": "conjunctive"},
+    {"qid": 8, "terms": ["the", "v150"], "mode": "conjunctive"},
+    {"qid": 9, "terms": ["the", "zzz_absent_zzz"], "mode": "conjunctive"},
+    {"qid": 10, "terms": ["v30", "v31", "v32"], "mode": "conjunctive"},
+]
+
+
+def _engine_results(index, algo, k=10):
+    pdf = (
+        run_queries(index, QUERIES, k=k, algo=algo)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    out = {q["qid"]: [] for q in QUERIES}
+    for r in pdf.itertuples(index=False):
+        out[int(r.qid)].append((int(r.docid), float(r.score)))
+    return out
+
+
+def _oracle_results(oracle, k=10):
+    return {
+        q["qid"]: oracle.bm25_topk(q["terms"], k=k, mode=q["mode"])
+        for q in QUERIES
+    }
+
+
+@pytest.mark.parametrize("algo", ["naive", "bmw"])
+def test_rank_identity_vs_oracle(small_index, small_oracle, algo):
+    got = _engine_results(small_index, algo)
+    want = _oracle_results(small_oracle)
+    for q in QUERIES:
+        qid = q["qid"]
+        g, w = got[qid], want[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], (qid, algo, g, w)
+        assert np.allclose([s for _, s in g], [s for _, s in w], atol=1e-9), qid
+
+
+def test_bmw_equals_naive_everywhere(small_index):
+    assert _engine_results(small_index, "naive") == pytest.approx(
+        _engine_results(small_index, "bmw")
+    ) or _engine_results(small_index, "naive") == _engine_results(small_index, "bmw")
+
+
+def test_kernel_rank_identity_randomized(small_oracle):
+    """Kernel-level (no Spark) property check over random query mixes:
+    BMW == naive == oracle on 30 random queries."""
+    import random
+
+    from terrier_ef_spark.query import bm25
+    from terrier_ef_spark.query.bm25 import TermPostings
+
+    rng = random.Random(42)
+    vocab = sorted(small_oracle.postings)
+    doclen_arr = np.array(
+        [small_oracle.doclen[d] for d in range(small_oracle.num_docs)],
+        dtype=np.int32,
+    )
+    q = 8  # quantum for block metadata
+
+    def term_postings(t):
+        plist = small_oracle.postings[t]
+        docids = np.array([d for d, _ in plist], dtype=np.int64)
+        tfs = np.array([tf for _, tf in plist], dtype=np.int64)
+        dls = doclen_arr[docids].astype(np.float64)
+        tfn = tfs * (1.2 + 1) / (1.2 * (1 - 0.75 + 0.75 * dls / small_oracle.avgdl) + tfs)
+        n_q = (len(docids) + q - 1) // q
+        q_last = docids[np.minimum(np.arange(1, n_q + 1) * q - 1, len(docids) - 1)]
+        padded = np.full(n_q * q, -np.inf)
+        padded[: len(docids)] = tfn
+        return TermPostings(
+            term=t,
+            idf=small_oracle.idf(t),
+            docids=docids,
+            tfs=tfs,
+            q_last_docid=q_last,
+            q_max_tfn=padded.reshape(n_q, q).max(axis=1),
+        )
+
+    for _ in range(30):
+        terms = rng.sample(vocab[:200], rng.randint(1, 5))
+        tps = [term_postings(t) for t in terms]
+        d1, s1 = bm25.topk_disjunctive(tps, doclen_arr, small_oracle.avgdl, 10)
+        d2, s2 = bm25.topk_bmw(tps, doclen_arr, small_oracle.avgdl, 10)
+        want = small_oracle.bm25_topk(terms, k=10)
+        assert d1.tolist() == [d for d, _ in want]
+        assert d2.tolist() == d1.tolist()
+        assert np.allclose(s1, [s for _, s in want], atol=1e-9)
+        assert np.allclose(s2, s1, atol=0)
