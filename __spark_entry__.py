@@ -51,7 +51,9 @@ def _get_index(spark: SparkSession, sf_dir: str):
             os.path.basename(key.rstrip("/")) or "idx",
         )
         corpus = corpus_from_documents(spark, sf_dir)
-        _INDEX_CACHE[key] = build_index(spark, corpus, out, n_partitions=16)
+        _INDEX_CACHE[key] = build_index(
+            spark, corpus, out, n_partitions=16, positions=True
+        )
     return _INDEX_CACHE[key]
 
 
@@ -196,6 +198,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_conjunctive(spark, sf):
         return _bm25(spark, sf, BM25_CONJ_QUERIES, algo="naive")
 
+    def positions_decoded(spark, sf):
+        from terrier_ef_spark.query.engine import decode_positions_df
+
+        idx = _get_index(spark, sf)
+        return decode_positions_df(idx).select("term", "docid", "pos")
+
+    def phrase_match_tv(spark, sf):
+        from terrier_ef_spark.query.phrase import phrase_match
+
+        idx = _get_index(spark, sf)
+        return phrase_match(idx, ["table", "value"], k=20)
+
+    def direct_decoded(spark, sf):
+        from terrier_ef_spark.index.direct import build_direct, decode_direct
+
+        idx = _get_index(spark, sf)
+        direct = build_direct(idx, n_partitions=8)
+        return decode_direct(idx, direct).select(
+            "docid", F.col("termid"), F.col("tf").cast("long").alias("tf")
+        )
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -216,6 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_disjunctive": bm25_disjunctive,
         "bm25_bmw": bm25_bmw,
         "bm25_conjunctive": bm25_conjunctive,
+        "positions_decoded": positions_decoded,
+        "phrase_match": phrase_match_tv,
+        "direct_decoded": direct_decoded,
         "events_window": events_window,
         "token_counts": lambda s, sf: textstats.token_counts(_docs(s, sf)),
         "quality_score": lambda s, sf: textstats.quality_score(_docs(s, sf)),
@@ -321,6 +347,42 @@ SELECT term, doc_id AS docid FROM (
         "bm25_disjunctive": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_bmw": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_conjunctive": _bm25_oracle_sql(BM25_CONJ_QUERIES, conjunctive=True),
+        "positions_decoded": f"""
+WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents)
+SELECT a[i + 1] AS term, doc_id AS docid, i AS pos
+FROM arr, unnest(range(len(a))) AS t(i)
+""",
+        "phrase_match": f"""
+WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents),
+tokpos AS (
+  SELECT doc_id, i AS pos, a[i + 1] AS term
+  FROM arr, unnest(range(len(a))) AS t(i)
+),
+ph(term, idx) AS (VALUES ('table', 0), ('value', 1)),
+occ AS (
+  SELECT doc_id, pos - idx AS anchor, count(DISTINCT idx) AS nidx
+  FROM tokpos JOIN ph USING (term) GROUP BY 1, 2
+),
+hits AS (
+  SELECT doc_id AS docid, count(*)::bigint AS n_occurrences
+  FROM occ WHERE nidx = 2 GROUP BY 1
+)
+SELECT docid, n_occurrences, rank FROM (
+  SELECT docid, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, docid ASC)::int AS rank
+  FROM hits
+) WHERE rank <= 20
+""",
+        "direct_decoded": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+lex AS (
+  SELECT term, (row_number() OVER (ORDER BY term) - 1)::bigint AS termid
+  FROM (SELECT DISTINCT term FROM post)
+)
+SELECT p.doc_id AS docid, l.termid, p.tf::bigint AS tf
+FROM post p JOIN lex l USING (term)
+""",
         "events_window": """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::bigint AS n, round(sum(value), 2) AS sum_value

@@ -78,9 +78,27 @@ class IndexPaths:
     def manifest(self) -> str:
         return os.path.join(self.root, "MANIFEST.json")
 
+    @property
+    def params(self) -> str:
+        return os.path.join(self.root, "params.json")
+
 
 def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _check_resume(paths: IndexPaths, params: dict, resume: bool) -> bool:
+    """A stage marker is only trustworthy if it was produced by a build
+    with identical parameters — params.json is written before any stage
+    and compared on resume (the manifest alone can't be used: it is only
+    written at the end, so a mid-build crash leaves stages without it)."""
+    if resume and os.path.exists(paths.params):
+        with open(paths.params) as fh:
+            if json.load(fh) == params:
+                return True
+    with open(paths.params, "w") as fh:
+        json.dump(params, fh)
+    return False
 
 
 def _make_encode_fn(num_docs: int, avgdl: float, log2_quantum: int,
@@ -177,6 +195,14 @@ def build_index(
     paths = IndexPaths(out_dir)
     t0 = time.time()
     tok = TOKENIZERS.get(tokenizer, tokenize_expr)
+    build_params = {
+        "log2_quantum": log2_quantum,
+        "positions": positions,
+        "block_bits": block_bits,
+        "n_partitions": n_partitions,
+        "tokenizer": tokenizer,
+    }
+    resume = _check_resume(paths, build_params, resume)
 
     # ---- stage 1: docs table (docid, docno, doclen, sha256) ----
     if not (resume and _stage_done(paths.docs)):

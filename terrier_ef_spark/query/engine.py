@@ -160,3 +160,54 @@ def decode_postings(index: EFIndex) -> DataFrame:
     return index.postings.select(cols).mapInPandas(
         decode_rows, schema="term string, docid long, tf int"
     )
+
+
+def decode_positions_df(index: EFIndex, terms: list[str] | None = None) -> DataFrame:
+    """Decode position blobs to (term, docid, pos) rows — the lazy
+    per-posting decode (EFBlockIterablePosting.java:94-106) flattened to
+    a relation so positional operators (phrase match) stay declarative.
+
+    Parquet column pruning keeps positions_ef unread for non-positional
+    queries (the lazy-decode property, SURVEY.md §4 'Lazy decode')."""
+    stats = index.stats
+    if not stats.get("has_positions"):
+        raise ValueError("index was built without positions")
+    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    block_bits = stats.get("block_bits")
+
+    src = index.postings
+    if terms is not None:
+        src = src.where(F.col("term").isin(sorted(set(terms))))
+
+    def decode_rows(batches):
+        for pdf in batches:
+            out_t, out_d, out_p = [], [], []
+            for r in pdf.itertuples(index=False):
+                df_b, cf_b = int(r.df), int(r.cf)
+                if block_bits is None:
+                    ub, base = num_docs, 0
+                else:
+                    base = int(r.block_id) << block_bits
+                    ub = min(1 << block_bits, num_docs - base)
+                d = ef.decode_docids(bytes(r.docids_ef), df_b, ub, log2q) + base
+                tfs = ef.decode_freqs(bytes(r.freqs_ef), df_b, cf_b, log2q)
+                plists = ef.decode_positions(
+                    bytes(r.positions_ef), tfs, df_b, int(r.sum_max_pos), log2q
+                )
+                out_t.append(np.repeat(r.term, int(tfs.sum())))
+                out_d.append(np.repeat(d, tfs))
+                out_p.append(np.concatenate(plists) if plists else np.zeros(0, np.int64))
+            if out_t:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(out_t),
+                        "docid": np.concatenate(out_d),
+                        "pos": np.concatenate(out_p).astype(np.int64),
+                    }
+                )
+
+    cols = ["term", "block_id", "df", "cf", "docids_ef", "freqs_ef",
+            "positions_ef", "sum_max_pos"]
+    return src.select(cols).mapInPandas(
+        decode_rows, schema="term string, docid long, pos long"
+    )
