@@ -1,0 +1,99 @@
+"""spark-submit entry point for the index build + query job.
+
+The north-rule ship path: the package rides --py-files as a zip, so the
+job needs no installed package on the executors:
+
+    python tools/make_pyfiles.py                      # -> dist/terrier_ef_spark.zip
+    spark-submit --master local[8] \
+        --py-files dist/terrier_ef_spark.zip \
+        tools/submit_build.py --synth-docs 5000 --out /tmp/efidx \
+        --queries table,value spark,merge
+
+On a real cluster the same invocation takes --master yarn/k8s and the
+input switches from --synth-docs to --input <parquet/iceberg path> with
+columns (repo, path, commit, lang, content). Prints one JSON line with
+build stats (postings/sec, bits/posting) and per-query top-k results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir with input_hint columns")
+    ap.add_argument("--synth-docs", type=int, default=0,
+                    help="synthesize a deterministic corpus of N docs instead")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", required=True, help="index output dir")
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--log2-quantum", type=int, default=8)
+    ap.add_argument("--block-bits", type=int, default=None)
+    ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--queries", nargs="*", default=[],
+                    help="comma-joined terms per query, e.g. 'a,b' 'c'")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    # SparkSession comes from spark-submit (master/conf set there); the
+    # imports resolve from the --py-files zip on driver and executors.
+    from pyspark.sql import SparkSession
+
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.engine import run_queries
+
+    spark = SparkSession.builder.appName("ef-index-build").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.synth_docs:
+        corpus = synthesize_corpus(spark, args.synth_docs, seed=args.seed,
+                                   n_partitions=args.partitions)
+    elif args.input:
+        corpus = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --synth-docs is required")
+
+    t0 = time.time()
+    idx = build_index(
+        spark, corpus, args.out,
+        log2_quantum=args.log2_quantum,
+        positions=args.positions,
+        block_bits=args.block_bits,
+        n_partitions=args.partitions,
+        resume=not args.no_resume,
+    )
+    build_sec = time.time() - t0
+
+    out = {
+        "build_sec": round(build_sec, 3),
+        "num_docs": idx.stats["num_docs"],
+        "num_postings": idx.stats["num_postings"],
+        "postings_per_sec": round(idx.stats["num_postings"] / build_sec),
+        "bits_per_posting": round(idx.stats["bits_per_posting"], 3),
+    }
+
+    if args.queries:
+        batch = [
+            {"qid": i + 1, "terms": q.split(","), "mode": "disjunctive"}
+            for i, q in enumerate(args.queries)
+        ]
+        t0 = time.time()
+        res = run_queries(idx, batch, k=args.k, algo="bmw").collect()
+        out["query_sec"] = round(time.time() - t0, 3)
+        out["results"] = [
+            {"qid": r["qid"], "rank": r["rank"], "docid": r["docid"],
+             "score": round(r["score"], 4)}
+            for r in res
+        ]
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
