@@ -47,7 +47,12 @@ def _query_batch():
 
 
 def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
-    """Build indexes + run query batch at a given parallelism."""
+    """Build indexes + run query batch at a given parallelism.
+
+    A small warmup build + query runs first so the timed numbers measure
+    steady-state throughput, not JVM/Python-worker cold start (~35s at
+    local[32], which would otherwise dominate the scaling-efficiency
+    comparison between parallelism levels)."""
     from terrier_ef_spark.corpus import corpus_from_documents, synthesize_corpus
     from terrier_ef_spark.index.builder import build_index
     from terrier_ef_spark.query.engine import run_queries
@@ -55,6 +60,15 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     out = {}
+
+    # warmup (untimed): exercises every codepath the timed sections use
+    shutil.rmtree(workdir + "_warm", ignore_errors=True)
+    warm = synthesize_corpus(spark, 2000, seed=1, n_partitions=max(cores, 8))
+    widx = build_index(
+        spark, warm, workdir + "_warm", n_partitions=max(cores, 8), resume=False
+    )
+    run_queries(widx, _query_batch()[:4], k=10, algo="bmw").count()
+    shutil.rmtree(workdir + "_warm", ignore_errors=True)
 
     # headline build: synthetic source-code corpus (input_hint schema)
     shutil.rmtree(workdir + "_synth", ignore_errors=True)

@@ -194,6 +194,10 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     paths = IndexPaths(out_dir)
     t0 = time.time()
+    # Large Arrow batches are load-bearing for the encode shuffle: at the
+    # default 4096 the applyInPandas transfer of the posting rows is ~3x
+    # slower (measured: 49s -> 15s for 16.9M rows at local[32]).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
     tok = TOKENIZERS.get(tokenizer, tokenize_expr)
     build_params = {
         "log2_quantum": log2_quantum,
@@ -203,8 +207,10 @@ def build_index(
         "tokenizer": tokenizer,
     }
     resume = _check_resume(paths, build_params, resume)
+    stage_sec: dict[str, float] = {}
 
     # ---- stage 1: docs table (docid, docno, doclen, sha256) ----
+    t_stage = time.time()
     if not (resume and _stage_done(paths.docs)):
         base = corpus
         if "doc_id" not in base.columns:
@@ -226,6 +232,7 @@ def build_index(
              .sortWithinPartitions("docid")
              .write.mode("overwrite").parquet(paths.docs))
 
+    stage_sec["docs"] = time.time() - t_stage
     docs_df = spark.read.parquet(paths.docs)
     row = docs_df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -235,6 +242,7 @@ def build_index(
     num_docs, num_tokens, avgdl = int(row["n"]), int(row["tokens"]), float(row["avgdl"])
 
     # ---- stage 2: posting rows -> blocked EF encode -> postings parquet ----
+    t_stage = time.time()
     if not (resume and _stage_done(paths.postings)):
         base = corpus
         if "doc_id" not in base.columns:
@@ -272,9 +280,11 @@ def build_index(
                 .sortWithinPartitions("term", "block_id")
                 .write.mode("overwrite").parquet(paths.postings))
 
+    stage_sec["postings"] = time.time() - t_stage
     postings_df = spark.read.parquet(paths.postings)
 
     # ---- stage 3: lexicon (term -> termid, df, cf, maxtf, bits) ----
+    t_stage = time.time()
     if not (resume and _stage_done(paths.lexicon)):
         lex = postings_df.groupBy("term").agg(
             F.sum("df").cast("int").alias("df"),
@@ -289,9 +299,11 @@ def build_index(
             .sortWithinPartitions("term")
             .write.mode("overwrite").parquet(paths.lexicon))
 
+    stage_sec["lexicon"] = time.time() - t_stage
     lexicon_df = spark.read.parquet(paths.lexicon)
 
     # ---- stage 4: stats + per-bucket lineage metrics + manifest ----
+    t_stage = time.time()
     if not (resume and _stage_done(paths.metrics)):
         metrics = (
             postings_df.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(32)))
@@ -308,6 +320,7 @@ def build_index(
             )
         )
         metrics.coalesce(1).write.mode("overwrite").parquet(paths.metrics)
+    stage_sec["metrics"] = time.time() - t_stage
 
     lex_row = lexicon_df.agg(
         F.count(F.lit(1)).alias("nt"), F.sum("df").alias("np"),
@@ -341,6 +354,7 @@ def build_index(
                     "tokenizer": tokenizer,
                 },
                 "build_seconds": time.time() - t0,
+                "stage_seconds": {k: round(v, 2) for k, v in stage_sec.items()},
             },
             fh,
             indent=2,

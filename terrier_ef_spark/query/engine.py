@@ -39,6 +39,7 @@ def run_queries(
     Returns (qid, rank, docid, score), rank 1-based, tie-break
     (score desc, docid asc)."""
     spark = index.spark
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
     stats = index.stats
     num_docs = stats["num_docs"]
     avgdl = stats["avgdl"]
