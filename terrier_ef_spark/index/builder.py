@@ -41,12 +41,16 @@ from terrier_ef_spark.tokenizer import TOKENIZERS, tokenize_expr
 K1 = 1.2
 B = 0.75
 
+# Postings format version; bumped when the blob or metadata layout
+# changes so the params.json resume guard invalidates stale stages.
+FORMAT_VERSION = 2
+
 POSTINGS_SCHEMA = (
     "term string, block_id long, df int, cf long, maxtf int,"
     " first_docid long, last_docid long,"
     " docids_ef binary, freqs_ef binary,"
     " positions_ef binary, sum_max_pos long,"
-    " q_last_docid array<long>, q_max_tfn array<double>"
+    " q_last_docid array<long>, q_max_tf array<long>, q_min_dl array<long>"
 )
 
 
@@ -101,7 +105,16 @@ def _check_resume(paths: IndexPaths, params: dict, resume: bool) -> bool:
     return False
 
 
-def _make_encode_fn(num_docs: int, avgdl: float, log2_quantum: int,
+def block_upper_bound(block_bits: int | None, num_docs: int, block_id: int = 0) -> int:
+    """Docid-sequence upper bound of one encode block. Blocked blobs are
+    bounded by the block width alone — NOT by num_docs — so a blob's
+    encoding never depends on global collection stats; this is what
+    makes incremental (streaming) appends produce byte-identical blobs
+    to a batch rebuild."""
+    return num_docs if block_bits is None else (1 << block_bits)
+
+
+def _make_encode_fn(num_docs: int, log2_quantum: int,
                     block_bits: int | None, positions: bool):
     """Build the per-(term, block) EF encode kernel (applyInPandas).
 
@@ -122,11 +135,10 @@ def _make_encode_fn(num_docs: int, avgdl: float, log2_quantum: int,
         cf = int(tfs.sum())
 
         if block_bits is None:
-            rel, ub = docids, num_docs
+            rel = docids
         else:
-            base = block_id << block_bits
-            rel = docids - base
-            ub = min(1 << block_bits, num_docs - base)
+            rel = docids - (block_id << block_bits)
+        ub = block_upper_bound(block_bits, num_docs, block_id)
 
         docids_ef = ef.encode_docids(rel, ub, log2_quantum)
         freqs_ef = ef.encode_freqs(tfs, cf, log2_quantum)
@@ -140,13 +152,19 @@ def _make_encode_fn(num_docs: int, avgdl: float, log2_quantum: int,
 
         # per-quantum block metadata for Block-Max WAND (Ding & Suel
         # SIGIR'11; the reference stores only term-level maxtf,
-        # EFLexiconEntry.java:47-48 — quantum blocks reuse its skip grid)
-        tfn = tfs * (K1 + 1) / (K1 * (1 - B + B * doclens / avgdl) + tfs)
+        # EFLexiconEntry.java:47-48 — quantum blocks reuse its skip
+        # grid). (max tf, min doclen) per block bounds the block's max
+        # tf-norm for ANY avgdl (tfn is increasing in tf, decreasing in
+        # dl), so the metadata stays valid as the collection grows —
+        # avgdl is applied query-side.
         n_q = (df_ + q - 1) // q
         q_last = docids[np.minimum(np.arange(1, n_q + 1) * q - 1, df_ - 1)]
-        padded = np.full(n_q * q, -np.inf)
-        padded[:df_] = tfn
-        q_max_tfn = padded.reshape(n_q, q).max(axis=1)
+        pad_tf = np.zeros(n_q * q, dtype=np.int64)
+        pad_tf[:df_] = tfs
+        q_max_tf = pad_tf.reshape(n_q, q).max(axis=1)
+        pad_dl = np.full(n_q * q, np.iinfo(np.int64).max, dtype=np.int64)
+        pad_dl[:df_] = doclens
+        q_min_dl = pad_dl.reshape(n_q, q).min(axis=1)
 
         return pd.DataFrame(
             [
@@ -163,7 +181,8 @@ def _make_encode_fn(num_docs: int, avgdl: float, log2_quantum: int,
                     "positions_ef": pos_ef,
                     "sum_max_pos": smp,
                     "q_last_docid": q_last.tolist(),
-                    "q_max_tfn": q_max_tfn.tolist(),
+                    "q_max_tf": q_max_tf.tolist(),
+                    "q_min_dl": q_min_dl.tolist(),
                 }
             ]
         )
@@ -171,68 +190,76 @@ def _make_encode_fn(num_docs: int, avgdl: float, log2_quantum: int,
     return encode
 
 
-def build_index(
-    spark: SparkSession,
-    corpus: DataFrame,
-    out_dir: str,
-    *,
-    log2_quantum: int = ef.DEFAULT_LOG2_QUANTUM,
-    positions: bool = False,
-    block_bits: int | None = None,
-    n_partitions: int = 32,
-    tokenizer: str = "simple",
-    resume: bool = True,
-) -> "EFIndex":
-    """Build the full EF index from a corpus DataFrame.
+def make_docs_df(base: DataFrame, tok) -> DataFrame:
+    """Docs table rows from an id-carrying corpus: (docid, docno,
+    doclen, sha256) — the doc-length index + per-row content integrity
+    invariant (input_hint sha256)."""
+    return base.select(
+        F.col("doc_id").alias("docid"),
+        F.concat_ws(
+            "", F.col("repo"), F.lit(":"), F.col("path"),
+            F.lit("@"), F.substring("commit", 1, 8),
+        ).alias("docno"),
+        F.size(tok(F.col("content"))).alias("doclen"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    )
 
-    corpus columns: repo, path, commit, lang, content[, doc_id].
-    If doc_id is absent, dense docids are assigned by global
-    (repo, path, commit) order (deterministic at any parallelism).
-    """
-    from terrier_ef_spark.index.reader import EFIndex  # avoid cycle
 
-    os.makedirs(out_dir, exist_ok=True)
-    paths = IndexPaths(out_dir)
-    t0 = time.time()
-    # Large Arrow batches are load-bearing for the encode shuffle: at the
-    # default 4096 the applyInPandas transfer of the posting rows is ~3x
-    # slower (measured: 49s -> 15s for 16.9M rows at local[32]).
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
-    tok = TOKENIZERS.get(tokenizer, tokenize_expr)
-    build_params = {
-        "log2_quantum": log2_quantum,
-        "positions": positions,
-        "block_bits": block_bits,
-        "n_partitions": n_partitions,
-        "tokenizer": tokenizer,
-    }
-    resume = _check_resume(paths, build_params, resume)
-    stage_sec: dict[str, float] = {}
+def make_encoded_df(
+    base: DataFrame,
+    doclens: DataFrame,
+    num_docs: int,
+    tok,
+    log2_quantum: int,
+    block_bits: int | None,
+    positions: bool,
+) -> DataFrame:
+    """tokenize -> posting rows -> per-(term, block) EF encode.
 
-    # ---- stage 1: docs table (docid, docno, doclen, sha256) ----
-    t_stage = time.time()
-    if not (resume and _stage_done(paths.docs)):
-        base = corpus
-        if "doc_id" not in base.columns:
-            base = assign_dense_ids(
-                base, ["repo", "path", "commit"], "doc_id", n_partitions
-            )
-        docs = base.select(
-            F.col("doc_id").alias("docid"),
-            F.concat_ws(
-                "", F.col("repo"), F.lit(":"), F.col("path"),
-                F.lit("@"), F.substring("commit", 1, 8),
-            ).alias("docno"),
-            F.size(tok(F.col("content"))).alias("doclen"),
-            F.sha2(F.col("content"), 256).alias("sha256"),
-            F.col("content"),
+    Shared by the batch build (whole corpus) and the streaming build
+    (one micro-batch at a time; requires block_bits so blob encoding is
+    independent of global stats — see block_upper_bound)."""
+    toks = base.select(
+        F.col("doc_id").alias("docid"), tok(F.col("content")).alias("tokens")
+    )
+    exploded = toks.select("docid", F.posexplode("tokens").alias("pos", "term"))
+    agg_cols = [F.count(F.lit(1)).alias("tf")]
+    if positions:
+        agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    rows = exploded.groupBy("term", "docid").agg(*agg_cols)
+    rows = rows.join(F.broadcast(doclens), "docid")
+
+    if block_bits is None:
+        rows = rows.withColumn("block_id", F.lit(0).cast("long"))
+    else:
+        rows = rows.withColumn(
+            "block_id", (F.col("docid") / (1 << block_bits)).cast("long")
         )
-        (docs.drop("content")
-             .repartitionByRange(n_partitions, "docid")
-             .sortWithinPartitions("docid")
-             .write.mode("overwrite").parquet(paths.docs))
 
-    stage_sec["docs"] = time.time() - t_stage
+    encode = _make_encode_fn(num_docs, log2_quantum, block_bits, positions)
+    return rows.groupBy("term", "block_id").applyInPandas(
+        encode, schema=POSTINGS_SCHEMA
+    )
+
+
+def finalize_index(
+    spark: SparkSession,
+    paths: IndexPaths,
+    *,
+    log2_quantum: int,
+    positions: bool,
+    block_bits: int | None,
+    n_partitions: int,
+    resume: bool = True,
+    stage_sec: dict | None = None,
+) -> dict:
+    """Stages 3-4: lexicon + per-bucket lineage metrics + stats.json
+    from the committed docs/postings parquet (the Generator finalize
+    role, Generator.java:249-325). Also the endpoint of the streaming
+    build, which appends postings blocks and finalizes once."""
+    if stage_sec is None:
+        stage_sec = {}
+    postings_df = spark.read.parquet(paths.postings)
     docs_df = spark.read.parquet(paths.docs)
     row = docs_df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -240,48 +267,6 @@ def build_index(
         F.avg("doclen").alias("avgdl"),
     ).collect()[0]
     num_docs, num_tokens, avgdl = int(row["n"]), int(row["tokens"]), float(row["avgdl"])
-
-    # ---- stage 2: posting rows -> blocked EF encode -> postings parquet ----
-    t_stage = time.time()
-    if not (resume and _stage_done(paths.postings)):
-        base = corpus
-        if "doc_id" not in base.columns:
-            # re-derive the same ids (cheap at this scale; at production
-            # scale stage 1 persists content+docid and is reused)
-            base = assign_dense_ids(
-                base, ["repo", "path", "commit"], "doc_id", n_partitions
-            )
-        toks = base.select(
-            F.col("doc_id").alias("docid"), tok(F.col("content")).alias("tokens")
-        )
-        exploded = toks.select(
-            "docid", F.posexplode("tokens").alias("pos", "term")
-        )
-        agg_cols = [F.count(F.lit(1)).alias("tf")]
-        if positions:
-            agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-        rows = exploded.groupBy("term", "docid").agg(*agg_cols)
-
-        doclens = docs_df.select("docid", "doclen")
-        rows = rows.join(F.broadcast(doclens), "docid")
-
-        if block_bits is None:
-            rows = rows.withColumn("block_id", F.lit(0).cast("long"))
-        else:
-            rows = rows.withColumn(
-                "block_id", (F.col("docid") / (1 << block_bits)).cast("long")
-            )
-
-        encode = _make_encode_fn(num_docs, avgdl, log2_quantum, block_bits, positions)
-        encoded = rows.groupBy("term", "block_id").applyInPandas(
-            encode, schema=POSTINGS_SCHEMA
-        )
-        (encoded.repartitionByRange(n_partitions, "term", "block_id")
-                .sortWithinPartitions("term", "block_id")
-                .write.mode("overwrite").parquet(paths.postings))
-
-    stage_sec["postings"] = time.time() - t_stage
-    postings_df = spark.read.parquet(paths.postings)
 
     # ---- stage 3: lexicon (term -> termid, df, cf, maxtf, bits) ----
     t_stage = time.time()
@@ -302,7 +287,7 @@ def build_index(
     stage_sec["lexicon"] = time.time() - t_stage
     lexicon_df = spark.read.parquet(paths.lexicon)
 
-    # ---- stage 4: stats + per-bucket lineage metrics + manifest ----
+    # ---- stage 4: stats + per-bucket lineage metrics ----
     t_stage = time.time()
     if not (resume and _stage_done(paths.metrics)):
         metrics = (
@@ -342,6 +327,90 @@ def build_index(
     }
     with open(paths.stats, "w") as fh:
         json.dump(stats, fh, indent=2)
+    return stats
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    log2_quantum: int = ef.DEFAULT_LOG2_QUANTUM,
+    positions: bool = False,
+    block_bits: int | None = None,
+    n_partitions: int = 32,
+    tokenizer: str = "simple",
+    resume: bool = True,
+) -> "EFIndex":
+    """Build the full EF index from a corpus DataFrame.
+
+    corpus columns: repo, path, commit, lang, content[, doc_id].
+    If doc_id is absent, dense docids are assigned by global
+    (repo, path, commit) order (deterministic at any parallelism).
+    """
+    from terrier_ef_spark.index.reader import EFIndex  # avoid cycle
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = IndexPaths(out_dir)
+    t0 = time.time()
+    # Large Arrow batches are load-bearing for the encode shuffle: at the
+    # default 4096 the applyInPandas transfer of the posting rows is ~3x
+    # slower (measured: 49s -> 15s for 16.9M rows at local[32]).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+    tok = TOKENIZERS.get(tokenizer, tokenize_expr)
+    build_params = {
+        "format": FORMAT_VERSION,
+        "log2_quantum": log2_quantum,
+        "positions": positions,
+        "block_bits": block_bits,
+        "n_partitions": n_partitions,
+        "tokenizer": tokenizer,
+    }
+    resume = _check_resume(paths, build_params, resume)
+    stage_sec: dict[str, float] = {}
+
+    # ---- stage 1: docs table (docid, docno, doclen, sha256) ----
+    t_stage = time.time()
+    if not (resume and _stage_done(paths.docs)):
+        base = corpus
+        if "doc_id" not in base.columns:
+            base = assign_dense_ids(
+                base, ["repo", "path", "commit"], "doc_id", n_partitions
+            )
+        docs = make_docs_df(base, tok)
+        (docs.repartitionByRange(n_partitions, "docid")
+             .sortWithinPartitions("docid")
+             .write.mode("overwrite").parquet(paths.docs))
+
+    stage_sec["docs"] = time.time() - t_stage
+    docs_df = spark.read.parquet(paths.docs)
+    num_docs = docs_df.count()
+
+    # ---- stage 2: posting rows -> blocked EF encode -> postings parquet ----
+    t_stage = time.time()
+    if not (resume and _stage_done(paths.postings)):
+        base = corpus
+        if "doc_id" not in base.columns:
+            # re-derive the same ids (cheap at this scale; at production
+            # scale stage 1 persists content+docid and is reused)
+            base = assign_dense_ids(
+                base, ["repo", "path", "commit"], "doc_id", n_partitions
+            )
+        encoded = make_encoded_df(
+            base, docs_df.select("docid", "doclen"), num_docs, tok,
+            log2_quantum, block_bits, positions,
+        )
+        (encoded.repartitionByRange(n_partitions, "term", "block_id")
+                .sortWithinPartitions("term", "block_id")
+                .write.mode("overwrite").parquet(paths.postings))
+
+    stage_sec["postings"] = time.time() - t_stage
+
+    finalize_index(
+        spark, paths,
+        log2_quantum=log2_quantum, positions=positions, block_bits=block_bits,
+        n_partitions=n_partitions, resume=resume, stage_sec=stage_sec,
+    )
     with open(paths.manifest, "w") as fh:
         json.dump(
             {

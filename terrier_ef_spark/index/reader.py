@@ -44,13 +44,13 @@ class EFIndex:
     # decode helpers (used by kernels and tests) ----------------------
     def decode_block_docids(self, row) -> np.ndarray:
         """Decode one postings row's docid blob to absolute docids."""
+        from terrier_ef_spark.index.builder import block_upper_bound
+
         bb = self.stats.get("block_bits")
         n_docs = self.stats["num_docs"]
         q = self.stats["log2_quantum"]
-        if bb is None:
-            return ef.decode_docids(bytes(row["docids_ef"]), row["df"], n_docs, q)
-        base = int(row["block_id"]) << bb
-        ub = min(1 << bb, n_docs - base)
+        ub = block_upper_bound(bb, n_docs)
+        base = 0 if bb is None else int(row["block_id"]) << bb
         return ef.decode_docids(bytes(row["docids_ef"]), row["df"], ub, q) + base
 
     def decode_block_freqs(self, row) -> np.ndarray:

@@ -51,7 +51,8 @@ class TermPostings:
     docids: np.ndarray          # int64, ascending
     tfs: np.ndarray             # int64
     q_last_docid: np.ndarray | None = None   # block boundaries (BMW)
-    q_max_tfn: np.ndarray | None = None      # block max tf-norm (BMW)
+    q_max_tf: np.ndarray | None = None       # block max tf (BMW)
+    q_min_dl: np.ndarray | None = None       # block min doclen (BMW)
 
     def contribs(self, doclen_arr: np.ndarray, avgdl: float) -> np.ndarray:
         return self.idf * tfn(self.tfs, doclen_arr[self.docids].astype(np.float64), avgdl)
@@ -140,11 +141,19 @@ def topk_bmw(
     all_d = np.concatenate([t.docids for t in live])
     ubs = []
     for t in live:
-        if t.q_last_docid is None or t.q_max_tfn is None:
+        if t.q_last_docid is None or t.q_max_tf is None:
             ub_t = np.full(len(t.docids), max(t.idf, 0.0) * (K1 + 1))
         else:
+            # per-block max tf-norm bound from stored (max tf, min dl):
+            # tfn is increasing in tf and decreasing in dl, so this
+            # dominates every member's tfn for the query-time avgdl
             blk = np.searchsorted(t.q_last_docid, t.docids, side="left")
-            block_ub = t.idf * np.asarray(t.q_max_tfn)
+            max_tfn = tfn(
+                np.asarray(t.q_max_tf, dtype=np.float64),
+                np.asarray(t.q_min_dl, dtype=np.float64),
+                avgdl,
+            )
+            block_ub = t.idf * max_tfn
             ub_t = np.maximum(block_ub, 0.0)[blk] if t.idf < 0 else block_ub[blk]
         ubs.append(ub_t)
     all_ub = np.concatenate(ubs)

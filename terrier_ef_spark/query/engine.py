@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from terrier_ef_spark import ef
+from terrier_ef_spark.index.builder import block_upper_bound
 from terrier_ef_spark.index.reader import EFIndex
 from terrier_ef_spark.query import bm25
 from terrier_ef_spark.query.bm25 import TermPostings
@@ -56,7 +57,12 @@ def run_queries(
     qterms_df = spark.createDataFrame(qterm_rows, "qid long, term string")
 
     distinct_terms = sorted({t for _, t in qterm_rows})
-    matched = index.postings.where(F.col("term").isin(distinct_terms))
+    # explicit projection so the parquet scan never reads positions_ef
+    # (the lazy-positions property, SURVEY.md §4 'Lazy decode')
+    matched = index.postings.select(
+        "term", "block_id", "df", "cf", "docids_ef", "freqs_ef",
+        "q_last_docid", "q_max_tf", "q_min_dl",
+    ).where(F.col("term").isin(distinct_terms))
     lex = index.lexicon.select("term", F.col("df").alias("global_df")).where(
         F.col("term").isin(distinct_terms)
     )
@@ -74,22 +80,19 @@ def run_queries(
         terms: list[TermPostings] = []
         for term, grp in pdf.groupby("term", sort=True):
             grp = grp.sort_values("block_id")
-            d_parts, f_parts, ql_parts, qm_parts = [], [], [], []
+            d_parts, f_parts, ql_parts, qt_parts, qd_parts = [], [], [], [], []
             gdf = int(grp["global_df"].iloc[0])
             for r in grp.itertuples(index=False):
                 df_b, cf_b = int(r.df), int(r.cf)
-                if block_bits is None:
-                    ub = num_docs
-                    base = 0
-                else:
-                    base = int(r.block_id) << block_bits
-                    ub = min(1 << block_bits, num_docs - base)
+                base = 0 if block_bits is None else int(r.block_id) << block_bits
+                ub = block_upper_bound(block_bits, num_docs)
                 d = ef.decode_docids(bytes(r.docids_ef), df_b, ub, log2q) + base
                 f = ef.decode_freqs(bytes(r.freqs_ef), df_b, cf_b, log2q)
                 d_parts.append(d)
                 f_parts.append(f)
                 ql_parts.append(np.asarray(r.q_last_docid, dtype=np.int64))
-                qm_parts.append(np.asarray(r.q_max_tfn, dtype=np.float64))
+                qt_parts.append(np.asarray(r.q_max_tf, dtype=np.int64))
+                qd_parts.append(np.asarray(r.q_min_dl, dtype=np.int64))
             terms.append(
                 TermPostings(
                     term=term,
@@ -97,7 +100,8 @@ def run_queries(
                     docids=np.concatenate(d_parts),
                     tfs=np.concatenate(f_parts),
                     q_last_docid=np.concatenate(ql_parts),
-                    q_max_tfn=np.concatenate(qm_parts),
+                    q_max_tf=np.concatenate(qt_parts),
+                    q_min_dl=np.concatenate(qd_parts),
                 )
             )
         if mode == "conjunctive":
@@ -116,7 +120,7 @@ def run_queries(
             }
         )
 
-    scored = rows.repartition("qid").groupBy("qid").applyInPandas(
+    scored = rows.groupBy("qid").applyInPandas(
         score_one_query, schema=RESULT_SCHEMA
     )
 
@@ -138,11 +142,8 @@ def decode_postings(index: EFIndex) -> DataFrame:
             out_t, out_d, out_f = [], [], []
             for r in pdf.itertuples(index=False):
                 df_b, cf_b = int(r.df), int(r.cf)
-                if block_bits is None:
-                    ub, base = num_docs, 0
-                else:
-                    base = int(r.block_id) << block_bits
-                    ub = min(1 << block_bits, num_docs - base)
+                base = 0 if block_bits is None else int(r.block_id) << block_bits
+                ub = block_upper_bound(block_bits, num_docs)
                 d = ef.decode_docids(bytes(r.docids_ef), df_b, ub, log2q) + base
                 f = ef.decode_freqs(bytes(r.freqs_ef), df_b, cf_b, log2q)
                 out_t.append(np.repeat(r.term, df_b))
@@ -185,11 +186,8 @@ def decode_positions_df(index: EFIndex, terms: list[str] | None = None) -> DataF
             out_t, out_d, out_p = [], [], []
             for r in pdf.itertuples(index=False):
                 df_b, cf_b = int(r.df), int(r.cf)
-                if block_bits is None:
-                    ub, base = num_docs, 0
-                else:
-                    base = int(r.block_id) << block_bits
-                    ub = min(1 << block_bits, num_docs - base)
+                base = 0 if block_bits is None else int(r.block_id) << block_bits
+                ub = block_upper_bound(block_bits, num_docs)
                 d = ef.decode_docids(bytes(r.docids_ef), df_b, ub, log2q) + base
                 tfs = ef.decode_freqs(bytes(r.freqs_ef), df_b, cf_b, log2q)
                 plists = ef.decode_positions(

@@ -80,19 +80,21 @@ def test_kernel_rank_identity_randomized(small_oracle):
         plist = small_oracle.postings[t]
         docids = np.array([d for d, _ in plist], dtype=np.int64)
         tfs = np.array([tf for _, tf in plist], dtype=np.int64)
-        dls = doclen_arr[docids].astype(np.float64)
-        tfn = tfs * (1.2 + 1) / (1.2 * (1 - 0.75 + 0.75 * dls / small_oracle.avgdl) + tfs)
+        dls = doclen_arr[docids].astype(np.int64)
         n_q = (len(docids) + q - 1) // q
         q_last = docids[np.minimum(np.arange(1, n_q + 1) * q - 1, len(docids) - 1)]
-        padded = np.full(n_q * q, -np.inf)
-        padded[: len(docids)] = tfn
+        pad_tf = np.zeros(n_q * q, dtype=np.int64)
+        pad_tf[: len(docids)] = tfs
+        pad_dl = np.full(n_q * q, np.iinfo(np.int64).max, dtype=np.int64)
+        pad_dl[: len(docids)] = dls
         return TermPostings(
             term=t,
             idf=small_oracle.idf(t),
             docids=docids,
             tfs=tfs,
             q_last_docid=q_last,
-            q_max_tfn=padded.reshape(n_q, q).max(axis=1),
+            q_max_tf=pad_tf.reshape(n_q, q).max(axis=1),
+            q_min_dl=pad_dl.reshape(n_q, q).min(axis=1),
         )
 
     for _ in range(30):
