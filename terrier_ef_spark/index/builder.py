@@ -205,6 +205,42 @@ def make_docs_df(base: DataFrame, tok) -> DataFrame:
     )
 
 
+def posting_rows(base: DataFrame, tok, positions: bool) -> DataFrame:
+    """tokenize -> (docid, term, tf[, positions]) posting rows; the one
+    pass over document content (map-side partial aggregation reduces the
+    exploded token stream before the shuffle)."""
+    toks = base.select(
+        F.col("doc_id").alias("docid"), tok(F.col("content")).alias("tokens")
+    )
+    exploded = toks.select("docid", F.posexplode("tokens").alias("pos", "term"))
+    agg_cols = [F.count(F.lit(1)).alias("tf")]
+    if positions:
+        agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return exploded.groupBy("term", "docid").agg(*agg_cols)
+
+
+def encode_rows(
+    rows: DataFrame,
+    doclens: DataFrame,
+    num_docs: int,
+    log2_quantum: int,
+    block_bits: int | None,
+    positions: bool,
+) -> DataFrame:
+    """posting rows -> per-(term, block) EF encode."""
+    rows = rows.join(F.broadcast(doclens), "docid")
+    if block_bits is None:
+        rows = rows.withColumn("block_id", F.lit(0).cast("long"))
+    else:
+        rows = rows.withColumn(
+            "block_id", (F.col("docid") / (1 << block_bits)).cast("long")
+        )
+    encode = _make_encode_fn(num_docs, log2_quantum, block_bits, positions)
+    return rows.groupBy("term", "block_id").applyInPandas(
+        encode, schema=POSTINGS_SCHEMA
+    )
+
+
 def make_encoded_df(
     base: DataFrame,
     doclens: DataFrame,
@@ -216,29 +252,13 @@ def make_encoded_df(
 ) -> DataFrame:
     """tokenize -> posting rows -> per-(term, block) EF encode.
 
-    Shared by the batch build (whole corpus) and the streaming build
-    (one micro-batch at a time; requires block_bits so blob encoding is
-    independent of global stats — see block_upper_bound)."""
-    toks = base.select(
-        F.col("doc_id").alias("docid"), tok(F.col("content")).alias("tokens")
-    )
-    exploded = toks.select("docid", F.posexplode("tokens").alias("pos", "term"))
-    agg_cols = [F.count(F.lit(1)).alias("tf")]
-    if positions:
-        agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    rows = exploded.groupBy("term", "docid").agg(*agg_cols)
-    rows = rows.join(F.broadcast(doclens), "docid")
-
-    if block_bits is None:
-        rows = rows.withColumn("block_id", F.lit(0).cast("long"))
-    else:
-        rows = rows.withColumn(
-            "block_id", (F.col("docid") / (1 << block_bits)).cast("long")
-        )
-
-    encode = _make_encode_fn(num_docs, log2_quantum, block_bits, positions)
-    return rows.groupBy("term", "block_id").applyInPandas(
-        encode, schema=POSTINGS_SCHEMA
+    Used by the streaming build (one micro-batch at a time; requires
+    block_bits so blob encoding is independent of global stats — see
+    block_upper_bound). The batch build uses posting_rows/encode_rows
+    directly so one tokenize pass feeds both docs and postings."""
+    return encode_rows(
+        posting_rows(base, tok, positions), doclens, num_docs,
+        log2_quantum, block_bits, positions,
     )
 
 
@@ -369,40 +389,64 @@ def build_index(
     resume = _check_resume(paths, build_params, resume)
     stage_sec: dict[str, float] = {}
 
-    # ---- stage 1: docs table (docid, docno, doclen, sha256) ----
-    t_stage = time.time()
-    if not (resume and _stage_done(paths.docs)):
+    # ---- stages 1+2: ONE tokenize pass feeds both the docs table and
+    # the postings encode (content is read and tokenized exactly once;
+    # at 100 TB input, halving content scans dominates everything else).
+    need_docs = not (resume and _stage_done(paths.docs))
+    need_postings = not (resume and _stage_done(paths.postings))
+    rows = None
+    if need_docs or need_postings:
         base = corpus
         if "doc_id" not in base.columns:
             base = assign_dense_ids(
                 base, ["repo", "path", "commit"], "doc_id", n_partitions
             )
-        docs = make_docs_df(base, tok)
+        rows = posting_rows(base, tok, positions).persist()
+
+    t_stage = time.time()
+    if need_docs:
+        doclens = rows.groupBy("docid").agg(
+            F.sum("tf").cast("int").alias("doclen")
+        )
+        # persist before repartitionByRange: range partitioning SAMPLES
+        # its input, which would otherwise re-run the whole upstream
+        # computation a second time just to pick split points
+        docs = (
+            base.select(
+                F.col("doc_id").alias("docid"),
+                F.concat_ws(
+                    "", F.col("repo"), F.lit(":"), F.col("path"),
+                    F.lit("@"), F.substring("commit", 1, 8),
+                ).alias("docno"),
+                F.sha2(F.col("content"), 256).alias("sha256"),
+            )
+            .join(doclens, "docid", "left")
+            .na.fill({"doclen": 0})
+            .select("docid", "docno", "doclen", "sha256")
+            .persist()
+        )
         (docs.repartitionByRange(n_partitions, "docid")
              .sortWithinPartitions("docid")
              .write.mode("overwrite").parquet(paths.docs))
+        docs.unpersist()
 
     stage_sec["docs"] = time.time() - t_stage
     docs_df = spark.read.parquet(paths.docs)
     num_docs = docs_df.count()
 
-    # ---- stage 2: posting rows -> blocked EF encode -> postings parquet ----
+    # ---- blocked EF encode -> postings parquet ----
     t_stage = time.time()
-    if not (resume and _stage_done(paths.postings)):
-        base = corpus
-        if "doc_id" not in base.columns:
-            # re-derive the same ids (cheap at this scale; at production
-            # scale stage 1 persists content+docid and is reused)
-            base = assign_dense_ids(
-                base, ["repo", "path", "commit"], "doc_id", n_partitions
-            )
-        encoded = make_encoded_df(
-            base, docs_df.select("docid", "doclen"), num_docs, tok,
+    if need_postings:
+        encoded = encode_rows(
+            rows, docs_df.select("docid", "doclen"), num_docs,
             log2_quantum, block_bits, positions,
-        )
+        ).persist()  # EF-encode once; range sampling reads the cache
         (encoded.repartitionByRange(n_partitions, "term", "block_id")
                 .sortWithinPartitions("term", "block_id")
                 .write.mode("overwrite").parquet(paths.postings))
+        encoded.unpersist()
+    if rows is not None:
+        rows.unpersist()
 
     stage_sec["postings"] = time.time() - t_stage
 

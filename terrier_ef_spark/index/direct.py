@@ -76,10 +76,13 @@ def build_direct(index: EFIndex, *, n_partitions: int = 32, resume: bool = True)
             ]
         )
 
-    direct = rows.groupBy("docid").applyInPandas(encode_doc, schema=DIRECT_SCHEMA)
+    direct = rows.groupBy("docid").applyInPandas(
+        encode_doc, schema=DIRECT_SCHEMA
+    ).persist()  # encode once; repartitionByRange sampling reads the cache
     (direct.repartitionByRange(n_partitions, "docid")
            .sortWithinPartitions("docid")
            .write.mode("overwrite").parquet(out))
+    direct.unpersist()
     return index.spark.read.parquet(out)
 
 

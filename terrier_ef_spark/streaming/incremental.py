@@ -208,7 +208,8 @@ def _compact(
     parts = spark.read.option("recursiveFileLookup", "true").parquet(postings_parts)
     merged = parts.groupBy("term", "block_id").applyInPandas(
         merge_blocks, schema=POSTINGS_SCHEMA
-    )
+    ).persist()  # merge once; repartitionByRange sampling reads the cache
     (merged.repartitionByRange(n_partitions, "term", "block_id")
            .sortWithinPartitions("term", "block_id")
            .write.mode("overwrite").parquet(paths.postings))
+    merged.unpersist()
