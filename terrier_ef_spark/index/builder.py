@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from terrier_ef_spark import ef
 from terrier_ef_spark.index.ids import assign_dense_ids
-from terrier_ef_spark.tokenizer import TOKENIZERS, tokenize_expr
+from terrier_ef_spark.tokenizer import make_tokenizer
 
 K1 = 1.2
 B = 0.75
@@ -360,6 +360,8 @@ def build_index(
     block_bits: int | None = None,
     n_partitions: int = 32,
     tokenizer: str = "simple",
+    stopwords: list[str] | None = None,
+    max_term_length: int | None = None,
     resume: bool = True,
 ) -> "EFIndex":
     """Build the full EF index from a corpus DataFrame.
@@ -377,14 +379,20 @@ def build_index(
     # default 4096 the applyInPandas transfer of the posting rows is ~3x
     # slower (measured: 49s -> 15s for 16.9M rows at local[32]).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
-    tok = TOKENIZERS.get(tokenizer, tokenize_expr)
+    if callable(tokenizer):
+        tok, tok_name = tokenizer, getattr(tokenizer, "__name__", "custom")
+    else:
+        tok = make_tokenizer(tokenizer, stopwords, max_term_length)
+        tok_name = tokenizer
     build_params = {
         "format": FORMAT_VERSION,
         "log2_quantum": log2_quantum,
         "positions": positions,
         "block_bits": block_bits,
         "n_partitions": n_partitions,
-        "tokenizer": tokenizer,
+        "tokenizer": tok_name,
+        "stopwords": sorted(stopwords) if stopwords else None,
+        "max_term_length": max_term_length,
     }
     resume = _check_resume(paths, build_params, resume)
     stage_sec: dict[str, float] = {}
@@ -464,7 +472,7 @@ def build_index(
                     "positions": positions,
                     "block_bits": block_bits,
                     "n_partitions": n_partitions,
-                    "tokenizer": tokenizer,
+                    "tokenizer": tok_name,
                 },
                 "build_seconds": time.time() - t0,
                 "stage_seconds": {k: round(v, 2) for k, v in stage_sec.items()},

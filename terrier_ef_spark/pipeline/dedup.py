@@ -96,7 +96,9 @@ def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any band signature.
     The join key (band, minhash) is the LSH bucket; output distinct
     (doc_a < doc_b) pairs."""
-    sig = minhash_signatures(docs, n_bands)
+    # persist: the self-join would otherwise recompute the whole
+    # shingle+minhash pipeline for each side
+    sig = minhash_signatures(docs, n_bands).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (
@@ -132,7 +134,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n_bands: int = N_BANDS) -> DataFrame:
     """Exact n-gram Jaccard similarity on LSH candidates only:
     (doc_a, doc_b, jaccard rounded 6dp) with jaccard >= threshold."""
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).persist()
     pairs = lsh_candidate_pairs(docs, n_bands)
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -218,7 +220,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 for i in range(4)
             ])
         ).alias("c"),
-    ).select("doc_id", "sim", "c.chunk", "c.val")
+    ).select("doc_id", "sim", "c.chunk", "c.val").persist()  # UDF runs once
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(b, ["chunk", "val"])

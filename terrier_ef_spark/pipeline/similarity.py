@@ -44,13 +44,18 @@ def cosine_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFr
     scored = embeddings.select(
         "vec_id", F.round(_cos_expr(F.col("embedding"), qvec), 6).alias("cos")
     )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed TakeOrdered first; the single-partition ranking
+    window then sees at most k rows (never the full scored relation)."""
     from pyspark.sql import Window
 
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "cos", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "cos", "rank"
     )
 
 
@@ -106,14 +111,7 @@ def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFrame
     scored = cluster.select(
         "vec_id", F.round(_cos_expr(F.col("embedding"), qvec), 6).alias("cos")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_exact_dups(embeddings: DataFrame, decimals: int = 6) -> DataFrame:

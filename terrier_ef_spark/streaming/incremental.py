@@ -42,7 +42,7 @@ from terrier_ef_spark.index.builder import (
     make_encoded_df,
 )
 from terrier_ef_spark.index.reader import EFIndex
-from terrier_ef_spark.tokenizer import TOKENIZERS, tokenize_expr
+from terrier_ef_spark.tokenizer import make_tokenizer
 
 CORPUS_SCHEMA = (
     "repo string, path string, commit string, lang string,"
@@ -81,7 +81,7 @@ def incremental_build(
             },
             fh,
         )
-    tok = TOKENIZERS.get(tokenizer, tokenize_expr)
+    tok = tokenizer if callable(tokenizer) else make_tokenizer(tokenizer)
     docs_parts = os.path.join(out_dir, "docs_parts")
     postings_parts = os.path.join(out_dir, "postings_parts")
 

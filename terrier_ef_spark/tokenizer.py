@@ -50,6 +50,30 @@ def tokenize_code_udf(content: pd.Series) -> pd.Series:
     return toks.map(lambda xs: [x for x in xs if x])
 
 
+def make_tokenizer(
+    base: str = "simple",
+    stopwords: list[str] | None = None,
+    max_term_length: int | None = None,
+):
+    """Compose a term pipeline from a base tokenizer + optional stopword
+    removal + term-length truncation — the role of Terrier's
+    configurable termpipelines (EFSetupTest.java:106-107) and
+    MAX_TERM_LENGTH (util/IndexUtil.java:34, Generator.java:281). Pure
+    Catalyst expressions, so the pipeline stays JVM-side."""
+    base_fn = TOKENIZERS[base] if isinstance(base, str) else base
+
+    def tok(col: Column) -> Column:
+        t = base_fn(col)
+        if max_term_length is not None:
+            t = F.transform(t, lambda x: F.substring(x, 1, max_term_length))
+        if stopwords:
+            sw = F.array(*[F.lit(w) for w in stopwords])
+            t = F.filter(t, lambda x: ~F.array_contains(sw, x))
+        return t
+
+    return tok
+
+
 TOKENIZERS = {
     "simple": tokenize_expr,
     "code": lambda col: tokenize_code_udf(col),

@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--log2-quantum", type=int, default=8)
     ap.add_argument("--block-bits", type=int, default=None)
     ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--tokenizer", default="simple", choices=["simple", "code"])
+    ap.add_argument("--stopwords", nargs="*", default=None,
+                    help="terms removed by the term pipeline")
+    ap.add_argument("--max-term-length", type=int, default=None)
+    ap.add_argument("--direct", action="store_true",
+                    help="also build the forward (direct) index")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--queries", nargs="*", default=[],
                     help="comma-joined terms per query, e.g. 'a,b' 'c'")
@@ -65,6 +71,9 @@ def main() -> None:
         positions=args.positions,
         block_bits=args.block_bits,
         n_partitions=args.partitions,
+        tokenizer=args.tokenizer,
+        stopwords=args.stopwords,
+        max_term_length=args.max_term_length,
         resume=not args.no_resume,
     )
     build_sec = time.time() - t0
@@ -76,6 +85,15 @@ def main() -> None:
         "postings_per_sec": round(idx.stats["num_postings"] / build_sec),
         "bits_per_posting": round(idx.stats["bits_per_posting"], 3),
     }
+
+    if args.direct:
+        from terrier_ef_spark.index.direct import build_direct
+
+        t0 = time.time()
+        direct = build_direct(idx, n_partitions=args.partitions,
+                              resume=not args.no_resume)
+        out["direct_sec"] = round(time.time() - t0, 3)
+        out["direct_docs"] = direct.count()
 
     if args.queries:
         batch = [
