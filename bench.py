@@ -105,6 +105,23 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
     idx = build_index(spark, corpus, workdir, n_partitions=max(cores, 8), resume=False)
     out["build_sec"] = time.time() - t0
 
+    # large-batch amortized throughput: 256 mixed queries in ONE Spark
+    # job — the batch-engine operating point (per-job overhead amortizes
+    # across the batch; this is how a cluster serves query workloads)
+    big = []
+    for i in range(256):
+        terms = [_VOCAB[(i * 7 + j) % len(_VOCAB)] for j in range(1 + i % 4)]
+        big.append({
+            "qid": 1000 + i, "terms": terms,
+            "mode": "conjunctive" if i % 5 == 0 else "disjunctive",
+        })
+    run_queries(idx, big, k=10, algo="bmw").count()  # warm
+    t0 = time.time()
+    run_queries(idx, big, k=10, algo="bmw").count()
+    dt = time.time() - t0
+    out["bm25_batch256_sec"] = dt
+    out["bm25_batch256_qps"] = len(big) / dt
+
     batch = _query_batch()
     for algo, name in (("naive", "bm25_naive"), ("bmw", "bm25_bmw")):
         n = run_queries(idx, batch, k=10, algo=algo).count()  # warm the path
@@ -168,6 +185,7 @@ def main():
         "index_build_docs": round(result["build_sec"], 3),
         "bm25_disjunctive_batch24": round(result["bm25_naive_sec"], 3),
         "bm25_bmw_batch24": round(result["bm25_bmw_sec"], 3),
+        "bm25_bmw_batch256": round(result["bm25_batch256_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
@@ -210,6 +228,7 @@ def main():
                 "bits_per_posting": round(result["bits_per_posting"], 3),
                 "bm25_qps": round(result["bm25_naive_qps"], 2),
                 "bm25_bmw_qps": round(result["bm25_bmw_qps"], 2),
+                "bm25_batch256_qps": round(result["bm25_batch256_qps"], 2),
                 **extra,
             }
         )
