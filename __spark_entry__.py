@@ -210,6 +210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _get_index(spark, sf)
         return phrase_match(idx, ["table", "value"], k=20)
 
+    def proximity_tv(spark, sf):
+        from terrier_ef_spark.query.phrase import proximity_match
+
+        idx = _get_index(spark, sf)
+        return proximity_match(idx, "table", "value", window=5, k=20)
+
     def direct_decoded(spark, sf):
         from terrier_ef_spark.index.direct import build_direct, decode_direct
 
@@ -241,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": bm25_conjunctive,
         "positions_decoded": positions_decoded,
         "phrase_match": phrase_match_tv,
+        "proximity_match": proximity_tv,
         "direct_decoded": direct_decoded,
         "events_window": events_window,
         "token_counts": lambda s, sf: textstats.token_counts(_docs(s, sf)),
@@ -366,6 +373,25 @@ occ AS (
 hits AS (
   SELECT doc_id AS docid, count(*)::bigint AS n_occurrences
   FROM occ WHERE nidx = 2 GROUP BY 1
+)
+SELECT docid, n_occurrences, rank FROM (
+  SELECT docid, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, docid ASC)::int AS rank
+  FROM hits
+) WHERE rank <= 20
+""",
+        "proximity_match": f"""
+WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents),
+tokpos AS (
+  SELECT doc_id, i AS pos, a[i + 1] AS term
+  FROM arr, unnest(range(len(a))) AS t(i)
+),
+hits AS (
+  SELECT ta.doc_id AS docid, count(*)::bigint AS n_occurrences
+  FROM tokpos ta JOIN tokpos tb
+    ON ta.doc_id = tb.doc_id AND abs(ta.pos - tb.pos) <= 5
+  WHERE ta.term = 'table' AND tb.term = 'value'
+  GROUP BY 1
 )
 SELECT docid, n_occurrences, rank FROM (
   SELECT docid, n_occurrences,

@@ -286,7 +286,9 @@ def finalize_index(
         F.sum("doclen").alias("tokens"),
         F.avg("doclen").alias("avgdl"),
     ).collect()[0]
-    num_docs, num_tokens, avgdl = int(row["n"]), int(row["tokens"]), float(row["avgdl"])
+    num_docs = int(row["n"])
+    num_tokens = int(row["tokens"] or 0)
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
 
     # ---- stage 3: lexicon (term -> termid, df, cf, maxtf, bits) ----
     t_stage = time.time()
@@ -333,15 +335,16 @@ def finalize_index(
     ).collect()[0]
     stats = {
         "num_docs": num_docs,
-        "num_terms": int(lex_row["nt"]),
-        "num_postings": int(lex_row["np"]),
+        "num_terms": int(lex_row["nt"] or 0),
+        "num_postings": int(lex_row["np"] or 0),
         "num_tokens": num_tokens,
         "avgdl": avgdl,
         "log2_quantum": log2_quantum,
         "has_positions": positions,
         "block_bits": block_bits,
         "byte_order": "little",
-        "bits_per_posting": (int(lex_row["bd"]) + int(lex_row["bf"])) / max(1, int(lex_row["np"])),
+        "bits_per_posting": (int(lex_row["bd"] or 0) + int(lex_row["bf"] or 0))
+        / max(1, int(lex_row["np"] or 0)),
         "k1": K1,
         "b": B,
     }

@@ -42,6 +42,10 @@ def phrase_match(index: EFIndex, phrase: list[str], k: int = 20) -> DataFrame:
         .where(F.col("nidx") == n)
     )
     hits = occ.groupBy("docid").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return _rank_hits(hits, k)
+
+
+def _rank_hits(hits: DataFrame, k: int) -> DataFrame:
     # distributed TakeOrdered first; the single-partition ranking window
     # then sees at most k rows
     top = hits.orderBy(F.desc("n_occurrences"), F.asc("docid")).limit(k)
@@ -49,3 +53,28 @@ def phrase_match(index: EFIndex, phrase: list[str], k: int = 20) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "docid", "n_occurrences", "rank"
     )
+
+
+def proximity_match(
+    index: EFIndex, term_a: str, term_b: str, window: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k docs by count of (pos_a, pos_b) co-occurrences with
+    |pos_a - pos_b| <= window — the unordered-proximity companion to
+    phrase_match, on the same positional decode. Distinct terms only
+    (a self-proximity query is a different operator)."""
+    if term_a == term_b:
+        raise ValueError("proximity_match requires two distinct terms")
+    # persist: both join sides read this; without it the positional
+    # decode would run twice
+    pos_rows = decode_positions_df(index, terms=[term_a, term_b]).persist()
+    a = pos_rows.where(F.col("term") == term_a).select(
+        "docid", F.col("pos").alias("pos_a")
+    )
+    b = pos_rows.where(F.col("term") == term_b).select(
+        "docid", F.col("pos").alias("pos_b")
+    )
+    pairs = a.join(b, "docid").where(
+        F.abs(F.col("pos_a") - F.col("pos_b")) <= window
+    )
+    hits = pairs.groupBy("docid").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return _rank_hits(hits, k)
