@@ -115,6 +115,36 @@ def _unpack_blob(blob: bytes) -> np.ndarray:
     return np.unpackbits(np.frombuffer(blob, dtype=np.uint8), bitorder="little")
 
 
+def _read_fields_packed(
+    blob: bytes, bit_offset: int, count: int, width: int
+) -> np.ndarray:
+    """Read `count` LSB-first fields of `width` bits straight from the
+    packed little-endian byte buffer — no per-bit expansion. Each field
+    is gathered as an 8-byte little-endian window starting at its byte,
+    then shifted/masked; valid for width <= 57 (window must hold
+    bit-in-byte skew + width)."""
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.int64)
+    # smallest window that holds in-byte skew (<=7) + width
+    if width <= 9:
+        wb, dt = 2, "<u2"
+    elif width <= 25:
+        wb, dt = 4, "<u4"
+    else:
+        wb, dt = 8, "<u8"
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    starts = bit_offset + width * np.arange(count, dtype=np.int64)
+    byte_idx = starts >> 3
+    need = int(byte_idx[-1]) + wb
+    if need > len(buf):
+        buf = np.concatenate([buf, np.zeros(need - len(buf), dtype=np.uint8)])
+    windows = buf[byte_idx[:, None] + np.arange(wb, dtype=np.int64)]
+    words = np.ascontiguousarray(windows).view(dt).ravel().astype(np.uint64)
+    shifts = (starts & 7).astype(np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    return ((words >> shifts) & mask).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Core encode/decode of one EF sequence
 # ---------------------------------------------------------------------------
@@ -215,11 +245,20 @@ def ef_decode_prefix_sums(
     psize = pointer_size(m, upper_bound, strict, index_zeroes)
     n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, strict, index_zeroes)
 
-    bits = _unpack_blob(blob)
     off = n_ptrs * psize
-    lower = _bits_to_fields(bits[off : off + m * l], m, l)
-    upper = bits[off + m * l :]
-    ones = np.flatnonzero(upper)[:m].astype(np.int64)
+    upper_bit0 = off + m * l
+    if l <= 57:
+        lower = _read_fields_packed(blob, off, m, l)
+    else:  # pathological width; fall back to the bit-expanded path
+        bits = _unpack_blob(blob)
+        lower = _bits_to_fields(bits[off : off + m * l], m, l)
+    # expand ONLY the upper-bits segment (byte-aligned slice, then drop
+    # the leading in-byte skew)
+    ubits = np.unpackbits(
+        np.frombuffer(blob, dtype=np.uint8)[upper_bit0 >> 3 :], bitorder="little"
+    )
+    ones = (np.flatnonzero(ubits) - (upper_bit0 & 7))
+    ones = ones[ones >= 0][:m].astype(np.int64)
     if len(ones) != m:
         raise ValueError(f"corrupt EF blob: expected {m} upper bits, got {len(ones)}")
     high = ones - np.arange(m, dtype=np.int64)
