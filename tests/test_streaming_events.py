@@ -1,0 +1,96 @@
+"""Watermark/windowed streaming aggregation semantics:
+- windows finalized by the watermark are emitted exactly once (append);
+- events later than the watermark bound are dropped;
+- finalized-window contents match the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _land(df, tmpdir, landing, name):
+    staging = os.path.join(tmpdir, "_stage_" + name)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.move(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(landing, name + ".parquet"),
+    )
+    shutil.rmtree(staging)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(ts=t, event_type=e, value=float(v)) for t, e, v in rows]
+    ).select(
+        F.to_timestamp("ts").alias("ts"), "event_type", F.col("value").cast("double")
+    )
+
+
+def test_watermark_window_semantics(spark, tmp_path):
+    from terrier_ef_spark.streaming.events import run_events_stream
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    out = str(tmp_path / "out")
+
+    # batch 1: events in windows 10:00 and 10:05; max ts 10:07
+    _land(
+        _events(spark, [
+            ("2024-01-01 10:00:30", "click", 1),
+            ("2024-01-01 10:01:10", "click", 2),
+            ("2024-01-01 10:05:20", "view", 3),
+            ("2024-01-01 10:07:00", "view", 4),
+        ]),
+        str(tmp_path), landing, "b1",
+    )
+    res1 = run_events_stream(spark, landing, out, window="5 minutes",
+                             watermark="10 minutes")
+    # watermark = 10:07 - 10min = 09:57 < every window end -> nothing final yet
+    assert res1.count() == 0
+
+    # batch 2: advance event time to 10:30 (watermark 10:20 closes both
+    # early windows); include one LATE click at 10:02 which must be
+    # dropped (later than the watermark after batch 1? no — late rows are
+    # judged against the CURRENT watermark 09:57, so a 10:02 row in this
+    # batch is still on time and lands in the 10:00 window)
+    _land(
+        _events(spark, [
+            ("2024-01-01 10:02:00", "click", 10),
+            ("2024-01-01 10:30:00", "tick", 0),
+        ]),
+        str(tmp_path), landing, "b2",
+    )
+    res2 = run_events_stream(spark, landing, out, window="5 minutes",
+                             watermark="10 minutes")
+    rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in res2.collect()
+    }
+    # both early windows finalized exactly once, incl. the on-time late row
+    assert rows[("2024-01-01 10:00:00", "click")] == (3, 13.0)
+    assert rows[("2024-01-01 10:05:00", "view")] == (2, 7.0)
+    assert ("2024-01-01 10:30:00", "tick") not in rows  # still open
+
+    # batch 3: a TOO-LATE row (10:03, watermark now 10:20) is dropped;
+    # advancing to 10:45 closes the 10:30 window
+    _land(
+        _events(spark, [
+            ("2024-01-01 10:03:00", "click", 100),  # beyond watermark -> dropped
+            ("2024-01-01 10:45:00", "tick", 0),
+        ]),
+        str(tmp_path), landing, "b3",
+    )
+    res3 = run_events_stream(spark, landing, out, window="5 minutes",
+                             watermark="10 minutes")
+    rows3 = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in res3.collect()
+    }
+    # the closed click window was NOT re-emitted or modified
+    assert rows3[("2024-01-01 10:00:00", "click")] == (3, 13.0)
+    assert rows3[("2024-01-01 10:30:00", "tick")] == (1, 0.0)
