@@ -106,11 +106,15 @@ def topk_conjunctive(
 
 
 def topk_bmw(
-    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int
+    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int,
+    stats_out: dict | None = None,
 ):
     """Safe-to-k block-max pruned disjunctive top-k; rank-identical to
     topk_disjunctive by construction (prunes only docs whose per-block
-    upper bound is strictly below a provably-valid threshold)."""
+    upper bound is strictly below a provably-valid threshold).
+
+    `stats_out`, if given, receives {'candidates', 'survivors'} — the
+    pruning-effectiveness diagnostics."""
     if not terms:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     live = [t for t in terms if len(t.docids)]
@@ -128,9 +132,19 @@ def topk_bmw(
             s += np.where(hit, contribs[t.term][pos_c], 0.0)
         return s
 
-    # 1. provisional threshold from the rarest (highest-idf) term's list
-    seed = max(live, key=lambda t: t.idf)
-    seed_scores = exact_scores(seed.docids)
+    # 1. provisional threshold: exact-score a seed candidate set built
+    # from the rarest (highest-idf) terms' lists until it holds >= k
+    # docs — a short seed list (df < k) alone would leave theta at -inf
+    # and disable pruning entirely
+    seed_docs: list[np.ndarray] = []
+    total = 0
+    for t in sorted(live, key=lambda t: -t.idf):
+        seed_docs.append(t.docids)
+        total += len(t.docids)
+        if total >= k:
+            break
+    seed_union = np.unique(np.concatenate(seed_docs))
+    seed_scores = exact_scores(seed_union)
     if len(seed_scores) >= k:
         theta = np.partition(seed_scores, -k)[-k]
     else:
@@ -160,6 +174,9 @@ def topk_bmw(
     uniq, inv = np.unique(all_d, return_inverse=True)
     doc_ub = np.bincount(inv, weights=all_ub)
     survivors = uniq[doc_ub >= theta] if np.isfinite(theta) else uniq
+    if stats_out is not None:
+        stats_out["candidates"] = int(len(uniq))
+        stats_out["survivors"] = int(len(survivors))
 
     # 3. exact-score survivors only
     scores = exact_scores(survivors)

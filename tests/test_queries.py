@@ -107,3 +107,52 @@ def test_kernel_rank_identity_randomized(small_oracle):
         assert d2.tolist() == d1.tolist()
         assert np.allclose(s1, [s for _, s in want], atol=1e-9)
         assert np.allclose(s2, s1, atol=0)
+
+
+def test_bmw_actually_prunes(small_oracle):
+    """On a rare-term + hot-term query, BMW must evaluate strictly fewer
+    docs than the candidate union (pruning effectiveness), while staying
+    rank-identical (covered by the other tests)."""
+    from terrier_ef_spark.query import bm25
+
+    vocab = sorted(small_oracle.postings, key=lambda t: small_oracle.df(t))
+    rare = vocab[0]
+    # largest-df term with POSITIVE idf (df < N/2): a negative-idf term
+    # has all its block bounds capped at 0, which correctly disables
+    # pruning (every doc's bound >= any negative threshold)
+    hot = max(
+        (t for t in vocab if small_oracle.df(t) < small_oracle.num_docs / 2),
+        key=lambda t: small_oracle.df(t),
+    )
+
+    doclen_arr = np.array(
+        [small_oracle.doclen[d] for d in range(small_oracle.num_docs)],
+        dtype=np.int32,
+    )
+    tps = [_tp_for_test(small_oracle, t, doclen_arr) for t in (rare, hot)]
+    stats = {}
+    d_bmw, s_bmw = bm25.topk_bmw(tps, doclen_arr, small_oracle.avgdl, 10, stats_out=stats)
+    d_ex, s_ex = bm25.topk_disjunctive(tps, doclen_arr, small_oracle.avgdl, 10)
+    assert d_bmw.tolist() == d_ex.tolist()
+    assert stats["survivors"] < stats["candidates"], stats
+
+
+def _tp_for_test(oracle, t, doclen_arr, q=8):
+    from terrier_ef_spark.query.bm25 import TermPostings
+
+    plist = oracle.postings[t]
+    docids = np.array([d for d, _ in plist], dtype=np.int64)
+    tfs = np.array([tf for _, tf in plist], dtype=np.int64)
+    dls = doclen_arr[docids].astype(np.int64)
+    n_q = (len(docids) + q - 1) // q
+    q_last = docids[np.minimum(np.arange(1, n_q + 1) * q - 1, len(docids) - 1)]
+    pad_tf = np.zeros(n_q * q, dtype=np.int64)
+    pad_tf[: len(docids)] = tfs
+    pad_dl = np.full(n_q * q, np.iinfo(np.int64).max, dtype=np.int64)
+    pad_dl[: len(docids)] = dls
+    return TermPostings(
+        term=t, idf=oracle.idf(t), docids=docids, tfs=tfs,
+        q_last_docid=q_last,
+        q_max_tf=pad_tf.reshape(n_q, q).max(axis=1),
+        q_min_dl=pad_dl.reshape(n_q, q).min(axis=1),
+    )
