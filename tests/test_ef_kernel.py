@@ -201,3 +201,20 @@ def test_bits_per_posting_near_information_bound():
     bpp = len(blob) * 8 / len(docids)
     bound = 2 + np.ceil(np.log2(n_docs / len(docids)))
     assert bpp < bound + 2.0  # pointer + word-padding overhead margin
+
+
+def test_corrupt_blob_detected():
+    """Truncated or mis-sized blobs raise instead of returning garbage
+    (the verify-recipe misuse probes, made permanent)."""
+    import numpy as np
+    import pytest
+
+    from terrier_ef_spark import ef
+
+    docids = np.arange(0, 500, 5, dtype=np.int64)
+    blob = ef.encode_docids(docids, 1000, 8)
+    with pytest.raises(ValueError):
+        ef.decode_docids(blob[: len(blob) // 2], len(docids), 1000, 8)
+    # wrong df larger than encoded count must also fail loudly
+    with pytest.raises(ValueError):
+        ef.decode_docids(blob, len(docids) + 40, 1000, 8)
