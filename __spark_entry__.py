@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": lambda s, sf: dedup.minhash_signatures(_docs(s, sf)),
         "lsh_candidate_pairs": lambda s, sf: dedup.lsh_candidate_pairs(_docs(s, sf)),
         "ngram_jaccard_pairs": lambda s, sf: dedup.ngram_jaccard_pairs(_docs(s, sf)),
+        "simhash_fingerprints": lambda s, sf: dedup.simhash_fingerprints(_docs(s, sf)),
         "simhash_near_dups": lambda s, sf: dedup.simhash_near_dups(_docs(s, sf)),
         "ann_cosine_topk": lambda s, sf: similarity.cosine_topk(
             _emb(s, sf), _qvec(s, sf), ANN_K
@@ -422,8 +423,12 @@ FROM events GROUP BY 1, 2
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_candidate_pairs": dedup.LSH_CANDIDATE_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
-        # simhash_near_dups: intentionally no SQL twin (bit-level kernel;
-        # rows-only check)
+        # simhash oracle: the fingerprint twin recomputes the 64-bit
+        # hash bit-for-bit in SQL; the near-dups twin verifies by
+        # brute-force hamming over ALL pairs (independently proving the
+        # chunk+verify pigeonhole decomposition loses nothing)
+        "simhash_fingerprints": dedup.SIMHASH_FINGERPRINTS_SQL,
+        "simhash_near_dups": dedup.SIMHASH_NEAR_DUPS_SQL,
         "ann_cosine_topk": qvec_sql_cos,
         "ann_ivf_topk": qvec_sql_ivf,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,

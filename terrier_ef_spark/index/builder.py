@@ -91,15 +91,32 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _invalidate_stages(paths: IndexPaths) -> None:
+    """Remove every stage _SUCCESS marker (and the direct index, which
+    derives from postings) so a later crash-and-rerun can never resume a
+    stage produced under different params. Must happen BEFORE the new
+    params.json is written: otherwise the window between writing params
+    and overwriting a stage would let a rerun see matching params plus a
+    stale marker and silently reuse blobs encoded with the old params."""
+    for stage in (paths.docs, paths.postings, paths.lexicon, paths.metrics):
+        marker = os.path.join(stage, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+    direct_marker = os.path.join(paths.root, "direct", "_SUCCESS")
+    if os.path.exists(direct_marker):
+        os.remove(direct_marker)
+
+
 def _check_resume(paths: IndexPaths, params: dict, resume: bool) -> bool:
     """A stage marker is only trustworthy if it was produced by a build
     with identical parameters — params.json is written before any stage
     and compared on resume (the manifest alone can't be used: it is only
     written at the end, so a mid-build crash leaves stages without it)."""
-    if resume and os.path.exists(paths.params):
+    if os.path.exists(paths.params):
         with open(paths.params) as fh:
             if json.load(fh) == params:
-                return True
+                return resume
+        _invalidate_stages(paths)
     with open(paths.params, "w") as fh:
         json.dump(params, fh)
     return False
@@ -334,6 +351,7 @@ def finalize_index(
         F.sum("bits_docids").alias("bd"), F.sum("bits_freqs").alias("bf"),
     ).collect()[0]
     stats = {
+        "format": FORMAT_VERSION,
         "num_docs": num_docs,
         "num_terms": int(lex_row["nt"] or 0),
         "num_postings": int(lex_row["np"] or 0),
@@ -353,7 +371,19 @@ def finalize_index(
     return stats
 
 
-def build_index(
+def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, **kwargs) -> "EFIndex":
+    """Build the full EF index from a corpus DataFrame (see _build_index
+    for parameters). Runs under a scoped Arrow-batch conf: the large
+    batch size is load-bearing for the encode shuffle (measured 3x,
+    49s -> 15s for 16.9M posting rows at local[32]) but must not leak
+    into the shared session after the build's actions complete."""
+    from terrier_ef_spark.conf import arrow_batch_conf
+
+    with arrow_batch_conf(spark):
+        return _build_index(spark, corpus, out_dir, **kwargs)
+
+
+def _build_index(
     spark: SparkSession,
     corpus: DataFrame,
     out_dir: str,
@@ -378,10 +408,6 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     paths = IndexPaths(out_dir)
     t0 = time.time()
-    # Large Arrow batches are load-bearing for the encode shuffle: at the
-    # default 4096 the applyInPandas transfer of the posting rows is ~3x
-    # slower (measured: 49s -> 15s for 16.9M rows at local[32]).
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
     if callable(tokenizer):
         tok, tok_name = tokenizer, getattr(tokenizer, "__name__", "custom")
     else:

@@ -24,6 +24,7 @@ salting is needed on this path.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -40,13 +41,33 @@ DIRECT_SCHEMA = (
 )
 
 
+def _direct_meta(stats: dict) -> dict:
+    """Fingerprint of the source inverted index a direct build derives
+    from; a direct/ dir whose recorded fingerprint no longer matches is
+    stale (e.g. after incremental_build extended the postings) and must
+    be rebuilt — decoding old blobs with the new num_terms upper bound
+    would silently produce garbage termids."""
+    return {
+        "num_terms": int(stats["num_terms"]),
+        "num_postings": int(stats["num_postings"]),
+        "num_docs": int(stats["num_docs"]),
+        "log2_quantum": int(stats["log2_quantum"]),
+    }
+
+
 def build_direct(index: EFIndex, *, n_partitions: int = 32, resume: bool = True) -> DataFrame:
     """Build the forward index parquet from an existing EF inverted
     index; returns its DataFrame. Resumable like the build stages
-    (skipped when the _SUCCESS marker exists)."""
+    (skipped when the _SUCCESS marker exists AND the recorded source
+    fingerprint still matches the inverted index's stats)."""
     out = os.path.join(index.paths.root, "direct")
+    meta_path = os.path.join(index.paths.root, "direct_meta.json")
+    meta = _direct_meta(index.stats)
     if resume and os.path.exists(os.path.join(out, "_SUCCESS")):
-        return index.spark.read.parquet(out)
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                if json.load(fh) == meta:
+                    return index.spark.read.parquet(out)
 
     stats = index.stats
     num_terms = int(stats["num_terms"])
@@ -83,6 +104,8 @@ def build_direct(index: EFIndex, *, n_partitions: int = 32, resume: bool = True)
            .sortWithinPartitions("docid")
            .write.mode("overwrite").parquet(out))
     direct.unpersist()
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
     return index.spark.read.parquet(out)
 
 

@@ -23,6 +23,15 @@ class EFIndex:
         self.paths = IndexPaths(root)
         with open(self.paths.stats) as fh:
             self.stats = json.load(fh)
+        fmt = self.stats.get("format", 0)
+        from terrier_ef_spark.index.builder import FORMAT_VERSION
+
+        if fmt != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {root} has format {fmt}, reader expects "
+                f"{FORMAT_VERSION}; rebuild the index (a pre-change blocked "
+                "index would otherwise mis-decode silently)"
+            )
 
     # DataFrame views -------------------------------------------------
     @property

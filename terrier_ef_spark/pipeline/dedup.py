@@ -5,23 +5,42 @@
   join. md5 is the cross-engine-stable hash so the DuckDB oracle can
   reproduce signatures bit-for-bit; at scale each band is an
   independent groupBy key, so hot buckets parallelize naturally.
+- LSH bucket cap: a bucket of M near-identical docs (boilerplate
+  licenses, generated files — guaranteed at 100 TB) would otherwise
+  produce M^2 candidate pairs before any verification. Buckets larger
+  than `max_bucket` are excluded from candidate generation BEFORE the
+  self-join (never materialized quadratically) and reported by
+  lsh_skipped_buckets — truncation is explicit, never silent.
 - ngram_jaccard on LSH candidates: exact verification join, candidates
   only (never all pairs).
-- simhash64: Arrow-vectorized kernel (no SQL twin — rows-only check).
+- simhash: pure Catalyst (md5 -> 64 conditional sums), zero Python in
+  the hot path, with an exact DuckDB twin — the fingerprint itself is
+  oracle-checked bit-for-bit.
+
+All operators that persist an intermediate release it via eager_release
+(no cached blocks leak past the call).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from terrier_ef_spark.tokenizer import tokenize_expr
+from terrier_ef_spark.util import eager_release
 
 N_BANDS = 8
 SHINGLE = 3
+# default LSH bucket cap: generous for organic near-dup clusters, hard
+# bound against boilerplate blowup (a capped bucket of B docs costs at
+# most B^2 <= 65k candidate rows; an uncapped license cluster of 1e6
+# docs would cost 1e12)
+MAX_BUCKET = 256
+
+_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -80,8 +99,7 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 MINHASH_SIGNATURES_SQL = f"""
 WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  SELECT doc_id, {_TOK_SQL} AS toks
   FROM documents
 ), s AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
@@ -91,14 +109,62 @@ SELECT doc_id, band,
 FROM s, (SELECT unnest(range({N_BANDS})) AS band)
 """
 
+# shared SQL prelude: tokenized docs -> shingles -> signatures -> capped
+# candidate pairs (kept textually in one place so every oracle twin uses
+# identical semantics)
+_SIG_SQL = f"""
+t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
+), sig AS (
+  SELECT doc_id, band,
+         list_aggregate(list_transform(sh, x -> md5(x || '#' || band)), 'min') AS minhash
+  FROM s, (SELECT unnest(range({N_BANDS})) AS band)
+), sigf AS (
+  SELECT doc_id, band, minhash FROM (
+    SELECT doc_id, band, minhash,
+           count(*) OVER (PARTITION BY band, minhash) AS bn
+    FROM sig
+  ) WHERE bn <= {MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigf a JOIN sigf b USING (band, minhash)
+  WHERE a.doc_id < b.doc_id
+)
+"""
 
-def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+
+def _capped_signatures(docs: DataFrame, n_bands: int, max_bucket: int | None) -> DataFrame:
+    sig = minhash_signatures(docs, n_bands)
+    if max_bucket is None:
+        return sig
+    w = Window.partitionBy("band", "minhash")
+    return (
+        sig.withColumn("bn", F.count(F.lit(1)).over(w))
+        .where(F.col("bn") <= max_bucket)
+        .drop("bn")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_bands: int = N_BANDS, max_bucket: int | None = MAX_BUCKET
+) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any band signature.
     The join key (band, minhash) is the LSH bucket; output distinct
-    (doc_a < doc_b) pairs."""
+    (doc_a < doc_b) pairs.
+
+    Buckets with more than `max_bucket` members are excluded BEFORE the
+    self-join (the window count and the join share the (band, minhash)
+    partitioning, so no extra shuffle) — an uncapped boilerplate cluster
+    of M docs would emit M^2 pairs. Excluded buckets are enumerable via
+    lsh_skipped_buckets; their members are still caught by
+    exact_duplicates when byte-identical."""
     # persist: the self-join would otherwise recompute the whole
-    # shingle+minhash pipeline for each side
-    sig = minhash_signatures(docs, n_bands).persist()
+    # shingle+minhash pipeline per side (no ReuseExchange across the
+    # aliased sides — measured); released via eager_release below
+    sig = _capped_signatures(docs, n_bands, max_bucket).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (
@@ -109,33 +175,38 @@ def lsh_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
         )
         .distinct()
     )
-    return pairs
+    return eager_release(pairs, sig)
+
+
+def lsh_skipped_buckets(
+    docs: DataFrame, n_bands: int = N_BANDS, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """(band, minhash, n_docs) for every bucket the cap excluded from
+    candidate generation — the explicit no-silent-truncation ledger."""
+    return (
+        minhash_signatures(docs, n_bands)
+        .groupBy("band", "minhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
 
 
 LSH_CANDIDATE_PAIRS_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents
-), s AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
-), sig AS (
-  SELECT doc_id, band,
-         list_aggregate(list_transform(sh, x -> md5(x || '#' || band)), 'min') AS minhash
-  FROM s, (SELECT unnest(range({N_BANDS})) AS band)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b USING (band, minhash)
-WHERE a.doc_id < b.doc_id
+WITH {_SIG_SQL}
+SELECT doc_a, doc_b FROM cand
 """
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        n_bands: int = N_BANDS) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity on LSH candidates only:
     (doc_a, doc_b, jaccard rounded 6dp) with jaccard >= threshold."""
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).persist()
-    pairs = lsh_candidate_pairs(docs, n_bands)
+    pairs = lsh_candidate_pairs(docs, n_bands, max_bucket)
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -150,25 +221,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return j
+    return eager_release(j, sh)
 
 
 NGRAM_JACCARD_PAIRS_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents
-), s AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t
-), sig AS (
-  SELECT doc_id, band,
-         list_aggregate(list_transform(sh, x -> md5(x || '#' || band)), 'min') AS minhash
-  FROM s, (SELECT unnest(range({N_BANDS})) AS band)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b USING (band, minhash)
-  WHERE a.doc_id < b.doc_id
-)
+WITH {_SIG_SQL}
 SELECT doc_a, doc_b,
        round(len(list_intersect(sa.sh, sb.sh))::double
              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
@@ -178,36 +235,88 @@ WHERE round(len(list_intersect(sa.sh, sb.sh))::double
 """
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (Arrow-vectorized batch kernel).
-    Hash = md5-low-64 per token; sign-sum per bit."""
-    import hashlib
+# ---------------------------------------------------------------------------
+# SimHash — pure Catalyst, bit-exact DuckDB twin
+# ---------------------------------------------------------------------------
+# Per-token 64-bit hash h = big-endian int of the first 8 md5 bytes,
+# carried as two 32-bit halves (hi = hex chars 1-8, lo = chars 9-16) so
+# every value stays well inside a signed long. Fingerprint bit b is set
+# iff sum over tokens (weighted by occurrence count) of (2*bit_b(h)-1)
+# is positive. Zero-token docs have no fingerprint (they are exact
+# duplicates of each other and belong to exact_duplicates).
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text.fillna("")):
-        toks = [x for x in "".join(
-            c if c.isalnum() else " " for c in t.lower()
-        ).split() if x]
-        if not toks:
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        sim = np.sum((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
-        out[i] = np.int64(sim.astype(np.uint64).view(np.int64))
-    return pd.Series(out)
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim): 64-bit SimHash over word tokens, zero Python —
+    explode -> md5 -> 64 conditional sums, all whole-stage codegen."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    md5c = F.md5("tok")
+    h = tc.select(
+        "doc_id",
+        "w",
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = []
+    for b in range(64):
+        src = F.col("hi") if b >= 32 else F.col("lo")
+        bit = F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+        aggs.append(F.sum((bit * 2 - 1) * F.col("w")).alias(f"v{b}"))
+    per_doc = h.groupBy("doc_id").agg(*aggs)
+    # bit 63 via shiftleft wraps to Long.MIN_VALUE — the correct two's
+    # complement representation (DuckDB twin adds -2^63 explicitly)
+    sim = reduce(
+        add,
+        [
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
+    )
+    return per_doc.select("doc_id", sim.alias("sim"))
+
+
+def _simhash_sql_core() -> str:
+    vcols = []
+    for b in range(64):
+        src = "hi" if b >= 32 else "lo"
+        vcols.append(f"sum(((({src} >> {b % 32}) & 1) * 2 - 1) * w) AS v{b}")
+    bits = ["(CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)"]
+    bits += [f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)]
+    return f"""
+tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS w FROM tok GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, w,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM tc
+), v AS (
+  SELECT doc_id, {', '.join(vcols)} FROM h GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, {' + '.join(bits)} AS sim FROM v
+)
+"""
+
+
+SIMHASH_FINGERPRINTS_SQL = f"""
+WITH {_simhash_sql_core()}
+SELECT doc_id, sim FROM sims
+"""
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into 4 x 16-bit
     chunks (pigeonhole: hamming<=3 pairs share at least one chunk),
-    bucket-join, verify hamming distance exactly."""
-    d = docs.select("doc_id", simhash64(F.col("text")).alias("sim"))
+    bucket-join, verify hamming distance exactly.
+
+    The DuckDB twin verifies by brute-force hamming over all pairs —
+    an independent check that the chunk+verify decomposition loses
+    nothing."""
+    d = simhash_fingerprints(docs)
     chunks = d.select(
         "doc_id",
         "sim",
@@ -220,7 +329,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 for i in range(4)
             ])
         ).alias("c"),
-    ).select("doc_id", "sim", "c.chunk", "c.val").persist()  # UDF runs once
+    ).select("doc_id", "sim", "c.chunk", "c.val").persist()  # hash pipeline runs once
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(b, ["chunk", "val"])
@@ -233,4 +342,13 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
-    return pairs
+    return eager_release(pairs, chunks)
+
+
+SIMHASH_NEAR_DUPS_SQL = f"""
+WITH {_simhash_sql_core()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""

@@ -40,7 +40,10 @@ def run_queries(
     Returns (qid, rank, docid, score), rank 1-based, tie-break
     (score desc, docid asc)."""
     spark = index.spark
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+    # Arrow batch sizing is session-level config (set in session.get_spark)
+    # — NOT mutated here: run_queries returns a lazy DataFrame, so a
+    # scoped set/restore would be ineffective at collect time, and a
+    # permanent set would leak into unrelated workloads on the session.
     stats = index.stats
     num_docs = stats["num_docs"]
     avgdl = stats["avgdl"]

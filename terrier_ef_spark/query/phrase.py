@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from terrier_ef_spark.index.reader import EFIndex
 from terrier_ef_spark.query.engine import decode_positions_df
+from terrier_ef_spark.util import eager_release
 
 
 def phrase_match(index: EFIndex, phrase: list[str], k: int = 20) -> DataFrame:
@@ -65,7 +66,8 @@ def proximity_match(
     if term_a == term_b:
         raise ValueError("proximity_match requires two distinct terms")
     # persist: both join sides read this; without it the positional
-    # decode would run twice
+    # decode would run twice. Released via eager_release below — the
+    # returned top-k is materialized once and the decode cache freed.
     pos_rows = decode_positions_df(index, terms=[term_a, term_b]).persist()
     a = pos_rows.where(F.col("term") == term_a).select(
         "docid", F.col("pos").alias("pos_a")
@@ -77,4 +79,4 @@ def proximity_match(
         F.abs(F.col("pos_a") - F.col("pos_b")) <= window
     )
     hits = pairs.groupBy("docid").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    return _rank_hits(hits, k)
+    return eager_release(_rank_hits(hits, k), pos_rows)

@@ -51,6 +51,66 @@ def test_simhash_near_dups(docs):
     assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
 
 
+def test_simhash_fingerprint_matches_python(docs):
+    """Bit-exact differential test of the Catalyst SimHash kernel against
+    an independent per-token Python recomputation (same convention:
+    h64 = big-endian int of the first 8 md5 bytes, weighted sign-sum)."""
+    from terrier_ef_spark.pipeline.dedup import simhash_fingerprints
+
+    out = {r["doc_id"]: r["sim"] for r in simhash_fingerprints(docs).collect()}
+
+    def py_simhash(text):
+        toks = [t for t in "".join(
+            c if c.isalnum() else " " for c in text.lower()
+        ).split() if t]
+        if not toks:
+            return None
+        v = [0] * 64
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                v[b] += 1 if (h >> b) & 1 else -1
+        sim = sum(1 << b for b in range(64) if v[b] > 0)
+        return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    for r in docs.collect():
+        expect = py_simhash(r["text"])
+        if expect is None:
+            assert r["doc_id"] not in out  # zero-token docs: no fingerprint
+        else:
+            assert out[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_lsh_bucket_cap(spark):
+    """A 1k-doc boilerplate cluster must not produce ~500k candidate
+    pairs: the cap excludes its buckets BEFORE the self-join, and the
+    skipped-buckets ledger reports them (no silent truncation)."""
+    from terrier_ef_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        lsh_skipped_buckets,
+    )
+
+    boiler = "permission is hereby granted free of charge to any person obtaining a copy"
+    rows = [(i, boiler, "en", "s", len(boiler)) for i in range(1000)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+        (1001, "alpha beta gamma delta epsilon eta", "en", "s", 34),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = lsh_candidate_pairs(docs, max_bucket=100).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1000, 1001) in got            # organic near-dup survives the cap
+    assert len(got) < 1000 * 999 / 2      # cluster NOT exploded quadratically
+    assert all(a < 1000 or b < 1000 for a, b in got) is not None
+    skipped = lsh_skipped_buckets(docs, max_bucket=100).collect()
+    assert skipped and all(r["n_docs"] == 1000 for r in skipped)
+    # uncapped path still available explicitly
+    few = lsh_candidate_pairs(docs.where(F.col("doc_id") >= 1000), max_bucket=None)
+    assert {(r["doc_a"], r["doc_b"]) for r in few.collect()} == {(1000, 1001)}
+
+
 def test_fingerprint_matches_python(docs):
     from terrier_ef_spark.pipeline.textstats import fingerprint
 
