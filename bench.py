@@ -115,12 +115,21 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
             "qid": 1000 + i, "terms": terms,
             "mode": "conjunctive" if i % 5 == 0 else "disjunctive",
         })
+    # term-major (decode each blob once per batch, relational fanout) is
+    # the batch engine's operating point; the BMW kernel batch is kept
+    # as the reference-DAAT comparison number
+    run_queries(idx, big, k=10, strategy="term_major").count()  # warm
+    t0 = time.time()
+    run_queries(idx, big, k=10, strategy="term_major").count()
+    dt = time.time() - t0
+    out["bm25_batch256_sec"] = dt
+    out["bm25_batch256_qps"] = len(big) / dt
     run_queries(idx, big, k=10, algo="bmw").count()  # warm
     t0 = time.time()
     run_queries(idx, big, k=10, algo="bmw").count()
     dt = time.time() - t0
-    out["bm25_batch256_sec"] = dt
-    out["bm25_batch256_qps"] = len(big) / dt
+    out["bm25_bmw_batch256_sec"] = dt
+    out["bm25_bmw_batch256_qps"] = len(big) / dt
 
     batch = _query_batch()
     for algo, name in (("naive", "bm25_naive"), ("bmw", "bm25_bmw")):
@@ -185,7 +194,8 @@ def main():
         "index_build_docs": round(result["build_sec"], 3),
         "bm25_disjunctive_batch24": round(result["bm25_naive_sec"], 3),
         "bm25_bmw_batch24": round(result["bm25_bmw_sec"], 3),
-        "bm25_bmw_batch256": round(result["bm25_batch256_sec"], 3),
+        "bm25_tm_batch256": round(result["bm25_batch256_sec"], 3),
+        "bm25_bmw_batch256": round(result["bm25_bmw_batch256_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
@@ -229,6 +239,7 @@ def main():
                 "bm25_qps": round(result["bm25_naive_qps"], 2),
                 "bm25_bmw_qps": round(result["bm25_bmw_qps"], 2),
                 "bm25_batch256_qps": round(result["bm25_batch256_qps"], 2),
+                "bm25_bmw_batch256_qps": round(result["bm25_bmw_batch256_qps"], 2),
                 **extra,
             }
         )

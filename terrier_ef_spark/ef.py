@@ -380,6 +380,125 @@ def decode_positions(
 
 
 # ---------------------------------------------------------------------------
+# Quantum-range (block-selective) partial decode — the vectorized
+# equivalent of the reference's skipTo + partial read
+# (EFBasicIterablePosting.java:163-178, DocidReader.java:118-183): for
+# conjunctive/BMW queries only the quanta that can contain candidates
+# are decoded; cold quanta's bytes are never unpacked.
+# ---------------------------------------------------------------------------
+
+def decode_docids_quanta(
+    blob: bytes,
+    df: int,
+    upper_bound: int,
+    q_last_rel,
+    j0: int,
+    j1: int,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> np.ndarray:
+    """Decode only elements [j0*q, min(j1*q, df)) of a docid blob.
+
+    Entry offsets derive from the stored per-quantum boundary docids
+    (`q_last_rel`, block-relative): the one-bit position of element i is
+    exactly (docid_i >> l) + i, so q_last IS the skip index — the same
+    information the reference reads from its zero-pointers, already
+    materialized as BMW metadata. Only the byte range holding the
+    selected quanta's upper bits is unpacked; lower bits are direct
+    packed-field reads at a*l."""
+    q = 1 << log2_quantum
+    m = df + 1  # sentinel (non-strict indexZeroes list)
+    l = lower_bits(m, upper_bound, False)
+    psize = pointer_size(m, upper_bound, False, True)
+    n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, False, True)
+    off = n_ptrs * psize
+    a = j0 * q
+    e = min(j1 * q, df)
+    count = e - a
+    if count <= 0:
+        return np.zeros(0, dtype=np.int64)
+    q_last_rel = np.asarray(q_last_rel, dtype=np.int64)
+    if l > 57:  # pathological width; whole-list fallback
+        full = decode_docids(blob, df, upper_bound, log2_quantum)
+        return full[a:e]
+    lower = _read_fields_packed(blob, off + a * l, count, l)
+    upper_bit0 = off + m * l
+    prev_pos = -1 if a == 0 else (int(q_last_rel[j0 - 1]) >> l) + (a - 1)
+    last_pos = (int(q_last_rel[j1 - 1]) >> l) + (e - 1)
+    bit_lo = upper_bit0 + prev_pos + 1
+    bit_hi = upper_bit0 + last_pos + 1  # exclusive
+    buf = np.frombuffer(blob, dtype=np.uint8)[bit_lo >> 3 : (bit_hi + 7) >> 3]
+    ubits = np.unpackbits(buf, bitorder="little")
+    ones = np.flatnonzero(ubits) + ((bit_lo >> 3) << 3) - upper_bit0
+    ones = ones[(ones > prev_pos) & (ones <= last_pos)]
+    if len(ones) != count:
+        raise ValueError(
+            f"corrupt EF blob: expected {count} upper bits in quanta "
+            f"[{j0},{j1}), got {len(ones)}"
+        )
+    high = ones.astype(np.int64) - np.arange(a, e, dtype=np.int64)
+    return (high << np.int64(l)) | lower
+
+
+def decode_freqs_quanta(
+    blob: bytes,
+    df: int,
+    cf: int,
+    j0: int,
+    j1: int,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> np.ndarray:
+    """Decode only tf values of elements [j0*q, min(j1*q, df)) of a freq
+    blob. Entry offset comes from the blob's own forward pointers
+    (every q-th one-bit position, element-indexed — the strict-list
+    pointer family, SequenceEncoder.java:216-218); cps[a-1] is
+    reconstructed from pointer + direct lower-field read, so the diff
+    chain tf[i] = cps[i] - cps[i-1] + 1 stays exact."""
+    q = 1 << log2_quantum
+    m = df
+    l = lower_bits(m, cf, True)
+    psize = pointer_size(m, cf, True, False)
+    n_ptrs = number_of_pointers(m, cf, log2_quantum, True, False)
+    off = n_ptrs * psize
+    a = j0 * q
+    e = min(j1 * q, df)
+    count = e - a
+    if count <= 0:
+        return np.zeros(0, dtype=np.int64)
+    if (a > 0 and (psize == 0 or j0 > n_ptrs)) or l > 57:
+        # no pointer reaches the start (tiny list) or pathological width:
+        # whole-list fallback
+        return decode_freqs(blob, df, cf, log2_quantum)[a:e]
+    upper_bit0 = off + m * l
+    if a == 0:
+        prev_pos, prev_cps = -1, 0
+    else:
+        ptr = int(_read_fields_packed(blob, (j0 - 1) * psize, 1, psize)[0])
+        prev_pos = ptr - 1  # one-bit position of element a-1
+        prev_high = prev_pos - (a - 1)
+        prev_lower = int(_read_fields_packed(blob, off + (a - 1) * l, 1, l)[0])
+        prev_cps = (prev_high << l) | prev_lower
+    lower = _read_fields_packed(blob, off + a * l, count, l)
+    if j1 <= n_ptrs:
+        last_pos = int(_read_fields_packed(blob, (j1 - 1) * psize, 1, psize)[0]) - 1
+    else:
+        last_pos = len(blob) * 8 - upper_bit0 - 1  # tail quantum: to blob end
+    bit_lo = upper_bit0 + prev_pos + 1
+    bit_hi = upper_bit0 + last_pos + 1
+    buf = np.frombuffer(blob, dtype=np.uint8)[bit_lo >> 3 : (bit_hi + 7) >> 3]
+    ubits = np.unpackbits(buf, bitorder="little")
+    ones = np.flatnonzero(ubits) + ((bit_lo >> 3) << 3) - upper_bit0
+    ones = ones[(ones > prev_pos) & (ones <= last_pos)][:count]
+    if len(ones) != count:
+        raise ValueError(
+            f"corrupt EF blob: expected {count} upper bits in quanta "
+            f"[{j0},{j1}), got {len(ones)}"
+        )
+    high = ones.astype(np.int64) - np.arange(a, e, dtype=np.int64)
+    cps = (high << np.int64(l)) | lower
+    return np.diff(cps, prepend=np.int64(prev_cps)) + 1
+
+
+# ---------------------------------------------------------------------------
 # Skip semantics (next(target)) — pointer-driven, mirrors DocidReader.skipTo
 # ---------------------------------------------------------------------------
 

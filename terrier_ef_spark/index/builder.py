@@ -132,7 +132,8 @@ def block_upper_bound(block_bits: int | None, num_docs: int, block_id: int = 0) 
 
 
 def _make_encode_fn(num_docs: int, log2_quantum: int,
-                    block_bits: int | None, positions: bool):
+                    block_bits: int | None, positions: bool,
+                    emit_doclens: bool = False):
     """Build the per-(term, block) EF encode kernel (applyInPandas).
 
     Replaces CompressorMapper.apply + BasicCompressor.compress
@@ -183,26 +184,28 @@ def _make_encode_fn(num_docs: int, log2_quantum: int,
         pad_dl[:df_] = doclens
         q_min_dl = pad_dl.reshape(n_q, q).min(axis=1)
 
-        return pd.DataFrame(
-            [
-                {
-                    "term": term,
-                    "block_id": block_id,
-                    "df": df_,
-                    "cf": cf,
-                    "maxtf": int(tfs.max()),
-                    "first_docid": int(docids[0]),
-                    "last_docid": int(docids[-1]),
-                    "docids_ef": docids_ef,
-                    "freqs_ef": freqs_ef,
-                    "positions_ef": pos_ef,
-                    "sum_max_pos": smp,
-                    "q_last_docid": q_last.tolist(),
-                    "q_max_tf": q_max_tf.tolist(),
-                    "q_min_dl": q_min_dl.tolist(),
-                }
-            ]
-        )
+        out = {
+            "term": term,
+            "block_id": block_id,
+            "df": df_,
+            "cf": cf,
+            "maxtf": int(tfs.max()),
+            "first_docid": int(docids[0]),
+            "last_docid": int(docids[-1]),
+            "docids_ef": docids_ef,
+            "freqs_ef": freqs_ef,
+            "positions_ef": pos_ef,
+            "sum_max_pos": smp,
+            "q_last_docid": q_last.tolist(),
+            "q_max_tf": q_max_tf.tolist(),
+            "q_min_dl": q_min_dl.tolist(),
+        }
+        if emit_doclens:
+            # transient per-posting doclens (streaming parts only): lets
+            # the compact pass recompute q_min_dl for straddled blocks
+            # without any per-doc broadcast — the doclen rides the row
+            out["doclens"] = doclens.tolist()
+        return pd.DataFrame([out])
 
     return encode
 
@@ -223,14 +226,24 @@ def make_docs_df(base: DataFrame, tok) -> DataFrame:
 
 
 def posting_rows(base: DataFrame, tok, positions: bool) -> DataFrame:
-    """tokenize -> (docid, term, tf[, positions]) posting rows; the one
-    pass over document content (map-side partial aggregation reduces the
-    exploded token stream before the shuffle)."""
+    """tokenize -> (docid, term, tf, doclen[, positions]) posting rows;
+    the one pass over document content (map-side partial aggregation
+    reduces the exploded token stream before the shuffle).
+
+    doclen is a per-doc property computed AT TOKENIZE TIME
+    (size(tokens)) and carried through the explode, so the encode stage
+    never needs a per-doc join or broadcast — at 10^9+ docs a broadcast
+    of per-doc doclens would exceed Spark's limit outright (the r01
+    scale-killer); here the doclen simply rides the posting row."""
     toks = base.select(
         F.col("doc_id").alias("docid"), tok(F.col("content")).alias("tokens")
     )
-    exploded = toks.select("docid", F.posexplode("tokens").alias("pos", "term"))
-    agg_cols = [F.count(F.lit(1)).alias("tf")]
+    exploded = toks.select(
+        "docid",
+        F.size("tokens").alias("doclen"),
+        F.posexplode("tokens").alias("pos", "term"),
+    )
+    agg_cols = [F.count(F.lit(1)).alias("tf"), F.min("doclen").alias("doclen")]
     if positions:
         agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     return exploded.groupBy("term", "docid").agg(*agg_cols)
@@ -238,34 +251,35 @@ def posting_rows(base: DataFrame, tok, positions: bool) -> DataFrame:
 
 def encode_rows(
     rows: DataFrame,
-    doclens: DataFrame,
     num_docs: int,
     log2_quantum: int,
     block_bits: int | None,
     positions: bool,
+    emit_doclens: bool = False,
 ) -> DataFrame:
-    """posting rows -> per-(term, block) EF encode."""
-    rows = rows.join(F.broadcast(doclens), "docid")
+    """posting rows (incl. the in-stream doclen column from
+    posting_rows) -> per-(term, block) EF encode."""
     if block_bits is None:
         rows = rows.withColumn("block_id", F.lit(0).cast("long"))
     else:
         rows = rows.withColumn(
             "block_id", (F.col("docid") / (1 << block_bits)).cast("long")
         )
-    encode = _make_encode_fn(num_docs, log2_quantum, block_bits, positions)
-    return rows.groupBy("term", "block_id").applyInPandas(
-        encode, schema=POSTINGS_SCHEMA
+    encode = _make_encode_fn(
+        num_docs, log2_quantum, block_bits, positions, emit_doclens
     )
+    schema = POSTINGS_SCHEMA + (", doclens array<int>" if emit_doclens else "")
+    return rows.groupBy("term", "block_id").applyInPandas(encode, schema=schema)
 
 
 def make_encoded_df(
     base: DataFrame,
-    doclens: DataFrame,
     num_docs: int,
     tok,
     log2_quantum: int,
     block_bits: int | None,
     positions: bool,
+    emit_doclens: bool = False,
 ) -> DataFrame:
     """tokenize -> posting rows -> per-(term, block) EF encode.
 
@@ -274,8 +288,8 @@ def make_encoded_df(
     block_upper_bound). The batch build uses posting_rows/encode_rows
     directly so one tokenize pass feeds both docs and postings."""
     return encode_rows(
-        posting_rows(base, tok, positions), doclens, num_docs,
-        log2_quantum, block_bits, positions,
+        posting_rows(base, tok, positions), num_docs,
+        log2_quantum, block_bits, positions, emit_doclens,
     )
 
 
@@ -475,8 +489,7 @@ def _build_index(
     t_stage = time.time()
     if need_postings:
         encoded = encode_rows(
-            rows, docs_df.select("docid", "doclen"), num_docs,
-            log2_quantum, block_bits, positions,
+            rows, num_docs, log2_quantum, block_bits, positions,
         ).persist()  # EF-encode once; range sampling reads the cache
         (encoded.repartitionByRange(n_partitions, "term", "block_id")
                 .sortWithinPartitions("term", "block_id")

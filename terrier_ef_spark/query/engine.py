@@ -1,22 +1,33 @@
 """Query execution over the EF index — the Spark restructuring of the
-retrieval lifecycle (SURVEY.md §3 E2):
+retrieval lifecycle (SURVEY.md §3 E2). Two strategies:
 
-    query terms --(broadcast lookup, role of the lexicon binary search
-    Q5)--> matched postings rows (parquet term-range pruning + pushed
-    filter) --repartition by qid--> per-query applyInPandas kernel
-    (decode EF blobs + BM25 top-k in NumPy) --> (qid, rank, docid, score)
+term_major (default for exhaustive scoring; the batch-engine shape):
+    query terms --(pushed parquet filter)--> matched term-block rows
+    --mapInPandas decode (each blob decoded EXACTLY ONCE per batch)-->
+    (term, docid, tf) --join doclen (partitioned join on docid; AQE
+    picks broadcast only when the docs side is genuinely small)-->
+    contribution rows (pure Catalyst BM25 arithmetic, JVM-side)
+    --broadcast qterms fanout--> groupBy(qid, docid) partial-agg sum
+    --> per-qid window top-k.
+    No dense doclen broadcast, no per-query blob replication: a head
+    term shared by 256 batch queries ships ONE decoded copy, and the
+    qid fanout moves only (qid, docid, contrib) rows. This is the
+    10^9-doc-safe path (the r01 scale-killers were the driver-side
+    doclen array and blob-per-qid shuffle).
 
-One shuffle moves only the matched blobs; doc lengths ride a Spark
-broadcast (the reference loads them fully in RAM too,
-EFDocumentIndex.java:43-47). The whole query batch is one Spark job —
-the q/s bench path.
+query_major (the reference's DAAT shape; required for algo='bmw'):
+    matched blobs --repartition by qid--> per-query applyInPandas
+    kernel (decode + BM25/BMW top-k in NumPy). Doc lengths ride a
+    Spark broadcast (the reference loads them fully in RAM too,
+    EFDocumentIndex.java:43-47) — viable to ~1e8 docs; beyond that use
+    term_major.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from terrier_ef_spark import ef
@@ -28,43 +39,228 @@ from terrier_ef_spark.query.bm25 import TermPostings
 RESULT_SCHEMA = "qid long, rank int, docid long, score double"
 
 
-def run_queries(
-    index: EFIndex,
-    queries: list[dict],
-    *,
-    k: int = 10,
-    algo: str = "naive",
-) -> DataFrame:
-    """queries: [{'qid': int, 'terms': [str], 'mode': 'disjunctive'|'conjunctive'}].
-
-    Returns (qid, rank, docid, score), rank 1-based, tie-break
-    (score desc, docid asc)."""
-    spark = index.spark
-    # Arrow batch sizing is session-level config (set in session.get_spark)
-    # — NOT mutated here: run_queries returns a lazy DataFrame, so a
-    # scoped set/restore would be ineffective at collect time, and a
-    # permanent set would leak into unrelated workloads on the session.
-    stats = index.stats
-    num_docs = stats["num_docs"]
-    avgdl = stats["avgdl"]
-    log2q = stats["log2_quantum"]
-    block_bits = stats.get("block_bits")
-
-    qmeta = {int(q["qid"]): (q.get("mode", "disjunctive"), int(q.get("k", k))) for q in queries}
+def _query_plan(queries: list[dict], k: int):
+    qmeta = {
+        int(q["qid"]): (q.get("mode", "disjunctive"), int(q.get("k", k)))
+        for q in queries
+    }
     qterm_rows = [
         (int(q["qid"]), t) for q in queries for t in dict.fromkeys(q["terms"])
     ]
     n_query_terms = {qid: 0 for qid in qmeta}
     for qid, _ in qterm_rows:
         n_query_terms[qid] += 1
+    return qmeta, qterm_rows, n_query_terms
+
+
+def run_queries(
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int = 10,
+    algo: str = "naive",
+    strategy: str = "auto",
+) -> DataFrame:
+    """queries: [{'qid': int, 'terms': [str], 'mode': 'disjunctive'|'conjunctive'}].
+
+    Returns (qid, rank, docid, score), rank 1-based, tie-break
+    (score desc, docid asc). strategy: 'term_major' | 'query_major' |
+    'auto' (term_major for exhaustive scoring, query_major for BMW)."""
+    if strategy == "auto":
+        strategy = "query_major" if algo == "bmw" else "term_major"
+    if strategy == "term_major":
+        if algo == "bmw":
+            raise ValueError(
+                "block-max WAND is a document-at-a-time kernel; use "
+                "strategy='query_major' (term_major scores exhaustively)"
+            )
+        return _run_queries_term_major(index, queries, k=k)
+    return _run_queries_query_major(index, queries, k=k, algo=algo)
+
+
+def _run_queries_term_major(
+    index: EFIndex, queries: list[dict], *, k: int
+) -> DataFrame:
+    """Relational batch scorer: decode once per term-block, Catalyst
+    BM25 arithmetic, qid fanout of (docid, contrib) rows only."""
+    spark = index.spark
+    stats = index.stats
+    num_docs = float(stats["num_docs"])
+    avgdl = float(stats["avgdl"])
+
+    qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
+    if not qterm_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qterms_df = spark.createDataFrame(qterm_rows, "qid long, term string")
+    qmeta_df = spark.createDataFrame(
+        [
+            (qid, mode, kq, n_query_terms[qid])
+            for qid, (mode, kq) in qmeta.items()
+        ],
+        "qid long, mode string, kq int, n_terms int",
+    )
+    distinct_terms = sorted({t for _, t in qterm_rows})
+
+    posts = decode_postings(index, terms=distinct_terms)
+    lex = index.lexicon.select(
+        "term", F.col("df").cast("double").alias("global_df")
+    ).where(F.col("term").isin(distinct_terms))
+    posts = posts.join(F.broadcast(lex), "term")
+    # partitioned doclen join — never a driver-side dense array; Catalyst
+    # may still elect a broadcast-hash join when the docs table is small
+    # (a relational decision that reverses itself at scale, unlike an
+    # unconditional collect+broadcast)
+    posts = posts.join(index.docs.select("docid", "doclen"), "docid")
+
+    idf = F.log2((F.lit(num_docs) - F.col("global_df") + 0.5) / (F.col("global_df") + 0.5))
+    tf = F.col("tf").cast("double")
+    tfn = (tf * (bm25.K1 + 1)) / (
+        bm25.K1 * (1 - bm25.B + bm25.B * F.col("doclen") / F.lit(avgdl)) + tf
+    )
+    posts = posts.select("term", "docid", (idf * tfn).alias("contrib"))
+
+    scored = (
+        posts.join(F.broadcast(qterms_df), "term")
+        .groupBy("qid", "docid")
+        .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nhit"))
+    )
+    res = scored.join(F.broadcast(qmeta_df), "qid").where(
+        (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("kq"))
+        .select("qid", "rank", "docid", "score")
+    )
+
+
+def decode_term_selective(
+    grp: pd.DataFrame,
+    candidates: np.ndarray,
+    num_docs: int,
+    block_bits: int | None,
+    log2q: int,
+    stats: dict | None = None,
+):
+    """Decode ONLY the quanta of a term's posting blocks that can
+    contain `candidates` (sorted absolute docids) — the engine-level
+    skipTo (reference: EFBasicIterablePosting.next(target) walks skip
+    pointers to the containing quantum, DocidReader.java:118-183; here
+    the stored q_last_docid grid routes straight to the quanta and
+    consecutive quanta decode as one vectorized range).
+
+    Returns (docids_abs, tfs) covering every candidate present in the
+    term's list (supersets are fine — membership is re-checked by the
+    caller). `stats` accumulates {'decoded', 'total'} quantum counts."""
+    d_parts, f_parts = [], []
+    for r in grp.itertuples(index=False):
+        q_last = np.asarray(r.q_last_docid, dtype=np.int64)  # absolute
+        if stats is not None:
+            stats["total"] = stats.get("total", 0) + len(q_last)
+        base = 0 if block_bits is None else int(r.block_id) << block_bits
+        ub = block_upper_bound(block_bits, num_docs)
+        cand = candidates[
+            (candidates >= int(r.first_docid)) & (candidates <= int(r.last_docid))
+        ]
+        if len(cand) == 0:
+            continue
+        qidx = np.unique(np.searchsorted(q_last, cand, side="left"))
+        qidx = qidx[qidx < len(q_last)]
+        if stats is not None:
+            stats["decoded"] = stats.get("decoded", 0) + len(qidx)
+        q_last_rel = q_last - base
+        runs = np.split(qidx, np.where(np.diff(qidx) > 1)[0] + 1)
+        for run in runs:
+            j0, j1 = int(run[0]), int(run[-1]) + 1
+            d = ef.decode_docids_quanta(
+                bytes(r.docids_ef), int(r.df), ub, q_last_rel, j0, j1, log2q
+            ) + base
+            f = ef.decode_freqs_quanta(
+                bytes(r.freqs_ef), int(r.df), int(r.cf), j0, j1, log2q
+            )
+            d_parts.append(d)
+            f_parts.append(f)
+    if not d_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(d_parts), np.concatenate(f_parts)
+
+
+def _conjunctive_selective(
+    term_groups: list,
+    doclen_arr: np.ndarray,
+    avgdl: float,
+    kq: int,
+    num_docs: int,
+    block_bits: int | None,
+    log2q: int,
+    stats: dict | None = None,
+):
+    """Conjunctive top-k with block-selective decode: the rarest term's
+    list is decoded fully (it defines the candidates); every other term
+    decodes only candidate quanta. term_groups: [(global_df, idf, grp)]."""
+    term_groups = sorted(term_groups, key=lambda t: t[0])
+    _, idf0, grp0 = term_groups[0]
+    d0_parts, f0_parts = [], []
+    for r in grp0.itertuples(index=False):
+        base = 0 if block_bits is None else int(r.block_id) << block_bits
+        ub = block_upper_bound(block_bits, num_docs)
+        d0_parts.append(
+            ef.decode_docids(bytes(r.docids_ef), int(r.df), ub, log2q) + base
+        )
+        f0_parts.append(
+            ef.decode_freqs(bytes(r.freqs_ef), int(r.df), int(r.cf), log2q)
+        )
+        if stats is not None:
+            stats["total"] = stats.get("total", 0) + len(r.q_last_docid)
+            stats["decoded"] = stats.get("decoded", 0) + len(r.q_last_docid)
+    if not d0_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    cand = np.concatenate(d0_parts)
+    decoded = [(idf0, cand, np.concatenate(f0_parts))]
+
+    for _, idf_t, grp in term_groups[1:]:
+        if len(cand) == 0:
+            return cand[:0], np.zeros(0)
+        d_t, f_t = decode_term_selective(
+            grp, cand, num_docs, block_bits, log2q, stats
+        )
+        if len(d_t) == 0:
+            return cand[:0], np.zeros(0)
+        pos = np.minimum(np.searchsorted(d_t, cand), len(d_t) - 1)
+        cand = cand[d_t[pos] == cand]
+        decoded.append((idf_t, d_t, f_t))
+
+    if len(cand) == 0:
+        return cand, np.zeros(0)
+    scores = np.zeros(len(cand))
+    for idf_t, d_t, f_t in decoded:
+        pos = np.searchsorted(d_t, cand)  # every survivor is present
+        scores += idf_t * bm25.tfn(
+            f_t[pos], doclen_arr[cand].astype(np.float64), avgdl
+        )
+    return bm25._topk(cand, scores, kq)
+
+
+def _run_queries_query_major(
+    index: EFIndex, queries: list[dict], *, k: int, algo: str
+) -> DataFrame:
+    spark = index.spark
+    stats = index.stats
+    num_docs = stats["num_docs"]
+    avgdl = stats["avgdl"]
+    log2q = stats["log2_quantum"]
+    block_bits = stats.get("block_bits")
+
+    qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
     qterms_df = spark.createDataFrame(qterm_rows, "qid long, term string")
 
     distinct_terms = sorted({t for _, t in qterm_rows})
     # explicit projection so the parquet scan never reads positions_ef
     # (the lazy-positions property, SURVEY.md §4 'Lazy decode')
     matched = index.postings.select(
-        "term", "block_id", "df", "cf", "docids_ef", "freqs_ef",
-        "q_last_docid", "q_max_tf", "q_min_dl",
+        "term", "block_id", "df", "cf", "first_docid", "last_docid",
+        "docids_ef", "freqs_ef", "q_last_docid", "q_max_tf", "q_min_dl",
     ).where(F.col("term").isin(distinct_terms))
     lex = index.lexicon.select("term", F.col("df").alias("global_df")).where(
         F.col("term").isin(distinct_terms)
@@ -80,6 +276,31 @@ def run_queries(
         qid = int(key[0])
         mode, kq = qmeta_bc.value[qid]
         doclen_arr = doclen_bc.value
+
+        if mode == "conjunctive":
+            # block-selective decode: only quanta that can hold
+            # candidates of the rarest term are touched
+            tgroups = []
+            for term, grp in pdf.groupby("term", sort=True):
+                grp = grp.sort_values("block_id")
+                gdf = int(grp["global_df"].iloc[0])
+                tgroups.append((gdf, bm25.idf(num_docs, gdf), grp))
+            if len(tgroups) < nqt_bc.value[qid]:
+                docids, scores = np.zeros(0, dtype=np.int64), np.zeros(0)
+            else:
+                docids, scores = _conjunctive_selective(
+                    tgroups, doclen_arr, avgdl, kq,
+                    num_docs, block_bits, log2q,
+                )
+            return pd.DataFrame(
+                {
+                    "qid": qid,
+                    "rank": np.arange(1, len(docids) + 1, dtype=np.int32),
+                    "docid": docids,
+                    "score": scores,
+                }
+            )
+
         terms: list[TermPostings] = []
         for term, grp in pdf.groupby("term", sort=True):
             grp = grp.sort_values("block_id")
@@ -107,13 +328,7 @@ def run_queries(
                     q_min_dl=np.concatenate(qd_parts),
                 )
             )
-        if mode == "conjunctive":
-            if len(terms) < nqt_bc.value[qid]:
-                docids, scores = np.zeros(0, dtype=np.int64), np.zeros(0)
-            else:
-                docids, scores = bm25.topk_conjunctive(terms, doclen_arr, avgdl, kq)
-        else:
-            docids, scores = bm25.ALGOS[algo](terms, doclen_arr, avgdl, kq)
+        docids, scores = bm25.ALGOS[algo](terms, doclen_arr, avgdl, kq)
         return pd.DataFrame(
             {
                 "qid": qid,
@@ -132,13 +347,20 @@ def run_queries(
     return scored
 
 
-def decode_postings(index: EFIndex) -> DataFrame:
-    """Full-index decode to (term, docid, tf) rows — the streaming
-    iterator role (EFInvertedIndex.InputIterator, SURVEY.md §2.2 Q9)
-    and the round-trip proof surface for the DuckDB oracle."""
+def decode_postings(index: EFIndex, terms: list[str] | None = None) -> DataFrame:
+    """Decode to (term, docid, tf) rows — the streaming iterator role
+    (EFInvertedIndex.InputIterator, SURVEY.md §2.2 Q9) and the
+    round-trip proof surface for the DuckDB oracle. With `terms`, the
+    filter is pushed to the parquet scan (row-group pruning on the
+    term-range-sorted postings) and each matched blob is decoded exactly
+    once — the term_major scorer's decode stage."""
     stats = index.stats
     num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
     block_bits = stats.get("block_bits")
+
+    src = index.postings
+    if terms is not None:
+        src = src.where(F.col("term").isin(sorted(set(terms))))
 
     def decode_rows(batches):
         for pdf in batches:
@@ -162,7 +384,7 @@ def decode_postings(index: EFIndex) -> DataFrame:
                 )
 
     cols = ["term", "block_id", "df", "cf", "docids_ef", "freqs_ef"]
-    return index.postings.select(cols).mapInPandas(
+    return src.select(cols).mapInPandas(
         decode_rows, schema="term string, docid long, tf int"
     )
 

@@ -10,12 +10,20 @@ Why this works incrementally: blocked blobs are bounded by the block
 width alone (`block_upper_bound`), so a posting block encoded from a
 micro-batch is byte-identical to the one a full batch rebuild would
 produce — no dependency on global num_docs/avgdl at encode time. BMW
-metadata (q_max_tf, q_min_dl) is likewise collection-independent.
+metadata (q_max_tf, q_min_dl) is likewise collection-independent, and
+the position sequence's upper bound (num + sumMaxPos,
+EliasFanoBlockEncoders.java:60-73) depends only on the block's own
+postings, so positional indexes stream identically.
 
 Input contract: rows carry a globally-unique `doc_id`; each doc appears
 in exactly one file. Blocks that straddle a micro-batch boundary are
 merged (decode → concat → re-encode) during finalize, so arrival order
 and batch sizing never change the final index.
+
+Scale shape: parts carry a transient per-posting `doclens` column
+(emitted by the encode kernel) so the straddled-block merge can rebuild
+q_min_dl without any per-doc broadcast — nothing in this path touches a
+driver-side dense array (the r01 scale-killer at `_compact`).
 
 Exactly-once: per-epoch parts are written with overwrite (idempotent on
 retry); the stream checkpoint lives under the index root; finalize
@@ -59,6 +67,7 @@ def incremental_build(
     log2_quantum: int = ef.DEFAULT_LOG2_QUANTUM,
     n_partitions: int = 16,
     tokenizer: str = "simple",
+    positions: bool = False,
     max_files_per_trigger: int | None = None,
 ) -> EFIndex:
     """Consume all corpus parquet currently in input_dir
@@ -73,7 +82,7 @@ def incremental_build(
             {
                 "format": FORMAT_VERSION,
                 "log2_quantum": log2_quantum,
-                "positions": False,
+                "positions": positions,
                 "block_bits": block_bits,
                 "n_partitions": n_partitions,
                 "tokenizer": tokenizer,
@@ -94,12 +103,9 @@ def incremental_build(
             (docs_b.repartitionByRange(max(2, n_partitions // 4), "docid")
                    .write.mode("overwrite")
                    .parquet(os.path.join(docs_parts, f"epoch={epoch_id}")))
-            doclens = batch.select(
-                F.col("doc_id").alias("docid"),
-                F.size(tok(F.col("content"))).alias("doclen"),
-            )
             encoded = make_encoded_df(
-                batch, doclens, 0, tok, log2_quantum, block_bits, positions=False
+                batch, 0, tok, log2_quantum, block_bits,
+                positions=positions, emit_doclens=True,
             )
             (encoded.repartitionByRange(max(2, n_partitions // 4), "term", "block_id")
                     .write.mode("overwrite")
@@ -120,10 +126,10 @@ def incremental_build(
     query.awaitTermination()
 
     _compact(spark, paths, docs_parts, postings_parts,
-             block_bits, log2_quantum, n_partitions)
+             block_bits, log2_quantum, n_partitions, positions)
     finalize_index(
         spark, paths,
-        log2_quantum=log2_quantum, positions=False, block_bits=block_bits,
+        log2_quantum=log2_quantum, positions=positions, block_bits=block_bits,
         n_partitions=n_partitions, resume=False,
     )
     return EFIndex(spark, out_dir)
@@ -137,53 +143,61 @@ def _compact(
     block_bits: int,
     log2_quantum: int,
     n_partitions: int,
+    positions: bool,
 ) -> None:
     """Canonicalize parts: rewrite docs sorted by docid; merge posting
     blocks that straddle micro-batch boundaries so the final postings
-    are byte-identical to a batch rebuild."""
+    are byte-identical to a batch rebuild. Entirely row-local — the
+    per-posting doclens ride the parts rows, no broadcast."""
     docs = spark.read.option("recursiveFileLookup", "true").parquet(docs_parts)
     (docs.repartitionByRange(n_partitions, "docid")
          .sortWithinPartitions("docid")
          .write.mode("overwrite").parquet(paths.docs))
-
-    # doclen lookup for re-encoding straddled blocks (q_min_dl needs it).
-    # Broadcast of the dense array mirrors the scoring path; at 10^12-doc
-    # scale this becomes a join against the docs table instead.
-    pdf = spark.read.parquet(paths.docs).select("docid", "doclen").toPandas()
-    n_docs = int(pdf["docid"].max()) + 1 if len(pdf) else 0
-    dl_arr = np.zeros(n_docs, dtype=np.int64)
-    dl_arr[pdf["docid"].to_numpy()] = pdf["doclen"].to_numpy()
-    dl_bc = spark.sparkContext.broadcast(dl_arr)
 
     q = 1 << log2_quantum
     ub = 1 << block_bits
 
     def merge_blocks(key, grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) == 1:
-            return grp
+            return grp.drop(columns=["doclens"])
         # straddled block: decode every part, concat, re-encode — the
         # result is identical to encoding the full block at once
         term, block_id = key[0], int(key[1])
         base = block_id << block_bits
-        d_all, f_all = [], []
+        d_all, f_all, dl_all, p_all = [], [], [], []
         for r in grp.itertuples(index=False):
             d_all.append(ef.decode_docids(bytes(r.docids_ef), int(r.df), ub, log2_quantum))
-            f_all.append(ef.decode_freqs(bytes(r.freqs_ef), int(r.df), int(r.cf), log2_quantum))
+            tfs_part = ef.decode_freqs(bytes(r.freqs_ef), int(r.df), int(r.cf), log2_quantum)
+            f_all.append(tfs_part)
+            dl_all.append(np.asarray(r.doclens, dtype=np.int64))
+            if positions:
+                p_all.extend(
+                    ef.decode_positions(
+                        bytes(r.positions_ef), tfs_part, int(r.df),
+                        int(r.sum_max_pos), log2_quantum,
+                    )
+                )
         d = np.concatenate(d_all)
         f = np.concatenate(f_all)
+        dl = np.concatenate(dl_all)
         order = np.argsort(d)
-        d, f = d[order], f[order]
+        d, f, dl = d[order], f[order], dl[order]
         if np.any(np.diff(d) == 0):
             raise ValueError(f"duplicate docid across batches for term {term!r}")
         df_, cf = len(d), int(f.sum())
         tfs = f
-        doclens = dl_bc.value[d + base]
+        if positions:
+            plists = [p_all[i] for i in order]
+            smp = int(sum(int(p[-1]) for p in plists))
+            pos_ef = ef.encode_positions(plists, df_, smp, log2_quantum)
+        else:
+            pos_ef, smp = None, 0
         n_q = (df_ + q - 1) // q
         q_last = (d + base)[np.minimum(np.arange(1, n_q + 1) * q - 1, df_ - 1)]
         pad_tf = np.zeros(n_q * q, dtype=np.int64)
         pad_tf[:df_] = tfs
         pad_dl = np.full(n_q * q, np.iinfo(np.int64).max, dtype=np.int64)
-        pad_dl[:df_] = doclens
+        pad_dl[:df_] = dl
         return pd.DataFrame(
             [
                 {
@@ -196,8 +210,8 @@ def _compact(
                     "last_docid": int(d[-1] + base),
                     "docids_ef": ef.encode_docids(d, ub, log2_quantum),
                     "freqs_ef": ef.encode_freqs(tfs, cf, log2_quantum),
-                    "positions_ef": None,
-                    "sum_max_pos": 0,
+                    "positions_ef": pos_ef,
+                    "sum_max_pos": smp,
                     "q_last_docid": q_last.tolist(),
                     "q_max_tf": pad_tf.reshape(n_q, q).max(axis=1).tolist(),
                     "q_min_dl": pad_dl.reshape(n_q, q).min(axis=1).tolist(),

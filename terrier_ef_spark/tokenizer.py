@@ -54,13 +54,21 @@ def make_tokenizer(
     base: str = "simple",
     stopwords: list[str] | None = None,
     max_term_length: int | None = None,
+    stemmer: str | None = None,
 ):
     """Compose a term pipeline from a base tokenizer + optional stopword
-    removal + term-length truncation — the role of Terrier's
-    configurable termpipelines (EFSetupTest.java:106-107) and
-    MAX_TERM_LENGTH (util/IndexUtil.java:34, Generator.java:281). Pure
-    Catalyst expressions, so the pipeline stays JVM-side."""
+    removal + term-length truncation + optional stemmer — the role of
+    Terrier's configurable termpipelines (the reference test pipeline is
+    `Stopwords,PorterStemmer`, EFSetupTest.java:106-107) and
+    MAX_TERM_LENGTH (util/IndexUtil.java:34, Generator.java:281).
+
+    Everything except the stemmer is a pure Catalyst expression
+    (JVM-side); the stemmer stage (stemmer='porter') is an
+    Arrow-vectorized pandas UDF with a per-batch vocabulary memo,
+    applied AFTER stopword removal (reference pipeline order)."""
     base_fn = TOKENIZERS[base] if isinstance(base, str) else base
+    if stemmer not in (None, "porter"):
+        raise ValueError(f"unknown stemmer {stemmer!r}")
 
     def tok(col: Column) -> Column:
         t = base_fn(col)
@@ -69,6 +77,10 @@ def make_tokenizer(
         if stopwords:
             sw = F.array(*[F.lit(w) for w in stopwords])
             t = F.filter(t, lambda x: ~F.array_contains(sw, x))
+        if stemmer == "porter":
+            from terrier_ef_spark.stemmer import porter_stem_tokens
+
+            t = porter_stem_tokens(t)
         return t
 
     return tok

@@ -218,3 +218,44 @@ def test_corrupt_blob_detected():
     # wrong df larger than encoded count must also fail loudly
     with pytest.raises(ValueError):
         ef.decode_docids(blob, len(docids) + 40, 1000, 8)
+
+
+def test_quantum_range_decode_matches_full():
+    """decode_*_quanta over every quantum window == the corresponding
+    slice of the whole-list decode, across list shapes (dense/sparse,
+    short/long, clustered), quantum sizes, and window positions."""
+    import numpy as np
+
+    from terrier_ef_spark import ef
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for n, ub in ((5, 40), (17, 64), (200, 1000), (1000, 1_000_000), (513, 520)):
+        docids = np.sort(rng.choice(ub, size=n, replace=False)).astype(np.int64)
+        cases.append((docids, ub))
+    # clustered docids (small gaps then huge gap)
+    c = np.concatenate([np.arange(100), np.arange(90_000, 90_050)]).astype(np.int64)
+    cases.append((c, 100_000))
+
+    for log2q in (3, 8):
+        q = 1 << log2q
+        for docids, ub in cases:
+            n = len(docids)
+            tfs = rng.integers(1, 50, size=n).astype(np.int64)
+            cf = int(tfs.sum())
+            dblob = ef.encode_docids(docids, ub, log2q)
+            fblob = ef.encode_freqs(tfs, cf, log2q)
+            n_q = (n + q - 1) // q
+            q_last = docids[np.minimum(np.arange(1, n_q + 1) * q - 1, n - 1)]
+            full_d = ef.decode_docids(dblob, n, ub, log2q)
+            full_f = ef.decode_freqs(fblob, n, cf, log2q)
+            assert full_d.tolist() == docids.tolist()
+            windows = [(0, 1), (0, n_q), (n_q - 1, n_q)]
+            if n_q > 2:
+                windows += [(1, 2), (1, n_q), (n_q // 2, n_q // 2 + 2)]
+            for j0, j1 in windows:
+                a, e = j0 * q, min(j1 * q, n)
+                got_d = ef.decode_docids_quanta(dblob, n, ub, q_last, j0, j1, log2q)
+                assert got_d.tolist() == full_d[a:e].tolist(), (n, ub, log2q, j0, j1)
+                got_f = ef.decode_freqs_quanta(fblob, n, cf, j0, j1, log2q)
+                assert got_f.tolist() == full_f[a:e].tolist(), (n, ub, log2q, j0, j1)

@@ -54,6 +54,57 @@ def test_rank_identity_vs_oracle(small_index, small_oracle, algo):
         assert np.allclose([s for _, s in g], [s for _, s in w], atol=1e-9), qid
 
 
+def test_term_major_rank_identity_vs_oracle(small_index, small_oracle):
+    """The relational (term-major) scorer is rank-identical to the
+    Python oracle on the same mixed query set."""
+    pdf = (
+        run_queries(small_index, QUERIES, k=10, strategy="term_major")
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    got = {q["qid"]: [] for q in QUERIES}
+    for r in pdf.itertuples(index=False):
+        got[int(r.qid)].append((int(r.docid), float(r.score)))
+    want = _oracle_results(small_oracle)
+    for q in QUERIES:
+        qid = q["qid"]
+        g, w = got[qid], want[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], (qid, g, w)
+        assert np.allclose([s for _, s in g], [s for _, s in w], atol=1e-9), qid
+
+
+def test_term_major_no_doclen_broadcast(small_index, monkeypatch):
+    """The term-major path must never materialize the dense doclen array
+    on the driver (the r01 scale-killer): doclen_array is poisoned, and
+    relational auto-broadcast is disabled so the doclen join runs as a
+    genuine partitioned join — the 10^9-doc plan shape."""
+    from terrier_ef_spark.index.reader import EFIndex
+
+    def boom(self):  # pragma: no cover - failure path
+        raise AssertionError("dense doclen broadcast used in term_major path")
+
+    monkeypatch.setattr(EFIndex, "doclen_array", boom)
+    spark = small_index.spark
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = run_queries(
+            small_index, QUERIES[:4], k=10, strategy="term_major"
+        ).collect()
+        assert len(out) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # and the query-major kernel path refuses nothing but uses it:
+    with pytest.raises(Exception):
+        run_queries(small_index, QUERIES[:1], strategy="query_major").collect()
+
+
+def test_bmw_rejects_term_major():
+    with pytest.raises(ValueError):
+        run_queries(None, [], algo="bmw", strategy="term_major")
+
+
 def test_bmw_equals_naive_everywhere(small_index):
     assert _engine_results(small_index, "naive") == pytest.approx(
         _engine_results(small_index, "bmw")
@@ -107,6 +158,47 @@ def test_kernel_rank_identity_randomized(small_oracle):
         assert d2.tolist() == d1.tolist()
         assert np.allclose(s1, [s for _, s in want], atol=1e-9)
         assert np.allclose(s2, s1, atol=0)
+
+
+def test_conjunctive_selective_decodes_fewer_quanta(small_index, small_oracle):
+    """A rare∧hot conjunctive query must DECODE strictly fewer quanta
+    than the hot term holds (block-selective decode, VERDICT r01 #5:
+    the reference's whole point for skip pointers), while staying
+    rank-identical to the oracle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.query import bm25
+    from terrier_ef_spark.query.engine import _conjunctive_selective
+
+    vocab = sorted(small_oracle.postings, key=lambda t: small_oracle.df(t))
+    rare = vocab[0]
+    hot = max(vocab, key=lambda t: small_oracle.df(t))
+    stats_idx = small_index.stats
+    pdf = (
+        small_index.postings.where(F.col("term").isin([rare, hot]))
+        .toPandas()
+    )
+    tgroups = []
+    for term, grp in pdf.groupby("term", sort=True):
+        gdf = small_oracle.df(term)
+        tgroups.append(
+            (gdf, bm25.idf(stats_idx["num_docs"], gdf), grp.sort_values("block_id"))
+        )
+    doclen_arr = np.array(
+        [small_oracle.doclen[d] for d in range(small_oracle.num_docs)],
+        dtype=np.int32,
+    )
+    stats = {}
+    docids, scores = _conjunctive_selective(
+        tgroups, doclen_arr, small_oracle.avgdl, 10,
+        stats_idx["num_docs"], stats_idx.get("block_bits"),
+        stats_idx["log2_quantum"], stats=stats,
+    )
+    want = small_oracle.bm25_topk([rare, hot], k=10, mode="conjunctive")
+    assert docids.tolist() == [d for d, _ in want]
+    assert np.allclose(scores, [s for _, s in want], atol=1e-9)
+    assert stats["decoded"] < stats["total"], stats
 
 
 def test_bmw_actually_prunes(small_oracle):

@@ -83,6 +83,48 @@ def test_incremental_equals_batch(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_incremental_positions_equals_batch(spark, tmp_path):
+    """A POSITIONAL index built incrementally is byte-identical to the
+    batch rebuild — straddled blocks re-encode the position sequence too
+    (VERDICT r01 missing #4)."""
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.engine import decode_positions_df
+    from terrier_ef_spark.streaming.incremental import incremental_build
+
+    corpus = synthesize_corpus(spark, 96, seed=5, n_partitions=4).persist()
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for lo, hi in ((0, 40), (40, 96)):  # block 1 [32,64) straddles
+        _land(
+            corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            str(tmp_path), landing, f"files_{lo}",
+        )
+    sidx = incremental_build(
+        spark, landing, str(tmp_path / "s_idx"),
+        block_bits=5, n_partitions=4, positions=True, max_files_per_trigger=1,
+    )
+    bidx = build_index(
+        spark, corpus, str(tmp_path / "b_idx"),
+        block_bits=5, n_partitions=4, positions=True,
+    )
+    pa = sidx.postings.orderBy("term", "block_id").toPandas()
+    pb = bidx.postings.orderBy("term", "block_id").toPandas()
+    assert [
+        (r.term, int(r.block_id), bytes(r.positions_ef), int(r.sum_max_pos))
+        for r in pa.itertuples(index=False)
+    ] == [
+        (r.term, int(r.block_id), bytes(r.positions_ef), int(r.sum_max_pos))
+        for r in pb.itertuples(index=False)
+    ]
+    a = decode_positions_df(sidx).orderBy("term", "docid", "pos").toPandas()
+    b = decode_positions_df(bidx).orderBy("term", "docid", "pos").toPandas()
+    assert a.equals(b)
+    corpus.unpersist()
+
+
 def test_incremental_extends_on_new_files(spark, tmp_path):
     """Re-running the stream after new files land extends the index."""
     from pyspark.sql import functions as F
