@@ -266,6 +266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, sf: similarity.ivf_topk(
             _emb(s, sf), _qvec(s, sf), ANN_K
         ),
+        # trained coarse quantizer (k-means) — not SQL-expressible, so
+        # rows-only contract check; recall + exactness properties are
+        # covered in tests/test_pipeline_ops.py
+        "ann_ivf_kmeans_topk": lambda s, sf: similarity.ivf_kmeans_topk(
+            _emb(s, sf), _qvec(s, sf), ANN_K, n_clusters=16, nprobe=4
+        ),
         "label_centroids": lambda s, sf: similarity.label_centroids(_emb(s, sf)),
     }
 

@@ -59,19 +59,32 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _embedding_dim(embeddings: DataFrame) -> int:
+    row = embeddings.select(F.size("embedding").alias("d")).head()
+    return int(row["d"])
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
-    """Per-label centroid via posexplode + groupBy(label, pos) + avg —
-    the shuffle-friendly distributed column mean (no whole-vector agg).
-    Row output (label, pos, centroid_val) so values hash stably."""
-    ex = embeddings.select(
-        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "v")
-    )
-    return (
-        ex.groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
-        .select(F.col("label").cast("long").alias("label"),
-                F.col("pos").cast("long").alias("pos"), "centroid_val")
-    )
+    """Per-label centroid as `dim` per-dimension avg aggregates in ONE
+    groupBy — map-side partial aggregation over unexploded rows. (The
+    r01 posexplode formulation amplified the shuffle by docs x dims —
+    1000x at 1024-dim; here the shuffle carries one partial-agg row per
+    (partition, label).) Row output (label, pos, centroid_val) so
+    values hash stably."""
+    dim = _embedding_dim(embeddings)
+    aggs = [
+        F.round(F.avg(F.col("embedding")[i].cast("double")), 6).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    per_label = embeddings.groupBy("label").agg(*aggs)
+    # unpivot the (n_labels x dim) result — trivially small by now
+    pairs = F.array(*[
+        F.struct(F.lit(i).cast("long").alias("pos"), F.col(f"c{i}").alias("v"))
+        for i in range(dim)
+    ])
+    return per_label.select(
+        F.col("label").cast("long").alias("label"), F.explode(pairs).alias("p")
+    ).select("label", F.col("p.pos").alias("pos"), F.col("p.v").alias("centroid_val"))
 
 
 LABEL_CENTROIDS_SQL = """
@@ -108,6 +121,114 @@ def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFrame
 
     best = max(cen, key=lambda r: (cos(r["centroid"]), -r["label"]))["label"]
     cluster = embeddings.where(F.col("label") == int(best))
+    scored = cluster.select(
+        "vec_id", F.round(_cos_expr(F.col("embedding"), qvec), 6).alias("cos")
+    )
+    return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF with trained k-means coarse quantizer (VERDICT r01 #8: an index,
+# not a label router). Train on a bounded driver-side sample (the
+# standard IVF shape — FAISS trains the coarse quantizer on a sample),
+# assign distributed, probe nprobe clusters at query time.
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 15,
+    sample: int = 100_000,
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means (cosine) via Lloyd's iterations on a
+    deterministic sample (first `sample` vec_ids): kmeans++ seeding with
+    a fixed RNG, empty clusters reseeded to the farthest point. Returns
+    L2-normalized centroids (n_clusters, dim). The sample bound keeps
+    training driver-side and O(sample x dim) regardless of table size;
+    assignment stays distributed (kmeans_assign)."""
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = len(x)
+    k = min(n_clusters, n)
+    rng = np.random.default_rng(seed)
+
+    # kmeans++ seeding on cosine distance (1 - sim)
+    cen = np.empty((k, x.shape[1]))
+    cen[0] = x[rng.integers(n)]
+    d2 = 1.0 - x @ cen[0]
+    for i in range(1, k):
+        p = np.maximum(d2, 0)
+        p = p / p.sum() if p.sum() > 0 else np.full(n, 1.0 / n)
+        cen[i] = x[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, 1.0 - x @ cen[i])
+
+    for _ in range(n_iter):
+        sims = x @ cen.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:  # reseed to the globally farthest point
+                cen[c] = x[np.argmin(np.max(sims, axis=1))]
+            else:
+                m = members.sum(axis=0)
+                cen[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cen
+
+
+def kmeans_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cluster): distributed argmax-cosine assignment — an
+    Arrow matrix multiply per batch against the (small) centroid matrix."""
+    cen = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": np.argmax(mat @ cen.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cluster int"
+    )
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Trained-IVF ANN: probe the `nprobe` nearest k-means cells, exact
+    cosine top-k within them (scan shrinks ~ nprobe/n_clusters). Pass
+    `centroids` to reuse a trained quantizer across queries (the index
+    lifecycle; training per call is the convenience path for tests)."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, n_clusters=n_clusters)
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    # plain join on vec_id (no broadcast hint): the probed subset is
+    # ~nprobe/n_clusters of the table — AQE broadcasts it when small,
+    # shuffles when not; in the index lifecycle the assignment would be
+    # a persisted artifact co-partitioned with the vectors
+    assigned = kmeans_assign(embeddings, centroids)
+    cluster = embeddings.join(
+        assigned.where(F.col("cluster").isin(probes)).select("vec_id"), "vec_id"
+    )
     scored = cluster.select(
         "vec_id", F.round(_cos_expr(F.col("embedding"), qvec), 6).alias("cos")
     )
