@@ -201,23 +201,14 @@ def _conjunctive_selective(
     decodes only candidate quanta. term_groups: [(global_df, idf, grp)]."""
     term_groups = sorted(term_groups, key=lambda t: t[0])
     _, idf0, grp0 = term_groups[0]
-    d0_parts, f0_parts = [], []
-    for r in grp0.itertuples(index=False):
-        base = 0 if block_bits is None else int(r.block_id) << block_bits
-        ub = block_upper_bound(block_bits, num_docs)
-        d0_parts.append(
-            ef.decode_docids(bytes(r.docids_ef), int(r.df), ub, log2q) + base
-        )
-        f0_parts.append(
-            ef.decode_freqs(bytes(r.freqs_ef), int(r.df), int(r.cf), log2q)
-        )
-        if stats is not None:
-            stats["total"] = stats.get("total", 0) + len(r.q_last_docid)
-            stats["decoded"] = stats.get("decoded", 0) + len(r.q_last_docid)
-    if not d0_parts:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-    cand = np.concatenate(d0_parts)
-    decoded = [(idf0, cand, np.concatenate(f0_parts))]
+    if stats is not None:
+        nq0 = sum(len(r.q_last_docid) for r in grp0.itertuples(index=False))
+        stats["total"] = stats.get("total", 0) + nq0
+        stats["decoded"] = stats.get("decoded", 0) + nq0
+    cand, f0 = _decode_term_full(grp0, num_docs, block_bits, log2q)
+    if len(cand) == 0:
+        return cand, np.zeros(0)
+    decoded = [(idf0, cand, f0)]
 
     for _, idf_t, grp in term_groups[1:]:
         if len(cand) == 0:
@@ -240,6 +231,194 @@ def _conjunctive_selective(
             f_t[pos], doclen_arr[cand].astype(np.float64), avgdl
         )
     return bm25._topk(cand, scores, kq)
+
+
+def _decode_term_full(grp: pd.DataFrame, num_docs: int, block_bits: int | None, log2q: int):
+    d_parts, f_parts = [], []
+    for r in grp.itertuples(index=False):
+        base = 0 if block_bits is None else int(r.block_id) << block_bits
+        ub = block_upper_bound(block_bits, num_docs)
+        d_parts.append(
+            ef.decode_docids(bytes(r.docids_ef), int(r.df), ub, log2q) + base
+        )
+        f_parts.append(
+            ef.decode_freqs(bytes(r.freqs_ef), int(r.df), int(r.cf), log2q)
+        )
+    if not d_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(d_parts), np.concatenate(f_parts)
+
+
+def _decode_term_quanta_mask(
+    grp: pd.DataFrame,
+    keep_mask_per_row: list,
+    num_docs: int,
+    block_bits: int | None,
+    log2q: int,
+    stats: dict | None = None,
+):
+    """Decode only the quanta flagged in keep_mask_per_row (one bool
+    array per block row, aligned with that row's q_last grid)."""
+    d_parts, f_parts = [], []
+    for r, mask in zip(grp.itertuples(index=False), keep_mask_per_row):
+        if stats is not None:
+            stats["total"] = stats.get("total", 0) + len(mask)
+            stats["decoded"] = stats.get("decoded", 0) + int(mask.sum())
+        if not mask.any():
+            continue
+        base = 0 if block_bits is None else int(r.block_id) << block_bits
+        ub = block_upper_bound(block_bits, num_docs)
+        q_last_rel = np.asarray(r.q_last_docid, dtype=np.int64) - base
+        qidx = np.flatnonzero(mask)
+        runs = np.split(qidx, np.where(np.diff(qidx) > 1)[0] + 1)
+        for run in runs:
+            j0, j1 = int(run[0]), int(run[-1]) + 1
+            d_parts.append(
+                ef.decode_docids_quanta(
+                    bytes(r.docids_ef), int(r.df), ub, q_last_rel, j0, j1, log2q
+                ) + base
+            )
+            f_parts.append(
+                ef.decode_freqs_quanta(
+                    bytes(r.freqs_ef), int(r.df), int(r.cf), j0, j1, log2q
+                )
+            )
+    if not d_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(d_parts), np.concatenate(f_parts)
+
+
+def _bmw_selective(
+    term_groups: list,
+    doclen_arr: np.ndarray,
+    avgdl: float,
+    kq: int,
+    num_docs: int,
+    block_bits: int | None,
+    log2q: int,
+    stats: dict | None = None,
+):
+    """Block-max WAND with DECODE pruning (VERDICT r01 wrong #6): the
+    per-quantum (max tf, min dl) metadata bounds each quantum's best
+    contribution WITHOUT decoding it; a quantum whose bound plus every
+    other term's global best is below the provisional threshold theta
+    is never decoded (its bytes are never unpacked). Safe-to-k:
+
+      score(d) <= ub_t(quantum of d in t) + sum_{t'!=t} U_t'   for any t,
+      so a pruned quantum only holds docs provably below theta, and any
+      doc with true score >= theta has ALL its quanta decoded — the
+      exact top-k is unchanged (rank-identical to exhaustive).
+
+    term_groups: [(global_df, idf, grp)] — grp rows sorted by block_id."""
+    live = [(gdf, idf_t, grp) for gdf, idf_t, grp in term_groups if len(grp)]
+    if not live:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    # per-term per-quantum upper bounds from metadata only (no decode)
+    metas = []  # (idf, [per-row (q_last_abs, ub_arr)], U_t)
+    for gdf, idf_t, grp in live:
+        rows_meta = []
+        u_t = 0.0
+        for r in grp.itertuples(index=False):
+            q_last = np.asarray(r.q_last_docid, dtype=np.int64)
+            max_tfn = bm25.tfn(
+                np.asarray(r.q_max_tf, dtype=np.float64),
+                np.asarray(r.q_min_dl, dtype=np.float64),
+                avgdl,
+            )
+            ub = idf_t * max_tfn
+            if idf_t < 0:
+                ub = np.maximum(ub, 0.0)
+            rows_meta.append((q_last, ub))
+            if len(ub):
+                u_t = max(u_t, float(ub.max()))
+        metas.append((idf_t, rows_meta, u_t))
+    sum_u = sum(u for _, _, u in metas)
+
+    # seed: pick the highest-UPPER-BOUND quanta (metadata only, no
+    # decode) from the highest-idf terms until they hold >= kq docs —
+    # promising candidates without ever fully decoding a hot term
+    order = np.argsort([-idf_t for _, idf_t, _ in live])
+    seed_docs: list[np.ndarray] = []
+    chosen = 0
+    for i in order:
+        i = int(i)
+        _, rows_meta, _ = metas[i]
+        grp = live[i][2]
+        q = 1 << log2q
+        masks = [np.zeros(len(ub), dtype=bool) for _, ub in rows_meta]
+        flat = []
+        for ri, (r, (_, ub)) in enumerate(zip(grp.itertuples(index=False), rows_meta)):
+            df_b = int(r.df)
+            for j in range(len(ub)):
+                flat.append((float(ub[j]), ri, j, min(q, df_b - j * q)))
+        flat.sort(key=lambda t: -t[0])
+        for _, ri, j, cnt in flat:
+            if chosen >= kq:
+                break
+            masks[ri][j] = True
+            chosen += cnt
+        d_i, _ = _decode_term_quanta_mask(grp, masks, num_docs, block_bits, log2q)
+        seed_docs.append(d_i)
+        if chosen >= kq:
+            break
+    seed_union = np.unique(np.concatenate(seed_docs)) if seed_docs else np.zeros(0, np.int64)
+
+    def exact_scores(cand: np.ndarray, arrays: dict) -> np.ndarray:
+        s = np.zeros(len(cand))
+        for i, (_, idf_t, _) in enumerate(live):
+            d_t, f_t = arrays[i]
+            if len(d_t) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(d_t, cand), len(d_t) - 1)
+            hit = d_t[pos] == cand
+            c = idf_t * bm25.tfn(
+                f_t[pos], doclen_arr[d_t[pos]].astype(np.float64), avgdl
+            )
+            s += np.where(hit, c, 0.0)
+        return s
+
+    seed_arrays = {
+        i: decode_term_selective(grp, seed_union, num_docs, block_bits, log2q)
+        for i, (_, _, grp) in enumerate(live)
+    }
+    seed_scores = exact_scores(seed_union, seed_arrays)
+    theta = (
+        np.partition(seed_scores, -kq)[-kq] if len(seed_scores) >= kq else -np.inf
+    )
+
+    # quantum survival: ub_t(j) + sum_{t'!=t} U_t' >= theta
+    full_arrays: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for i, (idf_t, rows_meta, u_t) in enumerate(metas):
+        other = sum_u - u_t
+        if np.isfinite(theta):
+            masks = [ub + other >= theta for _, ub in rows_meta]
+        else:
+            masks = [np.ones(len(ub), dtype=bool) for _, ub in rows_meta]
+        full_arrays[i] = _decode_term_quanta_mask(
+            live[i][2], masks, num_docs, block_bits, log2q, stats
+        )
+
+    # per-doc bound over decoded postings, then exact re-score
+    if all(len(full_arrays[i][0]) == 0 for i in range(len(live))):
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    all_d, all_ub = [], []
+    for i, (idf_t, rows_meta, _) in enumerate(metas):
+        d_t = full_arrays[i][0]
+        if len(d_t) == 0:
+            continue
+        q_last_cat = np.concatenate([ql for ql, _ in rows_meta])
+        ub_cat = np.concatenate([ub for _, ub in rows_meta])
+        blk = np.minimum(
+            np.searchsorted(q_last_cat, d_t, side="left"), len(ub_cat) - 1
+        )
+        all_d.append(d_t)
+        all_ub.append(ub_cat[blk])
+    uniq, inv = np.unique(np.concatenate(all_d), return_inverse=True)
+    doc_ub = np.bincount(inv, weights=np.concatenate(all_ub))
+    survivors = uniq[doc_ub >= theta] if np.isfinite(theta) else uniq
+    scores = exact_scores(survivors, full_arrays)
+    return bm25._topk(survivors, scores, kq)
 
 
 def _run_queries_query_major(
@@ -277,18 +456,26 @@ def _run_queries_query_major(
         mode, kq = qmeta_bc.value[qid]
         doclen_arr = doclen_bc.value
 
-        if mode == "conjunctive":
-            # block-selective decode: only quanta that can hold
-            # candidates of the rarest term are touched
+        if mode == "conjunctive" or algo == "bmw":
+            # block-selective decode paths: only quanta that can matter
+            # are ever unpacked (conjunctive: quanta holding the rarest
+            # term's candidates; BMW: quanta whose metadata bound beats
+            # the provisional threshold)
             tgroups = []
             for term, grp in pdf.groupby("term", sort=True):
                 grp = grp.sort_values("block_id")
                 gdf = int(grp["global_df"].iloc[0])
                 tgroups.append((gdf, bm25.idf(num_docs, gdf), grp))
-            if len(tgroups) < nqt_bc.value[qid]:
-                docids, scores = np.zeros(0, dtype=np.int64), np.zeros(0)
+            if mode == "conjunctive":
+                if len(tgroups) < nqt_bc.value[qid]:
+                    docids, scores = np.zeros(0, dtype=np.int64), np.zeros(0)
+                else:
+                    docids, scores = _conjunctive_selective(
+                        tgroups, doclen_arr, avgdl, kq,
+                        num_docs, block_bits, log2q,
+                    )
             else:
-                docids, scores = _conjunctive_selective(
+                docids, scores = _bmw_selective(
                     tgroups, doclen_arr, avgdl, kq,
                     num_docs, block_bits, log2q,
                 )
