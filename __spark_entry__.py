@@ -71,15 +71,19 @@ def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
-def _bm25(spark: SparkSession, sf_dir: str, queries, algo: str) -> DataFrame:
+def _bm25(spark: SparkSession, sf_dir: str, queries, algo: str,
+          strategy: str = "auto") -> DataFrame:
     """Engine BM25 with stable 6dp re-ranking (see oracle twin): fetch
-    deep top-100 at full precision, re-rank on (round(score,6), docid)."""
+    deep top-100 at full precision, re-rank on (round(score,6), docid).
+    Exhaustive keys pin strategy='term_major' so the correctness gate
+    exercises the broadcast-free 10^9-doc scoring path; BMW keys run
+    the query-major DAAT kernel (reference shape)."""
     from pyspark.sql import Window
 
     from terrier_ef_spark.query.engine import run_queries
 
     idx = _get_index(spark, sf_dir)
-    deep = run_queries(idx, queries, k=100, algo=algo)
+    deep = run_queries(idx, queries, k=100, algo=algo, strategy=strategy)
     w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("docid"))
     return (
         deep.withColumn("score_r", F.round("score", 6))
@@ -190,13 +194,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def bm25_disjunctive(spark, sf):
-        return _bm25(spark, sf, BM25_QUERIES, algo="naive")
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive", strategy="term_major")
 
     def bm25_bmw(spark, sf):
         return _bm25(spark, sf, BM25_QUERIES, algo="bmw")
 
     def bm25_conjunctive(spark, sf):
-        return _bm25(spark, sf, BM25_CONJ_QUERIES, algo="naive")
+        return _bm25(spark, sf, BM25_CONJ_QUERIES, algo="naive", strategy="term_major")
 
     def positions_decoded(spark, sf):
         from terrier_ef_spark.query.engine import decode_positions_df

@@ -116,6 +116,37 @@ def synthesize_corpus(
     )
 
 
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def corpus_from_table(
+    spark: SparkSession, table: str, where: str | None = None
+) -> DataFrame:
+    """Read the input corpus from a catalog table — the input_hint's
+    'Iceberg table of source-code repositories with columns (repo, path,
+    commit, lang, content)'. Works against any Spark catalog (Iceberg,
+    Hive, or the built-in spark_catalog); the table format is the
+    catalog's concern, the engine only requires the column contract.
+
+    `where` is pushed as a SQL predicate so Iceberg/parquet partition
+    pruning and row-group skipping happen at the source (e.g.
+    ``lang = 'py'`` or a snapshot/commit filter). Extra columns are
+    pruned here so downstream scans read only the contract columns."""
+    df = spark.table(table)
+    missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"corpus table {table!r} is missing required columns {missing}; "
+            f"expected at least {CORPUS_COLUMNS}"
+        )
+    if where:
+        df = df.where(where)
+    cols = [F.col(c) for c in CORPUS_COLUMNS]
+    if "doc_id" in df.columns:
+        cols.append(F.col("doc_id").cast("long").alias("doc_id"))
+    return df.select(*cols)
+
+
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver `documents(doc_id, text, lang, source, n_chars)`
     table into the input_hint corpus shape (FIXTURES.md F6)."""

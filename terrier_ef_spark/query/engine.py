@@ -65,9 +65,19 @@ def run_queries(
 
     Returns (qid, rank, docid, score), rank 1-based, tie-break
     (score desc, docid asc). strategy: 'term_major' | 'query_major' |
-    'auto' (term_major for exhaustive scoring, query_major for BMW)."""
+    'auto'. auto picks query_major for BMW and for SMALL batches on
+    SMALL collections (the per-query kernel has near-zero plan
+    overhead; term-major pays a fixed 2-3 Spark stages), and term_major
+    for large batches — where decode-once-per-term dominates — or
+    whenever the collection is too big for the kernel's doclen
+    broadcast (>1e8 docs)."""
     if strategy == "auto":
-        strategy = "query_major" if algo == "bmw" else "term_major"
+        if algo == "bmw":
+            strategy = "query_major"
+        elif len(queries) >= 64 or index.stats["num_docs"] > 100_000_000:
+            strategy = "term_major"
+        else:
+            strategy = "query_major"
     if strategy == "term_major":
         if algo == "bmw":
             raise ValueError(
@@ -456,7 +466,15 @@ def _run_queries_query_major(
         mode, kq = qmeta_bc.value[qid]
         doclen_arr = doclen_bc.value
 
-        if mode == "conjunctive" or algo == "bmw":
+        # block-selective decode pays off only on long lists: below this
+        # many total quanta the whole-list vectorized decode is cheaper
+        # than the mask/pointer machinery (measured at sf0.1: selective
+        # BMW on short lists cost ~2x; on skewed long lists it skips
+        # >50% of bytes — see test_bmw_selective_decodes_fewer_quanta)
+        total_quanta = int(pdf["q_last_docid"].map(len).sum())
+        selective = total_quanta >= 512
+
+        if selective and (mode == "conjunctive" or algo == "bmw"):
             # block-selective decode paths: only quanta that can matter
             # are ever unpacked (conjunctive: quanta holding the rarest
             # term's candidates; BMW: quanta whose metadata bound beats
@@ -515,7 +533,13 @@ def _run_queries_query_major(
                     q_min_dl=np.concatenate(qd_parts),
                 )
             )
-        docids, scores = bm25.ALGOS[algo](terms, doclen_arr, avgdl, kq)
+        if mode == "conjunctive":
+            if len(terms) < nqt_bc.value[qid]:
+                docids, scores = np.zeros(0, dtype=np.int64), np.zeros(0)
+            else:
+                docids, scores = bm25.topk_conjunctive(terms, doclen_arr, avgdl, kq)
+        else:
+            docids, scores = bm25.ALGOS[algo](terms, doclen_arr, avgdl, kq)
         return pd.DataFrame(
             {
                 "qid": qid,
