@@ -409,6 +409,7 @@ def _build_index(
     tokenizer: str = "simple",
     stopwords: list[str] | None = None,
     max_term_length: int | None = None,
+    direct: bool = False,
     resume: bool = True,
 ) -> "EFIndex":
     """Build the full EF index from a corpus DataFrame.
@@ -416,6 +417,9 @@ def _build_index(
     corpus columns: repo, path, commit, lang, content[, doc_id].
     If doc_id is absent, dense docids are assigned by global
     (repo, path, commit) order (deterministic at any parallelism).
+    direct=True also materializes the forward index as a build stage
+    (the reference ships Invert2Direct as a separate tool; here it is a
+    flag so one job produces both orientations).
     """
     from terrier_ef_spark.index.reader import EFIndex  # avoid cycle
 
@@ -523,4 +527,9 @@ def _build_index(
             indent=2,
         )
 
-    return EFIndex(spark, out_dir)
+    index = EFIndex(spark, out_dir)
+    if direct:
+        from terrier_ef_spark.index.direct import build_direct
+
+        build_direct(index, n_partitions=n_partitions, resume=resume)
+    return index

@@ -259,3 +259,28 @@ def test_quantum_range_decode_matches_full():
                 assert got_d.tolist() == full_d[a:e].tolist(), (n, ub, log2q, j0, j1)
                 got_f = ef.decode_freqs_quanta(fblob, n, cf, j0, j1, log2q)
                 assert got_f.tolist() == full_f[a:e].tolist(), (n, ub, log2q, j0, j1)
+
+
+def test_quantum_range_decode_misuse_probes():
+    """Partial decode must fail loudly on corrupt input, not return
+    garbage: truncated blob, wrong df, out-of-range windows."""
+    import numpy as np
+    import pytest
+
+    from terrier_ef_spark import ef
+
+    rng = np.random.default_rng(3)
+    docids = np.sort(rng.choice(100_000, size=600, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=600).astype(np.int64)
+    cf = int(tfs.sum())
+    dblob = ef.encode_docids(docids, 100_000, 8)
+    fblob = ef.encode_freqs(tfs, cf, 8)
+    q_last = docids[np.minimum(np.arange(1, 4) * 256 - 1, 599)]
+
+    with pytest.raises(ValueError):
+        ef.decode_docids_quanta(dblob[: len(dblob) // 3], 600, 100_000, q_last, 1, 3, 8)
+    with pytest.raises(ValueError):
+        ef.decode_freqs_quanta(fblob[:8], 600, cf, 1, 3, 8)
+    # empty window is not an error — it is an empty result
+    assert len(ef.decode_docids_quanta(dblob, 600, 100_000, q_last, 3, 5, 8)) == 0
+    assert len(ef.decode_freqs_quanta(fblob, 600, cf, 3, 5, 8)) == 0
