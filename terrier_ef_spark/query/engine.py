@@ -40,15 +40,26 @@ RESULT_SCHEMA = "qid long, rank int, docid long, score double"
 
 
 def _query_plan(queries: list[dict], k: int):
+    """Flatten the query batch: per-query (mode, k), distinct
+    (qid, term, weight) rows, and distinct-term counts. Query-term
+    weights (Terrier's `term^w` operator) default to 1.0 and come from
+    an optional q['weights'] mapping; they scale the term's
+    contribution linearly, so every pruning bound stays valid for
+    w > 0 (negative weights are rejected — they would invert bounds)."""
     qmeta = {
         int(q["qid"]): (q.get("mode", "disjunctive"), int(q.get("k", k)))
         for q in queries
     }
-    qterm_rows = [
-        (int(q["qid"]), t) for q in queries for t in dict.fromkeys(q["terms"])
-    ]
+    qterm_rows = []
+    for q in queries:
+        weights = q.get("weights") or {}
+        for t in dict.fromkeys(q["terms"]):
+            w = float(weights.get(t, 1.0))
+            if w <= 0:
+                raise ValueError(f"query term weight must be > 0, got {w} for {t!r}")
+            qterm_rows.append((int(q["qid"]), t, w))
     n_query_terms = {qid: 0 for qid in qmeta}
-    for qid, _ in qterm_rows:
+    for qid, _, _ in qterm_rows:
         n_query_terms[qid] += 1
     return qmeta, qterm_rows, n_query_terms
 
@@ -101,7 +112,9 @@ def _run_queries_term_major(
     qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
     if not qterm_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    qterms_df = spark.createDataFrame(qterm_rows, "qid long, term string")
+    qterms_df = spark.createDataFrame(
+        qterm_rows, "qid long, term string, w double"
+    )
     qmeta_df = spark.createDataFrame(
         [
             (qid, mode, kq, n_query_terms[qid])
@@ -109,7 +122,7 @@ def _run_queries_term_major(
         ],
         "qid long, mode string, kq int, n_terms int",
     )
-    distinct_terms = sorted({t for _, t in qterm_rows})
+    distinct_terms = sorted({t for _, t, _ in qterm_rows})
 
     posts = decode_postings(index, terms=distinct_terms)
     lex = index.lexicon.select(
@@ -132,7 +145,10 @@ def _run_queries_term_major(
     scored = (
         posts.join(F.broadcast(qterms_df), "term")
         .groupBy("qid", "docid")
-        .agg(F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("nhit"))
+        .agg(
+            F.sum(F.col("contrib") * F.col("w")).alias("score"),
+            F.count(F.lit(1)).alias("nhit"),
+        )
     )
     res = scored.join(F.broadcast(qmeta_df), "qid").where(
         (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
@@ -442,9 +458,11 @@ def _run_queries_query_major(
     block_bits = stats.get("block_bits")
 
     qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
-    qterms_df = spark.createDataFrame(qterm_rows, "qid long, term string")
+    qterms_df = spark.createDataFrame(
+        qterm_rows, "qid long, term string, w double"
+    )
 
-    distinct_terms = sorted({t for _, t in qterm_rows})
+    distinct_terms = sorted({t for _, t, _ in qterm_rows})
     # explicit projection so the parquet scan never reads positions_ef
     # (the lazy-positions property, SURVEY.md §4 'Lazy decode')
     matched = index.postings.select(
@@ -483,7 +501,8 @@ def _run_queries_query_major(
             for term, grp in pdf.groupby("term", sort=True):
                 grp = grp.sort_values("block_id")
                 gdf = int(grp["global_df"].iloc[0])
-                tgroups.append((gdf, bm25.idf(num_docs, gdf), grp))
+                w = float(grp["w"].iloc[0])
+                tgroups.append((gdf, w * bm25.idf(num_docs, gdf), grp))
             if mode == "conjunctive":
                 if len(tgroups) < nqt_bc.value[qid]:
                     docids, scores = np.zeros(0, dtype=np.int64), np.zeros(0)
@@ -511,6 +530,7 @@ def _run_queries_query_major(
             grp = grp.sort_values("block_id")
             d_parts, f_parts, ql_parts, qt_parts, qd_parts = [], [], [], [], []
             gdf = int(grp["global_df"].iloc[0])
+            w = float(grp["w"].iloc[0])
             for r in grp.itertuples(index=False):
                 df_b, cf_b = int(r.df), int(r.cf)
                 base = 0 if block_bits is None else int(r.block_id) << block_bits
@@ -525,7 +545,7 @@ def _run_queries_query_major(
             terms.append(
                 TermPostings(
                     term=term,
-                    idf=bm25.idf(num_docs, gdf),
+                    idf=w * bm25.idf(num_docs, gdf),
                     docids=np.concatenate(d_parts),
                     tfs=np.concatenate(f_parts),
                     q_last_docid=np.concatenate(ql_parts),
@@ -556,6 +576,16 @@ def _run_queries_query_major(
     # queries whose terms all miss the lexicon produce no group — that is
     # correct (empty result set), matching 'absent term' semantics.
     return scored
+
+
+def with_docno(index: EFIndex, results: DataFrame) -> DataFrame:
+    """Attach docno to (qid, rank, docid, score) results — the final
+    metadata lookup of the retrieval lifecycle (the MetaIndex role in
+    Terrier; our docno = repo:path@commit8). Partitioned join on docid;
+    AQE broadcasts the k·|batch|-row results side, never the docs table."""
+    return results.join(index.docs.select("docid", "docno"), "docid").select(
+        "qid", "rank", "docid", "docno", "score"
+    )
 
 
 def decode_postings(index: EFIndex, terms: list[str] | None = None) -> DataFrame:

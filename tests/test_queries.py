@@ -111,6 +111,52 @@ def test_bmw_equals_naive_everywhere(small_index):
     ) or _engine_results(small_index, "naive") == _engine_results(small_index, "bmw")
 
 
+def test_query_term_weights(small_index, small_oracle):
+    """Terrier's term^w weights scale contributions linearly — verified
+    against a direct recomputation, on BOTH strategies, and an invalid
+    weight is rejected."""
+    q = [{"qid": 1, "terms": ["the", "import"], "weights": {"import": 3.0}}]
+
+    def expected():
+        import heapq
+
+        scores = {}
+        for t, w in (("the", 1.0), ("import", 3.0)):
+            for d, tf in small_oracle.postings[t]:
+                dl = small_oracle.doclen[d]
+                tfn = tf * 2.2 / (1.2 * (0.25 + 0.75 * dl / small_oracle.avgdl) + tf)
+                scores[d] = scores.get(d, 0.0) + w * small_oracle.idf(t) * tfn
+        return heapq.nsmallest(10, scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    want = expected()
+    for strategy in ("term_major", "query_major"):
+        got = (
+            run_queries(small_index, q, k=10, strategy=strategy)
+            .orderBy("rank").collect()
+        )
+        assert [r["docid"] for r in got] == [d for d, _ in want], strategy
+        assert np.allclose(
+            [r["score"] for r in got], [s for _, s in want], atol=1e-9
+        ), strategy
+    with pytest.raises(ValueError):
+        run_queries(
+            small_index,
+            [{"qid": 1, "terms": ["the"], "weights": {"the": -1.0}}],
+            strategy="term_major",
+        )
+
+
+def test_with_docno(small_index):
+    from terrier_ef_spark.query.engine import with_docno
+
+    res = run_queries(
+        small_index, [{"qid": 1, "terms": ["the"]}], k=5, strategy="query_major"
+    )
+    out = with_docno(small_index, res).orderBy("rank").collect()
+    assert len(out) == 5
+    assert all(r["docno"] and ":" in r["docno"] for r in out)
+
+
 def test_kernel_rank_identity_randomized(small_oracle):
     """Kernel-level (no Spark) property check over random query mixes:
     BMW == naive == oracle on 30 random queries."""
