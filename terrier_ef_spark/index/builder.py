@@ -420,6 +420,15 @@ def _build_index(
     direct=True also materializes the forward index as a build stage
     (the reference ships Invert2Direct as a separate tool; here it is a
     flag so one job produces both orientations).
+
+    Scale guidance — block_bits: the default (None, one blob per term)
+    matches the reference layout and compresses best at small corpora,
+    but a hot term's encode group then grows with the collection. At
+    ~1e8+ docs ALWAYS set block_bits (e.g. 20 → ≤1M docs per encode
+    group): it caps every group independent of df (the term-skew salt
+    the north rule requires), costs only the lower-bits delta of a
+    wider-than-needed block bound, and is what makes incremental
+    (streaming) appends byte-identical to batch rebuilds.
     """
     from terrier_ef_spark.index.reader import EFIndex  # avoid cycle
 

@@ -485,12 +485,13 @@ def _run_queries_query_major(
         doclen_arr = doclen_bc.value
 
         # block-selective decode pays off only on long lists: below this
-        # many total quanta the whole-list vectorized decode is cheaper
-        # than the mask/pointer machinery (measured at sf0.1: selective
-        # BMW on short lists cost ~2x; on skewed long lists it skips
-        # >50% of bytes — see test_bmw_selective_decodes_fewer_quanta)
+        # many total quanta (~1M postings at the default quantum) the
+        # whole-list vectorized decode is cheaper than the mask/pointer
+        # machinery (measured at sf0.1: selective BMW on short lists
+        # cost ~2x; on skewed long lists it skips >50% of bytes — see
+        # test_bmw_selective_decodes_fewer_quanta)
         total_quanta = int(pdf["q_last_docid"].map(len).sum())
-        selective = total_quanta >= 512
+        selective = total_quanta >= 4096
 
         if selective and (mode == "conjunctive" or algo == "bmw"):
             # block-selective decode paths: only quanta that can matter
