@@ -72,18 +72,20 @@ def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 
 def _bm25(spark: SparkSession, sf_dir: str, queries, algo: str,
-          strategy: str = "auto") -> DataFrame:
-    """Engine BM25 with stable 6dp re-ranking (see oracle twin): fetch
-    deep top-100 at full precision, re-rank on (round(score,6), docid).
-    Exhaustive keys pin strategy='term_major' so the correctness gate
-    exercises the broadcast-free 10^9-doc scoring path; BMW keys run
-    the query-major DAAT kernel (reference shape)."""
+          strategy: str = "auto", model: str = "bm25") -> DataFrame:
+    """Engine retrieval with stable 6dp re-ranking (see oracle twin):
+    fetch deep top-100 at full precision, re-rank on (round(score,6),
+    docid). Exhaustive keys pin strategy='term_major' so the correctness
+    gate exercises the broadcast-free 10^9-doc scoring path; BMW keys
+    run the query-major DAAT kernel (reference shape). model selects
+    the pluggable weighting model (bm25 | dph | lm_dirichlet)."""
     from pyspark.sql import Window
 
     from terrier_ef_spark.query.engine import run_queries
 
     idx = _get_index(spark, sf_dir)
-    deep = run_queries(idx, queries, k=100, algo=algo, strategy=strategy)
+    deep = run_queries(idx, queries, k=100, algo=algo, strategy=strategy,
+                       model=model)
     w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("docid"))
     return (
         deep.withColumn("score_r", F.round("score", 6))
@@ -93,7 +95,24 @@ def _bm25(spark: SparkSession, sf_dir: str, queries, algo: str,
     )
 
 
-def _bm25_oracle_sql(queries, conjunctive: bool) -> str:
+# per-model SQL contribution formulas — each the exact relational twin
+# of the Catalyst expression in query/engine.py:_run_queries_term_major
+_MODEL_CONTRIB_SQL = {
+    "bm25": """log2((st.n - l.df + 0.5) / (l.df + 0.5))
+             * p.tf * 2.2 / (1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl) + p.tf)""",
+    # DFR DPH (Amati): f = tf/dl, norm = (1-f)^2/(tf+1); 0 when tf >= dl
+    "dph": """CASE WHEN p.tf < dl.doclen THEN
+               ((1 - p.tf / dl.doclen) * (1 - p.tf / dl.doclen) / (p.tf + 1))
+               * (p.tf * log2(p.tf * (st.avgdl / dl.doclen) * (st.n / l.cf))
+                  + 0.5 * log2(2 * pi() * p.tf * (1 - p.tf / dl.doclen)))
+             ELSE 0.0 END""",
+    # Dirichlet-smoothed LM (Zhai & Lafferty), mu = 2500, per matched term
+    "lm_dirichlet": """log2(1 + p.tf / (2500.0 * l.cf / st.ntok))
+             + log2(2500.0 / (dl.doclen + 2500.0))""",
+}
+
+
+def _bm25_oracle_sql(queries, conjunctive: bool, model: str = "bm25") -> str:
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
@@ -101,23 +120,25 @@ def _bm25_oracle_sql(queries, conjunctive: bool) -> str:
         f"({q['qid']}, {len(dict.fromkeys(q['terms']))})" for q in queries
     )
     conj_filter = "AND sc.nhit = nt.n_terms" if conjunctive else ""
+    contrib = _MODEL_CONTRIB_SQL[model]
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS term FROM documents
 ), post AS (
-  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
 ), dl AS (
-  SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
 ), st AS (
-  SELECT (SELECT count(*) FROM documents) AS n, avg(doclen) AS avgdl FROM dl
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl,
+         (SELECT count(*) FROM tok)::double AS ntok
+  FROM dl
 ), lex AS (
-  SELECT term, count(*) AS df FROM post GROUP BY 1
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
 ), q(qid, term) AS (VALUES {vals}),
 nt(qid, n_terms) AS (VALUES {nterms}),
 sc AS (
   SELECT q.qid, p.doc_id AS docid,
-         sum(log2((st.n - l.df + 0.5) / (l.df + 0.5))
-             * p.tf * 2.2 / (1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl) + p.tf)) AS score,
+         sum({contrib}) AS score,
          count(*) AS nhit
   FROM q JOIN lex l USING (term) JOIN post p USING (term)
          JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
@@ -202,6 +223,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_conjunctive(spark, sf):
         return _bm25(spark, sf, BM25_CONJ_QUERIES, algo="naive", strategy="term_major")
 
+    def dph_disjunctive(spark, sf):
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="dph")
+
+    def lm_dirichlet_disjunctive(spark, sf):
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="lm_dirichlet")
+
     def positions_decoded(spark, sf):
         from terrier_ef_spark.query.engine import decode_positions_df
 
@@ -249,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_disjunctive": bm25_disjunctive,
         "bm25_bmw": bm25_bmw,
         "bm25_conjunctive": bm25_conjunctive,
+        "dph_disjunctive": dph_disjunctive,
+        "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
         "positions_decoded": positions_decoded,
         "phrase_match": phrase_match_tv,
         "proximity_match": proximity_tv,
@@ -365,6 +396,12 @@ SELECT term, doc_id AS docid FROM (
         "bm25_disjunctive": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_bmw": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_conjunctive": _bm25_oracle_sql(BM25_CONJ_QUERIES, conjunctive=True),
+        "dph_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="dph"
+        ),
+        "lm_dirichlet_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="lm_dirichlet"
+        ),
         "positions_decoded": f"""
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents)
 SELECT a[i + 1] AS term, doc_id AS docid, i AS pos

@@ -48,14 +48,38 @@ class OracleIndex:
             k1 * (1 - b + b * dl / self.avgdl) + tf
         )
 
-    def bm25_topk(self, terms, k=10, mode="disjunctive"):
+    def score_dph(self, t, d, tf):
+        """DFR DPH (Amati, parameter-free hypergeometric)."""
+        dl = self.doclen[d]
+        if tf >= dl:
+            return 0.0
+        f = tf / dl
+        norm = (1 - f) * (1 - f) / (tf + 1)
+        body = tf * math.log2(
+            tf * (self.avgdl / dl) * (self.num_docs / self.cf(t))
+        ) + 0.5 * math.log2(2 * math.pi * tf * (1 - f))
+        return norm * body
+
+    def score_lm_dirichlet(self, t, d, tf, mu=2500.0):
+        """Dirichlet-smoothed LM (Zhai & Lafferty), per-matched-term
+        decomposition as in Lucene's LMDirichletSimilarity."""
+        dl = self.doclen[d]
+        p_c = self.cf(t) / self.num_tokens
+        return math.log2(1 + tf / (mu * p_c)) + math.log2(mu / (dl + mu))
+
+    def bm25_topk(self, terms, k=10, mode="disjunctive", model="bm25"):
         """Returns [(docid, score)] with (score desc, docid asc) order."""
+        scorer = {
+            "bm25": self.score,
+            "dph": self.score_dph,
+            "lm_dirichlet": self.score_lm_dirichlet,
+        }[model]
         present = [t for t in dict.fromkeys(terms) if t in self.postings]
         scores: dict[int, float] = defaultdict(float)
         hits: dict[int, int] = defaultdict(int)
         for t in present:
             for d, tf in self.postings[t]:
-                scores[d] += self.score(t, d, tf)
+                scores[d] += scorer(t, d, tf)
                 hits[d] += 1
         if mode == "conjunctive":
             need = len(dict.fromkeys(terms))

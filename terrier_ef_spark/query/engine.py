@@ -64,6 +64,10 @@ def _query_plan(queries: list[dict], k: int):
     return qmeta, qterm_rows, n_query_terms
 
 
+# Dirichlet smoothing parameter (Zhai & Lafferty, SIGIR'01 default)
+LM_MU = 2500.0
+
+
 def run_queries(
     index: EFIndex,
     queries: list[dict],
@@ -71,6 +75,7 @@ def run_queries(
     k: int = 10,
     algo: str = "naive",
     strategy: str = "auto",
+    model: str = "bm25",
 ) -> DataFrame:
     """queries: [{'qid': int, 'terms': [str], 'mode': 'disjunctive'|'conjunctive'}].
 
@@ -81,7 +86,18 @@ def run_queries(
     overhead; term-major pays a fixed 2-3 Spark stages), and term_major
     for large batches — where decode-once-per-term dominates — or
     whenever the collection is too big for the kernel's doclen
-    broadcast (>1e8 docs)."""
+    broadcast (>1e8 docs).
+
+    model: 'bm25' (both strategies) | 'dph' | 'lm_dirichlet'
+    (term-major only — published formulas, DFR DPH after Amati and
+    Dirichlet-smoothed LM after Zhai & Lafferty; like Terrier's
+    pluggable weighting models)."""
+    if model not in ("bm25", "dph", "lm_dirichlet"):
+        raise ValueError(f"unknown weighting model {model!r}")
+    if model != "bm25":
+        if algo == "bmw":
+            raise ValueError("BMW metadata bounds are BM25-specific")
+        strategy = "term_major"
     if strategy == "auto":
         if algo == "bmw":
             strategy = "query_major"
@@ -95,19 +111,20 @@ def run_queries(
                 "block-max WAND is a document-at-a-time kernel; use "
                 "strategy='query_major' (term_major scores exhaustively)"
             )
-        return _run_queries_term_major(index, queries, k=k)
+        return _run_queries_term_major(index, queries, k=k, model=model)
     return _run_queries_query_major(index, queries, k=k, algo=algo)
 
 
 def _run_queries_term_major(
-    index: EFIndex, queries: list[dict], *, k: int
+    index: EFIndex, queries: list[dict], *, k: int, model: str = "bm25"
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
-    BM25 arithmetic, qid fanout of (docid, contrib) rows only."""
+    scoring arithmetic, qid fanout of (docid, contrib) rows only."""
     spark = index.spark
     stats = index.stats
     num_docs = float(stats["num_docs"])
     avgdl = float(stats["avgdl"])
+    num_tokens = float(stats.get("num_tokens") or (num_docs * avgdl))
 
     qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
     if not qterm_rows:
@@ -126,7 +143,9 @@ def _run_queries_term_major(
 
     posts = decode_postings(index, terms=distinct_terms)
     lex = index.lexicon.select(
-        "term", F.col("df").cast("double").alias("global_df")
+        "term",
+        F.col("df").cast("double").alias("global_df"),
+        F.col("cf").cast("double").alias("global_cf"),
     ).where(F.col("term").isin(distinct_terms))
     posts = posts.join(F.broadcast(lex), "term")
     # partitioned doclen join — never a driver-side dense array; Catalyst
@@ -135,12 +154,41 @@ def _run_queries_term_major(
     # unconditional collect+broadcast)
     posts = posts.join(index.docs.select("docid", "doclen"), "docid")
 
-    idf = F.log2((F.lit(num_docs) - F.col("global_df") + 0.5) / (F.col("global_df") + 0.5))
     tf = F.col("tf").cast("double")
-    tfn = (tf * (bm25.K1 + 1)) / (
-        bm25.K1 * (1 - bm25.B + bm25.B * F.col("doclen") / F.lit(avgdl)) + tf
-    )
-    posts = posts.select("term", "docid", (idf * tfn).alias("contrib"))
+    dl = F.col("doclen").cast("double")
+    if model == "bm25":
+        idf = F.log2(
+            (F.lit(num_docs) - F.col("global_df") + 0.5) / (F.col("global_df") + 0.5)
+        )
+        tfn = (tf * (bm25.K1 + 1)) / (
+            bm25.K1 * (1 - bm25.B + bm25.B * dl / F.lit(avgdl)) + tf
+        )
+        contrib = idf * tfn
+    elif model == "dph":
+        # DFR DPH (Amati; parameter-free): f = tf/dl,
+        # norm = (1-f)^2/(tf+1),
+        # contrib = norm * (tf*log2(tf*(avgdl/dl)*(N/cf))
+        #                   + 0.5*log2(2*pi*tf*(1-f)))
+        # f == 1 (term fills the doc) => norm = 0 and the log2(1-f) term
+        # is undefined; the contribution is 0 by the norm factor.
+        f_ = tf / dl
+        norm = (1 - f_) * (1 - f_) / (tf + 1)
+        body = tf * F.log2(
+            tf * (F.lit(avgdl) / dl) * (F.lit(num_docs) / F.col("global_cf"))
+        ) + 0.5 * F.log2(2 * float(np.pi) * tf * (1 - f_))
+        contrib = F.when(tf < dl, norm * body).otherwise(F.lit(0.0))
+    elif model == "lm_dirichlet":
+        # Dirichlet-smoothed query likelihood (Zhai & Lafferty SIGIR'01)
+        # in the per-matched-term decomposition (as in Lucene's
+        # LMDirichletSimilarity): log2(1 + tf/(mu*p_c)) + log2(mu/(dl+mu)),
+        # p_c = cf / num_tokens.
+        p_c = F.col("global_cf") / F.lit(num_tokens)
+        contrib = F.log2(1 + tf / (F.lit(LM_MU) * p_c)) + F.log2(
+            F.lit(LM_MU) / (dl + F.lit(LM_MU))
+        )
+    else:
+        raise ValueError(f"unknown weighting model {model!r}")
+    posts = posts.select("term", "docid", contrib.alias("contrib"))
 
     scored = (
         posts.join(F.broadcast(qterms_df), "term")

@@ -105,6 +105,36 @@ def test_bmw_rejects_term_major():
         run_queries(None, [], algo="bmw", strategy="term_major")
 
 
+@pytest.mark.parametrize("model", ["dph", "lm_dirichlet"])
+def test_weighting_model_rank_identity_vs_oracle(small_index, small_oracle, model):
+    """Pluggable weighting models (DPH after Amati, Dirichlet LM after
+    Zhai & Lafferty — Terrier's WeightingModel plug-in role) are
+    rank-identical to the plain-Python oracle on the mixed query set."""
+    pdf = (
+        run_queries(small_index, QUERIES, k=10, model=model)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    got = {q["qid"]: [] for q in QUERIES}
+    for r in pdf.itertuples(index=False):
+        got[int(r.qid)].append((int(r.docid), float(r.score)))
+    for q in QUERIES:
+        qid = q["qid"]
+        w = small_oracle.bm25_topk(q["terms"], k=10, mode=q["mode"], model=model)
+        g = got[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], (qid, model, g, w)
+        assert np.allclose([s for _, s in g], [s for _, s in w], atol=1e-9), qid
+
+
+def test_weighting_model_rejects_bmw():
+    """BMW's metadata bounds are BM25-specific; other models must refuse
+    rather than silently mis-prune."""
+    with pytest.raises(ValueError):
+        run_queries(None, [], algo="bmw", model="dph")
+    with pytest.raises(ValueError):
+        run_queries(None, [{"qid": 1, "terms": ["x"]}], model="nonesuch")
+
+
 def test_bmw_equals_naive_everywhere(small_index):
     assert _engine_results(small_index, "naive") == pytest.approx(
         _engine_results(small_index, "bmw")
