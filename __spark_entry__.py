@@ -295,6 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": lambda s, sf: dedup.ngram_jaccard_pairs(_docs(s, sf)),
         "simhash_fingerprints": lambda s, sf: dedup.simhash_fingerprints(_docs(s, sf)),
         "simhash_near_dups": lambda s, sf: dedup.simhash_near_dups(_docs(s, sf)),
+        # embedding-cosine near-dup: planted rounded copies + WTA-LSH
+        # candidates, exact hamming+cosine verify (brute-force oracle)
+        "embedding_near_dups": lambda s, sf: similarity.embedding_near_dups(
+            similarity.planted_near_dup_union(_emb(s, sf))
+        ),
         "ann_cosine_topk": lambda s, sf: similarity.cosine_topk(
             _emb(s, sf), _qvec(s, sf), ANN_K
         ),
@@ -476,6 +481,7 @@ FROM events GROUP BY 1, 2
         # chunk+verify pigeonhole decomposition loses nothing)
         "simhash_fingerprints": dedup.SIMHASH_FINGERPRINTS_SQL,
         "simhash_near_dups": dedup.SIMHASH_NEAR_DUPS_SQL,
+        "embedding_near_dups": similarity.embedding_near_dups_sql(),
         "ann_cosine_topk": qvec_sql_cos,
         "ann_ivf_topk": qvec_sql_ivf,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,

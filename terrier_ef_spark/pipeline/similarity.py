@@ -235,6 +235,225 @@ def ivf_kmeans_topk(
     return _rank_topk(scored, k)
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs — the vector analogue of
+# dedup.simhash_near_dups. Candidate generation is a winner-take-all
+# rank signature (Yagnik et al., ICCV 2011): bit j compares two fixed
+# vector elements, so the signature is pure integer/compare Catalyst —
+# no float summation — and the DuckDB twin reproduces it bit-for-bit.
+# Pairs within `max_hamming` signature bits share one of 4 16-bit chunks
+# (pigeonhole, exact), bucket-join on the chunk, then verify BOTH the
+# exact hamming and the exact cosine. The twin brute-forces all pairs,
+# independently proving the chunk decomposition loses nothing.
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_NBITS = 64
+NEAR_DUP_MAX_HAMMING = 3
+NEAR_DUP_MIN_COS = 0.99
+# bucket cap (same rationale as dedup.MAX_BUCKET): a cluster of M
+# identical vectors would emit M^2 candidates; capped buckets are
+# excluded BEFORE the self-join and enumerable via the ledger
+NEAR_DUP_MAX_BUCKET = 256
+
+
+def wta_pairs(dim: int, nbits: int = NEAR_DUP_NBITS) -> list[tuple[int, int]]:
+    """Deterministic WTA element-pair schedule: bit j compares
+    emb[p_j] > emb[q_j]. Coprime strides walk all dimensions; p == q is
+    displaced so every bit is informative."""
+    out = []
+    for j in range(nbits):
+        p = (j * 37 + 11) % dim
+        q = (j * 73 + 29) % dim
+        if p == q:
+            q = (q + 1) % dim
+        out.append((p, q))
+    return out
+
+
+def _wta_sig_cols(emb_col, pairs: list[tuple[int, int]]):
+    """(lo, hi) 32-bit signature halves as pure Catalyst integer sums
+    (each half stays well inside a signed long)."""
+    lo = F.lit(0).cast("long")
+    hi = F.lit(0).cast("long")
+    for j, (p, q) in enumerate(pairs):
+        bit = F.when(emb_col[p] > emb_col[q], F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        if j < 32:
+            lo = lo + bit * F.lit(1 << j).cast("long")
+        else:
+            hi = hi + bit * F.lit(1 << (j - 32)).cast("long")
+    return lo, hi
+
+
+def planted_near_dup_union(
+    embeddings: DataFrame, offset: int = 1_000_000, decimals: int = 2
+) -> DataFrame:
+    """embeddings ∪ a deterministically-perturbed copy (vec_id + offset,
+    elements rounded to `decimals`): synthesizes known near-dups so the
+    near-dup operator has non-trivial, reproducible output on corpora
+    with no organic near-dups (the testdata vectors are ~uniform
+    random). Round-to-decimals of doubles has no representable ties, so
+    DuckDB reproduces the copy bit-for-bit."""
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = embeddings.select(F.col("vec_id").cast("long").alias("vec_id"), dbl.alias("emb"))
+    copy = embeddings.select(
+        (F.col("vec_id") + offset).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: F.round(x.cast("double"), decimals)).alias("emb"),
+    )
+    return base.unionByName(copy)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    max_hamming: int = NEAR_DUP_MAX_HAMMING,
+    min_cos: float = NEAR_DUP_MIN_COS,
+    max_bucket: int | None = NEAR_DUP_MAX_BUCKET,
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, hamming, cos) for pairs with WTA-signature
+    hamming <= max_hamming AND round(cosine, 6) >= min_cos over a
+    (vec_id, emb: array<double>) relation (see planted_near_dup_union).
+    Candidates come from 4 x 16-bit signature-chunk buckets (pigeonhole:
+    hamming<=3 pairs share a chunk — exact, not probabilistic); both
+    predicates are then verified exactly, so the output equals the
+    brute-force definition while the work is bucket-local."""
+    from pyspark.sql import Window
+
+    from terrier_ef_spark.util import eager_release
+
+    dim = int(vectors.select(F.size("emb").alias("d")).head()["d"])
+    lo, hi = _wta_sig_cols(F.col("emb"), wta_pairs(dim))
+    sigs = vectors.select("vec_id", "emb", lo.alias("lo"), hi.alias("hi"))
+    halves = {0: "lo", 1: "lo", 2: "hi", 3: "hi"}
+    chunk_expr = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(halves[i], 16 * (i % 2))
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ])
+    ).alias("c")
+    chunks = sigs.select("vec_id", "emb", "lo", "hi", chunk_expr).select(
+        "vec_id", "emb", "lo", "hi", "c.chunk", "c.val"
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("chunk", "val")
+        chunks = chunks.withColumn("bn", F.count(F.lit(1)).over(w)).where(
+            F.col("bn") <= max_bucket
+        ).drop("bn")
+    chunks = chunks.persist()  # signature pipeline runs once, not per join side
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    ) + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    dot = F.aggregate(
+        F.zip_with("a.emb", "b.emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(f"{side}.emb", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            ham.alias("hamming"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),
+        )
+        .where((F.col("hamming") <= max_hamming) & (F.col("cos") >= min_cos))
+        .distinct()
+    )
+    return eager_release(pairs, chunks)
+
+
+def embedding_near_dup_skipped_buckets(
+    vectors: DataFrame, max_bucket: int = NEAR_DUP_MAX_BUCKET
+) -> DataFrame:
+    """(chunk, val, n_vecs) for every signature bucket the cap excluded
+    — the explicit no-silent-truncation ledger (cf. lsh_skipped_buckets)."""
+    dim = int(vectors.select(F.size("emb").alias("d")).head()["d"])
+    lo, hi = _wta_sig_cols(F.col("emb"), wta_pairs(dim))
+    sigs = vectors.select("vec_id", lo.alias("lo"), hi.alias("hi"))
+    halves = {0: "lo", 1: "lo", 2: "hi", 3: "hi"}
+    chunks = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(halves[i], 16 * (i % 2))
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("vec_id", "c.chunk", "c.val")
+    return (
+        chunks.groupBy("chunk", "val")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > max_bucket)
+    )
+
+
+def embedding_near_dups_sql(
+    dim: int = 64,
+    offset: int = 1_000_000,
+    decimals: int = 2,
+    max_hamming: int = NEAR_DUP_MAX_HAMMING,
+    min_cos: float = NEAR_DUP_MIN_COS,
+) -> str:
+    """DuckDB twin over the `embeddings` view: planted union + WTA
+    signature recomputed bit-for-bit, then BRUTE-FORCE hamming+cosine
+    over all pairs — independently proving the Spark side's pigeonhole
+    candidate generation loses nothing."""
+    wta_vals = ", ".join(
+        f"({j}, {p}, {q})" for j, (p, q) in enumerate(wta_pairs(dim))
+    )
+    return f"""
+WITH allv AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT (vec_id + {offset})::BIGINT,
+         list_transform(embedding, x -> round(x::DOUBLE, {decimals}))
+  FROM embeddings
+), wta(j, p, q) AS (VALUES {wta_vals}),
+bits AS (
+  SELECT vec_id, j,
+         CASE WHEN emb[p + 1] > emb[q + 1] THEN 1::BIGINT ELSE 0::BIGINT END AS b
+  FROM allv CROSS JOIN wta
+), sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN j < 32 THEN b * (1::BIGINT << j) ELSE 0 END) AS lo,
+         sum(CASE WHEN j >= 32 THEN b * (1::BIGINT << (j - 32)) ELSE 0 END) AS hi
+  FROM bits GROUP BY 1
+), pairs AS (
+  SELECT sa.vec_id AS vec_id_a, sb.vec_id AS vec_id_b,
+         (bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)))::INT AS hamming,
+         round(list_dot_product(va.emb, vb.emb)
+               / (sqrt(list_dot_product(va.emb, va.emb))
+                  * sqrt(list_dot_product(vb.emb, vb.emb))), 6) AS cos
+  FROM sig sa JOIN sig sb ON sa.vec_id < sb.vec_id
+       JOIN allv va ON va.vec_id = sa.vec_id
+       JOIN allv vb ON vb.vec_id = sb.vec_id
+)
+SELECT vec_id_a, vec_id_b, hamming, cos
+FROM pairs WHERE hamming <= {max_hamming} AND cos >= {min_cos}
+"""
+
+
 def embedding_exact_dups(embeddings: DataFrame, decimals: int = 6) -> DataFrame:
     """Exact near-dup vectors: hash of the vector rounded to `decimals`."""
     key = F.md5(

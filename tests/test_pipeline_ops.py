@@ -250,3 +250,71 @@ def test_quality_and_langid(docs):
     assert q[0]["stopword_ratio"] > 0  # 'the' twice / 9 tokens
     langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
     assert langs[0] == "en" and langs[4] == "other"
+
+
+def test_embedding_near_dups_recovers_planted(spark):
+    """WTA-LSH near-dup pairs == brute-force hamming+cosine over the
+    planted union (candidate pigeonhole is exact, not probabilistic)."""
+    from terrier_ef_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim = 120, 32
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    allv = sim.planted_near_dup_union(emb, offset=1000, decimals=2)
+    got = {
+        (int(r.vec_id_a), int(r.vec_id_b), int(r.hamming))
+        for r in sim.embedding_near_dups(allv).collect()
+    }
+
+    # brute force in NumPy over the same union
+    xd = x.astype(np.float64)
+    union = np.concatenate([xd, np.round(xd, 2)])
+    ids = list(range(n)) + [i + 1000 for i in range(n)]
+    pairs = sim.wta_pairs(dim)
+    sig = np.stack([(union[:, p] > union[:, q]) for p, q in pairs], axis=1)
+    want = set()
+    for a in range(len(union)):
+        for b in range(a + 1, len(union)):
+            ham = int((sig[a] != sig[b]).sum())
+            if ham > sim.NEAR_DUP_MAX_HAMMING:
+                continue
+            cos = round(
+                float(union[a] @ union[b])
+                / (np.linalg.norm(union[a]) * np.linalg.norm(union[b])), 6,
+            )
+            if cos >= sim.NEAR_DUP_MIN_COS:
+                ia, ib = sorted((ids[a], ids[b]))
+                want.add((ia, ib, ham))
+    assert got == want
+    assert len(want) > n * 0.8  # most planted copies recovered
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """A 1k-vector identical cluster must not emit M^2 pairs: the cap
+    excludes its buckets before the self-join and the ledger reports
+    them (no silent truncation)."""
+    from terrier_ef_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16).astype(np.float64)
+    rows = [(i, [float(v) for v in base]) for i in range(1000)]
+    # plus a handful of distinct vectors that DO pair up via rounding
+    extra = rng.normal(size=(5, 16)).astype(np.float64)
+    rows += [(2000 + i, [float(v) for v in extra[i]]) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+    capped = sim.embedding_near_dups(vecs, max_bucket=64).collect()
+    cluster_ids = set(range(1000))
+    assert not any(
+        r.vec_id_a in cluster_ids and r.vec_id_b in cluster_ids for r in capped
+    )
+    ledger = sim.embedding_near_dup_skipped_buckets(vecs, max_bucket=64).collect()
+    assert len(ledger) >= 1 and all(r.n_vecs == 1000 for r in ledger)
+    # uncapped on a small clone cluster still finds the pairs
+    small = spark.createDataFrame(rows[:4] + rows[1000:], "vec_id long, emb array<double>")
+    uncapped = sim.embedding_near_dups(small, max_bucket=None).collect()
+    assert {(r.vec_id_a, r.vec_id_b) for r in uncapped} >= {(0, 1), (0, 2), (1, 2)}
