@@ -286,6 +286,23 @@ def _wta_sig_cols(emb_col, pairs: list[tuple[int, int]]):
     return lo, hi
 
 
+def _chunk_explode():
+    """Explode the (lo, hi) signature into 4 x 16-bit chunk keys
+    (pigeonhole bands for hamming <= 3)."""
+    halves = {0: "lo", 1: "lo", 2: "hi", 3: "hi"}
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(halves[i], 16 * (i % 2))
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ])
+    ).alias("c")
+
+
 def planted_near_dup_union(
     embeddings: DataFrame, offset: int = 1_000_000, decimals: int = 2
 ) -> DataFrame:
@@ -317,63 +334,69 @@ def embedding_near_dups(
     hamming<=3 pairs share a chunk — exact, not probabilistic); both
     predicates are then verified exactly, so the output equals the
     brute-force definition while the work is bucket-local."""
-    from pyspark.sql import Window
-
     from terrier_ef_spark.util import eager_release
 
     dim = int(vectors.select(F.size("emb").alias("d")).head()["d"])
     lo, hi = _wta_sig_cols(F.col("emb"), wta_pairs(dim))
-    sigs = vectors.select("vec_id", "emb", lo.alias("lo"), hi.alias("hi"))
-    halves = {0: "lo", 1: "lo", 2: "hi", 3: "hi"}
-    chunk_expr = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(halves[i], 16 * (i % 2))
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("val"),
-            )
-            for i in range(4)
-        ])
-    ).alias("c")
-    chunks = sigs.select("vec_id", "emb", "lo", "hi", chunk_expr).select(
-        "vec_id", "emb", "lo", "hi", "c.chunk", "c.val"
+    # persist the signature relation once; the bucket machinery below
+    # moves ONLY (vec_id, chunk, val) rows — the wide emb column never
+    # rides the explode/window/self-join shuffles (at 1024-dim that
+    # would be a 4x vector replication), it is joined back by vec_id
+    # for the candidate verify only
+    sigs = vectors.select("vec_id", "emb", lo.alias("lo"), hi.alias("hi")).persist()
+    chunks = sigs.select("vec_id", _chunk_explode()).select(
+        "vec_id", "c.chunk", "c.val"
     )
     if max_bucket is not None:
+        from pyspark.sql import Window
+
         w = Window.partitionBy("chunk", "val")
         chunks = chunks.withColumn("bn", F.count(F.lit(1)).over(w)).where(
             F.col("bn") <= max_bucket
         ).drop("bn")
-    chunks = chunks.persist()  # signature pipeline runs once, not per join side
-    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        chunks.alias("ca")
+        .join(chunks.alias("cb"), ["chunk", "val"])
+        .where(F.col("ca.vec_id") < F.col("cb.vec_id"))
+        .select(
+            F.col("ca.vec_id").alias("vec_id_a"),
+            F.col("cb.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    )
     ham = F.bit_count(
-        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
-    ) + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     dot = F.aggregate(
-        F.zip_with("a.emb", "b.emb", lambda x, y: x * y),
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
+    norm = lambda col: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.transform(f"{side}.emb", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
     pairs = (
-        a.join(b, ["chunk", "val"])
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
         .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
+            "vec_id_a",
+            "vec_id_b",
             ham.alias("hamming"),
-            F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),
+            F.round(dot / (norm("emb_a") * norm("emb_b")), 6).alias("cos"),
         )
         .where((F.col("hamming") <= max_hamming) & (F.col("cos") >= min_cos))
-        .distinct()
     )
-    return eager_release(pairs, chunks)
+    return eager_release(pairs, sigs)
 
 
 def embedding_near_dup_skipped_buckets(
@@ -384,21 +407,9 @@ def embedding_near_dup_skipped_buckets(
     dim = int(vectors.select(F.size("emb").alias("d")).head()["d"])
     lo, hi = _wta_sig_cols(F.col("emb"), wta_pairs(dim))
     sigs = vectors.select("vec_id", lo.alias("lo"), hi.alias("hi"))
-    halves = {0: "lo", 1: "lo", 2: "hi", 3: "hi"}
-    chunks = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("chunk"),
-                    F.shiftrightunsigned(halves[i], 16 * (i % 2))
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("val"),
-                )
-                for i in range(4)
-            ])
-        ).alias("c"),
-    ).select("vec_id", "c.chunk", "c.val")
+    chunks = sigs.select("vec_id", _chunk_explode()).select(
+        "vec_id", "c.chunk", "c.val"
+    )
     return (
         chunks.groupBy("chunk", "val")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
