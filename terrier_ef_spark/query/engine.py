@@ -141,7 +141,7 @@ def _run_queries_term_major(
     )
     distinct_terms = sorted({t for _, t, _ in qterm_rows})
 
-    posts = decode_postings(index, terms=distinct_terms)
+    posts = _decode_for_batch(index, queries, qmeta, distinct_terms)
     lex = index.lexicon.select(
         "term",
         F.col("df").cast("double").alias("global_df"),
@@ -207,6 +207,90 @@ def _run_queries_term_major(
         .where(F.col("rank") <= F.col("kq"))
         .select("qid", "rank", "docid", "score")
     )
+
+
+# selective decode pays only when the skippable (conjunctive
+# non-rarest) lists are long: below ~4096 quanta of skippable postings
+# the full vectorized decode beats the candidate-routing stages (same
+# cutover rationale as the query-major kernel's `selective` switch)
+TERM_MAJOR_SELECTIVE_MIN_QUANTA = 4096
+
+
+def _decode_for_batch(
+    index: EFIndex, queries: list[dict], qmeta: dict, distinct_terms: list[str]
+) -> DataFrame:
+    """Decode stage of the term-major scorer with CONJUNCTIVE skip
+    semantics: every disjunctive-query term and every conjunctive
+    rarest term is decoded in full (once per batch), but a long list
+    that appears only as a NON-rarest conjunctive term is decoded
+    selectively — only the quanta holding the rarest term's docids are
+    unpacked (decode_postings_selective), the distributed analogue of
+    the reference's skipTo intersection. A conjunctive query with a
+    term absent from the lexicon can never be satisfied, so it triggers
+    no decode at all.
+
+    Correctness: a conjunctive result doc must contain the rarest term,
+    so candidate-routed rows cover every surviving doc; disjunctive
+    scoring still sees full lists. Rank-identity is asserted in
+    test_queries.py (selective forced on)."""
+    if all(qmeta[int(q["qid"])][0] != "conjunctive" for q in queries):
+        return decode_postings(index, terms=distinct_terms)
+    df_rows = (
+        index.lexicon.select("term", "df")
+        .where(F.col("term").isin(distinct_terms))
+        .collect()
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in df_rows}
+
+    full_terms: set[str] = set()
+    rarest_by_qid: dict[int, str] = {}
+    conj_terms: set[str] = set()
+    sel_qterm_rows: list[tuple[int, str]] = []
+    for q in queries:
+        qid = int(q["qid"])
+        mode = qmeta[qid][0]
+        terms_q = [t for t in dict.fromkeys(q["terms"])]
+        if mode != "conjunctive":
+            full_terms.update(t for t in terms_q if t in df_by_term)
+            continue
+        if any(t not in df_by_term for t in terms_q):
+            continue  # unsatisfiable conjunction: decode nothing for it
+        rarest = min(terms_q, key=lambda t: (df_by_term[t], t))
+        rarest_by_qid[qid] = rarest
+        full_terms.add(rarest)
+        conj_terms.update(terms_q)
+        sel_qterm_rows.extend((qid, t) for t in terms_q if t != rarest)
+
+    sel_terms = sorted(conj_terms - full_terms)
+    skippable = sum(df_by_term[t] for t in sel_terms)
+    log2q = index.stats["log2_quantum"]
+    if not sel_terms or (skippable >> log2q) < TERM_MAJOR_SELECTIVE_MIN_QUANTA:
+        return decode_postings(index, terms=distinct_terms)
+
+    spark = index.spark
+    posts_full = decode_postings(index, terms=sorted(full_terms))
+    # candidates: rarest-term postings routed to their qids (the rarest
+    # lists are short by construction — re-decoding them here is cheaper
+    # than caching the batch's full decode)
+    rarest_df = spark.createDataFrame(
+        [(qid, t) for qid, t in rarest_by_qid.items()], "qid long, term string"
+    )
+    cand_q = (
+        decode_postings(index, terms=sorted(set(rarest_by_qid.values())))
+        .join(F.broadcast(rarest_df), "term")
+        .select("qid", "docid")
+    )
+    sel_qterms = spark.createDataFrame(
+        [(qid, t) for qid, t in sel_qterm_rows if t in sel_terms],
+        "qid long, term string",
+    )
+    cand_td = (
+        cand_q.join(F.broadcast(sel_qterms), "qid")
+        .select("term", "docid")
+        .distinct()
+    )
+    posts_sel = decode_postings_selective(index, cand_td, terms=sel_terms)
+    return posts_full.unionByName(posts_sel)
 
 
 def decode_term_selective(
@@ -677,6 +761,103 @@ def decode_postings(index: EFIndex, terms: list[str] | None = None) -> DataFrame
     return src.select(cols).mapInPandas(
         decode_rows, schema="term string, docid long, tf int"
     )
+
+
+def decode_postings_selective(
+    index: EFIndex,
+    cand: DataFrame,
+    terms: list[str],
+    acc: tuple | None = None,
+) -> DataFrame:
+    """Decode ONLY the quanta that can contain the candidate docids —
+    the DISTRIBUTED engine-level skipTo for the term-major strategy
+    (reference semantics: EFBasicIterablePosting.next(target) walks skip
+    pointers to the containing quantum, DocidReader.java:118-183; here
+    the routing is relational).
+
+    `cand` is a (term, docid) relation of sorted-unique candidates per
+    term. With a docid-range-blocked index the candidate->block routing
+    is an EQUI-join on (term, block_id = docid >> block_bits): blocks
+    holding no candidates are pruned by the inner join before a single
+    blob byte is read, and within a surviving block only candidate
+    quanta are unpacked (q_last_docid grid + searchsorted). Returns
+    (term, docid, tf) for candidates PRESENT in the list (membership
+    re-checked by exact docid match).
+
+    acc: optional (decoded_quanta, total_quanta) Spark accumulators for
+    tests/metrics."""
+    stats = index.stats
+    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    block_bits = stats.get("block_bits")
+    acc_dec, acc_tot = acc if acc is not None else (None, None)
+
+    src = index.postings.select(
+        "term", "block_id", "df", "cf", "first_docid", "last_docid",
+        "docids_ef", "freqs_ef", "q_last_docid",
+    ).where(F.col("term").isin(sorted(set(terms))))
+    if block_bits is not None:
+        keyed = cand.withColumn("block_id", F.shiftright("docid", block_bits))
+        grouped = keyed.groupBy("term", "block_id").agg(
+            F.sort_array(F.collect_set("docid")).alias("cands")
+        )
+        src = src.join(grouped, ["term", "block_id"])
+    else:
+        grouped = cand.groupBy("term").agg(
+            F.sort_array(F.collect_set("docid")).alias("cands")
+        )
+        src = src.join(grouped, ["term"])
+
+    def decode_sel(batches):
+        for pdf in batches:
+            out_t, out_d, out_f = [], [], []
+            for r in pdf.itertuples(index=False):
+                q_last = np.asarray(r.q_last_docid, dtype=np.int64)
+                if acc_tot is not None:
+                    acc_tot.add(len(q_last))
+                base = 0 if block_bits is None else int(r.block_id) << block_bits
+                ub = block_upper_bound(block_bits, num_docs)
+                cands = np.asarray(r.cands, dtype=np.int64)
+                cands = cands[
+                    (cands >= int(r.first_docid)) & (cands <= int(r.last_docid))
+                ]
+                if len(cands) == 0:
+                    continue
+                qidx = np.unique(np.searchsorted(q_last, cands, side="left"))
+                qidx = qidx[qidx < len(q_last)]
+                if acc_dec is not None:
+                    acc_dec.add(len(qidx))
+                q_last_rel = q_last - base
+                d_parts, f_parts = [], []
+                for run in np.split(qidx, np.where(np.diff(qidx) > 1)[0] + 1):
+                    j0, j1 = int(run[0]), int(run[-1]) + 1
+                    d_parts.append(
+                        ef.decode_docids_quanta(
+                            bytes(r.docids_ef), int(r.df), ub, q_last_rel,
+                            j0, j1, log2q,
+                        ) + base
+                    )
+                    f_parts.append(
+                        ef.decode_freqs_quanta(
+                            bytes(r.freqs_ef), int(r.df), int(r.cf), j0, j1, log2q
+                        )
+                    )
+                d = np.concatenate(d_parts)
+                f = np.concatenate(f_parts)
+                pos = np.minimum(np.searchsorted(d, cands), len(d) - 1)
+                hit = d[pos] == cands
+                out_t.append(np.repeat(r.term, int(hit.sum())))
+                out_d.append(cands[hit])
+                out_f.append(f[pos[hit]])
+            if out_t:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(out_t),
+                        "docid": np.concatenate(out_d),
+                        "tf": np.concatenate(out_f).astype(np.int32),
+                    }
+                )
+
+    return src.mapInPandas(decode_sel, schema="term string, docid long, tf int")
 
 
 def decode_positions_df(index: EFIndex, terms: list[str] | None = None) -> DataFrame:

@@ -379,3 +379,60 @@ def _tp_for_test(oracle, t, doclen_arr, q=8):
         q_max_tf=pad_tf.reshape(n_q, q).max(axis=1),
         q_min_dl=pad_dl.reshape(n_q, q).min(axis=1),
     )
+
+
+def test_term_major_selective_rank_identity(small_index, small_oracle, monkeypatch):
+    """With the selective-decode cutover forced on, the term-major
+    scorer (rarest-term full decode + candidate-routed selective decode
+    of the other conjunctive terms) stays rank-identical to the
+    oracle on the full mixed query set."""
+    import terrier_ef_spark.query.engine as eng
+
+    monkeypatch.setattr(eng, "TERM_MAJOR_SELECTIVE_MIN_QUANTA", 0)
+    pdf = (
+        run_queries(small_index, QUERIES, k=10, strategy="term_major")
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    got = {q["qid"]: [] for q in QUERIES}
+    for r in pdf.itertuples(index=False):
+        got[int(r.qid)].append((int(r.docid), float(r.score)))
+    want = _oracle_results(small_oracle)
+    for q in QUERIES:
+        qid = q["qid"]
+        g, w = got[qid], want[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], (qid, g, w)
+        assert np.allclose([s for _, s in g], [s for _, s in w], atol=1e-9), qid
+
+
+def test_decode_postings_selective_skips_quanta(small_index, small_oracle):
+    """decode_postings_selective on a rare∧hot candidate routing: output
+    equals the membership-filtered full decode, and the decoded-quanta
+    accumulator shows real skipping (decoded < total)."""
+    from terrier_ef_spark.query.engine import (
+        decode_postings,
+        decode_postings_selective,
+    )
+
+    spark = small_index.spark
+    rare = "v150"
+    hot = "the"
+    cand_docs = sorted(d for d, _ in small_oracle.postings[rare])
+    cand = spark.createDataFrame(
+        [(hot, d) for d in cand_docs], "term string, docid long"
+    )
+    acc_dec = spark.sparkContext.accumulator(0)
+    acc_tot = spark.sparkContext.accumulator(0)
+    got = {
+        (r.term, int(r.docid), int(r.tf))
+        for r in decode_postings_selective(
+            small_index, cand, [hot], acc=(acc_dec, acc_tot)
+        ).collect()
+    }
+    full = {
+        (r.term, int(r.docid), int(r.tf))
+        for r in decode_postings(small_index, terms=[hot]).collect()
+        if int(r.docid) in set(cand_docs)
+    }
+    assert got == full and len(got) > 0
+    assert 0 < acc_dec.value < acc_tot.value, (acc_dec.value, acc_tot.value)
