@@ -154,6 +154,78 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _bo1_oracle_sql(queries, fb_docs: int = 3, fb_terms: int = 10) -> str:
+    """DuckDB twin of the two-pass Bo1 expansion: first-pass BM25 top
+    fb_docs (round-6dp/docid selection), Bo1 term weights from the
+    feedback docs, top fb_terms per query, reweighted second pass —
+    the exact relational mirror of query/expansion.py."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    bm25 = "log2((st.n - l.df + 0.5) / (l.df + 0.5)) * p.tf * 2.2 / (1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl) + p.tf)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+sc1 AS (
+  SELECT q.qid, p.doc_id AS docid, sum({bm25}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+), fb AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC) AS rk
+    FROM sc1
+  ) WHERE rk <= {fb_docs}
+), cand AS (
+  SELECT fb.qid, p.term, sum(p.tf) AS tfx
+  FROM fb JOIN post p ON p.doc_id = fb.docid GROUP BY 1, 2
+), bo1 AS (
+  SELECT cand.qid, cand.term,
+         round(cand.tfx * log2((1 + l.cf / st.n) / (l.cf / st.n))
+               + log2(1 + l.cf / st.n), 6) AS w
+  FROM cand JOIN lex l USING (term) CROSS JOIN st
+), sel AS (
+  SELECT qid, term, w FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS rk
+    FROM bo1
+  ) WHERE rk <= {fb_terms}
+), wmax AS (
+  SELECT qid, max(w) AS wm FROM sel GROUP BY 1
+), alltw AS (
+  SELECT coalesce(o.qid, s.qid) AS qid, coalesce(o.term, s.term) AS term,
+         round(coalesce(o.qtw, 0) + coalesce(s.w / wmax.wm, 0), 6) AS qtw
+  FROM (SELECT qid, term, 1.0::DOUBLE AS qtw FROM q) o
+  FULL OUTER JOIN sel s ON s.qid = o.qid AND s.term = o.term
+  LEFT JOIN wmax ON wmax.qid = coalesce(o.qid, s.qid)
+), sc2 AS (
+  SELECT a.qid, p.doc_id AS docid, sum(a.qtw * ({bm25})) AS score
+  FROM alltw a JOIN lex l ON l.term = a.term JOIN post p ON p.term = a.term
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM sc2
+) WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -231,6 +303,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="lm_dirichlet")
 
+    def bm25_bo1_expanded(spark, sf):
+        """Two-pass Bo1 pseudo-relevance feedback over the EF index +
+        direct index (Terrier's QueryExpansion workflow)."""
+        from pyspark.sql import Window
+
+        from terrier_ef_spark.index.direct import build_direct
+        from terrier_ef_spark.query.expansion import run_queries_bo1
+
+        idx = _get_index(spark, sf)
+        direct = build_direct(idx, n_partitions=8)
+        deep = run_queries_bo1(
+            idx, BM25_QUERIES, k=100, fb_docs=3, fb_terms=10,
+            strategy="term_major", direct=direct,
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("docid"))
+        return (
+            deep.withColumn("score_r", F.round("score", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("qid", "rank", "docid", F.col("score_r").alias("score"))
+        )
+
     def positions_decoded(spark, sf):
         from terrier_ef_spark.query.engine import decode_positions_df
 
@@ -280,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": bm25_conjunctive,
         "dph_disjunctive": dph_disjunctive,
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
+        "bm25_bo1_expanded": bm25_bo1_expanded,
         "positions_decoded": positions_decoded,
         "phrase_match": phrase_match_tv,
         "proximity_match": proximity_tv,
@@ -407,6 +502,7 @@ SELECT term, doc_id AS docid FROM (
         "lm_dirichlet_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="lm_dirichlet"
         ),
+        "bm25_bo1_expanded": _bo1_oracle_sql(BM25_QUERIES),
         "positions_decoded": f"""
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents)
 SELECT a[i + 1] AS term, doc_id AS docid, i AS pos

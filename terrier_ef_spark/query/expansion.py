@@ -1,0 +1,156 @@
+"""Bo1 pseudo-relevance-feedback query expansion (DFR framework).
+
+Terrier's QueryExpansion role: terrier-ef users run Bo1 expansion on
+top of the EF inverted index plus the Invert2Direct forward index (the
+direct index exists for exactly this workflow — reference:
+Invert2Direct.java builds it as a standalone tool). Published model:
+Amati's Bo1 (Bose-Einstein 1) information weight
+
+    w(t) = tfx * log2((1 + Pn) / Pn) + log2(1 + Pn),   Pn = cf(t) / N
+
+where tfx is t's frequency summed over the top `fb_docs` pseudo-
+relevant documents. The reformulated query weights each term
+
+    qtw(t) = qtf(t) / qtf_max + w(t) / w_max
+
+(original-only terms keep the first part, expansion-only terms the
+second) and re-runs via run_queries' term^w support.
+
+Spark shape: the first pass is any run_queries strategy; candidate
+gathering decodes ONLY the fb docids from the direct index (docid
+filter pushed to the docid-range-sorted parquet), aggregates
+(qid, termid, tfx) relationally, joins the lexicon for cf, and only
+the final (queries x fb_terms) selection is collected to the driver to
+build the second-pass query set. Every float that feeds a selection or
+a weight is rounded to 6dp so the DuckDB oracle twin reproduces the
+expansion bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from terrier_ef_spark.index.direct import decode_direct
+from terrier_ef_spark.index.reader import EFIndex
+from terrier_ef_spark.query.engine import run_queries
+
+
+def bo1_term_weights(
+    index: EFIndex,
+    first_pass: list[tuple[int, int]],
+    direct: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, term, w): Bo1 information weight of every term occurring
+    in the pseudo-relevant docs. `first_pass` is the collected
+    [(qid, docid)] feedback set (bounded: queries x fb_docs rows)."""
+    spark = index.spark
+    num_docs = float(index.stats["num_docs"])
+    fb = spark.createDataFrame(first_pass, "qid long, docid long")
+    fb_docids = sorted({d for _, d in first_pass})
+
+    if direct is None:
+        direct = spark.read.parquet(f"{index.paths.root}/direct")
+    dd = decode_direct(index, direct.where(F.col("docid").isin(fb_docids)))
+    cand = (
+        dd.join(F.broadcast(fb), "docid")
+        .groupBy("qid", "termid")
+        .agg(F.sum("tf").alias("tfx"))
+    )
+    # lexicon side is the big relation at scale; the candidate side is
+    # bounded by fb_docs x doc vocabulary — AQE broadcasts it
+    lex = index.lexicon.select("termid", "term", F.col("cf").cast("double").alias("cf"))
+    pn = F.col("cf") / F.lit(num_docs)
+    w = F.col("tfx").cast("double") * F.log2((1 + pn) / pn) + F.log2(1 + pn)
+    return cand.join(lex, "termid").select(
+        "qid", "term", F.round(w, 6).alias("w")
+    )
+
+
+def expand_queries_bo1(
+    index: EFIndex,
+    queries: list[dict],
+    first_pass: list[tuple[int, int]],
+    *,
+    fb_terms: int = 10,
+    direct: DataFrame | None = None,
+) -> list[dict]:
+    """Reformulate `queries` (disjunctive) with Bo1 expansion terms from
+    the given feedback set. Returns new query dicts with 6dp-rounded
+    term weights; queries with an empty feedback set pass through
+    unchanged."""
+    wdf = bo1_term_weights(index, first_pass, direct=direct)
+    rk = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
+    sel = (
+        wdf.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= fb_terms)
+        .collect()
+    )
+    by_qid: dict[int, list[tuple[str, float]]] = {}
+    for r in sel:
+        by_qid.setdefault(int(r["qid"]), []).append((r["term"], float(r["w"])))
+
+    out = []
+    for q in queries:
+        qid = int(q["qid"])
+        orig = list(dict.fromkeys(q["terms"]))
+        qtf = {t: float((q.get("weights") or {}).get(t, 1.0)) for t in orig}
+        qtf_max = max(qtf.values())
+        chosen = by_qid.get(qid, [])
+        if not chosen:
+            out.append(dict(q))
+            continue
+        w_max = max(w for _, w in chosen)
+        weights = {t: v / qtf_max for t, v in qtf.items()}
+        for t, w in chosen:
+            weights[t] = weights.get(t, 0.0) + w / w_max
+        weights = {t: round(v, 6) for t, v in weights.items()}
+        out.append(
+            {
+                "qid": qid,
+                "terms": sorted(weights),
+                "mode": "disjunctive",
+                "weights": weights,
+            }
+        )
+    return out
+
+
+def run_queries_bo1(
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 10,
+    strategy: str = "auto",
+    direct: DataFrame | None = None,
+) -> DataFrame:
+    """Two-pass Bo1 retrieval: BM25 top-fb_docs feedback (deterministic
+    6dp/docid selection so reformulation is reproducible), expansion,
+    weighted second pass. Returns (qid, rank, docid, score)."""
+    deep = run_queries(index, queries, k=max(fb_docs, 100), strategy=strategy)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docid")
+    )
+    fb_rows = (
+        deep.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= fb_docs)
+        .select("qid", "docid")
+        .collect()
+    )
+    first_pass = [(int(r["qid"]), int(r["docid"])) for r in fb_rows]
+    if not first_pass:
+        return run_queries(index, queries, k=k, strategy=strategy)
+    expanded = expand_queries_bo1(
+        index, queries, first_pass, fb_terms=fb_terms, direct=direct
+    )
+    return run_queries(index, expanded, k=k, strategy=strategy)
+
+
+def bo1_weight(tfx: float, cf: float, num_docs: float) -> float:
+    """Scalar Bo1 weight (test oracle helper)."""
+    pn = cf / num_docs
+    return tfx * math.log2((1 + pn) / pn) + math.log2(1 + pn)

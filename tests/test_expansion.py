@@ -1,0 +1,95 @@
+"""Bo1 pseudo-relevance-feedback expansion: the two-pass engine
+pipeline (EF index first pass -> direct-index candidate gathering ->
+Bo1 weights -> weighted second pass) vs an independent pure-Python
+mirror over the oracle index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+QUERIES = [
+    {"qid": 1, "terms": ["the"], "mode": "disjunctive"},
+    {"qid": 2, "terms": ["import", "def"], "mode": "disjunctive"},
+    {"qid": 3, "terms": ["v150", "v73"], "mode": "disjunctive"},
+    {"qid": 4, "terms": ["zzz_absent_zzz"], "mode": "disjunctive"},
+]
+FB_DOCS, FB_TERMS = 3, 10
+
+
+@pytest.fixture(scope="module")
+def direct(small_index):
+    from terrier_ef_spark.index.direct import build_direct
+
+    return build_direct(small_index, n_partitions=4)
+
+
+def _py_bo1(oracle, q):
+    """Independent Bo1 mirror: plain dict/loop re-derivation."""
+    from terrier_ef_spark.query.expansion import bo1_weight
+
+    ranked = oracle.bm25_topk(q["terms"], k=10_000)
+    ranked = sorted(ranked, key=lambda kv: (-round(kv[1], 6), kv[0]))[:FB_DOCS]
+    fb = [d for d, _ in ranked]
+    if not fb:
+        return dict.fromkeys(q["terms"], 1.0)
+    tfx: dict[str, int] = {}
+    for t, plist in oracle.postings.items():
+        for d, tf in plist:
+            if d in fb:
+                tfx[t] = tfx.get(t, 0) + tf
+    w = {
+        t: round(bo1_weight(x, oracle.cf(t), oracle.num_docs), 6)
+        for t, x in tfx.items()
+    }
+    sel = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:FB_TERMS]
+    wmax = max(v for _, v in sel)
+    weights = dict.fromkeys(dict.fromkeys(q["terms"]), 1.0)
+    for t, v in sel:
+        weights[t] = weights.get(t, 0.0) + v / wmax
+    return {t: round(v, 6) for t, v in weights.items()}
+
+
+def test_bo1_expansion_matches_python_mirror(small_index, small_oracle, direct):
+    from terrier_ef_spark.query.expansion import run_queries_bo1
+
+    got = (
+        run_queries_bo1(
+            small_index, QUERIES, k=10, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+            strategy="term_major", direct=direct,
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    by_qid: dict[int, list] = {q["qid"]: [] for q in QUERIES}
+    for r in got:
+        by_qid[int(r["qid"])].append((int(r["docid"]), float(r["score"])))
+
+    for q in QUERIES:
+        weights = _py_bo1(small_oracle, q)
+        scores: dict[int, float] = {}
+        for t, w in weights.items():
+            for d, tf in small_oracle.postings.get(t, []):
+                scores[d] = scores.get(d, 0.0) + w * small_oracle.score(t, d, tf)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = by_qid[q["qid"]]
+        assert [d for d, _ in g] == [d for d, _ in want], (q["qid"], g, want)
+        assert np.allclose(
+            [s for _, s in g], [s for _, s in want], atol=1e-9
+        ), q["qid"]
+
+
+def test_bo1_expanded_terms_widen_the_query(small_index, small_oracle, direct):
+    """Expansion must add terms beyond the originals (the point of PRF),
+    and expanded weights are positive."""
+    from terrier_ef_spark.query.expansion import expand_queries_bo1, run_queries
+
+    deep = run_queries(
+        small_index, QUERIES[:1], k=FB_DOCS, strategy="term_major"
+    ).collect()
+    first_pass = [(int(r["qid"]), int(r["docid"])) for r in deep]
+    out = expand_queries_bo1(
+        small_index, QUERIES[:1], first_pass, fb_terms=FB_TERMS, direct=direct
+    )
+    assert len(out[0]["terms"]) > 1  # "the" plus expansion terms
+    assert all(v > 0 for v in out[0]["weights"].values())
