@@ -106,6 +106,14 @@ _MODEL_CONTRIB_SQL = {
                * (p.tf * log2(p.tf * (st.avgdl / dl.doclen) * (st.n / l.cf))
                   + 0.5 * log2(2 * pi() * p.tf * (1 - p.tf / dl.doclen)))
              ELSE 0.0 END""",
+    # DFR PL2 (Amati): tfn = tf*log2(1 + c*avgdl/dl), lam = cf/N, c = 1
+    "pl2": """(
+               (p.tf * log2(1 + st.avgdl / dl.doclen)) * log2(st.n / l.cf)
+               + (l.cf / st.n) * log2(exp(1))
+               + 0.5 * log2(2 * pi() * (p.tf * log2(1 + st.avgdl / dl.doclen)))
+               + (p.tf * log2(1 + st.avgdl / dl.doclen))
+                 * (log2(p.tf * log2(1 + st.avgdl / dl.doclen)) - log2(exp(1)))
+             ) / ((p.tf * log2(1 + st.avgdl / dl.doclen)) + 1)""",
     # Dirichlet-smoothed LM (Zhai & Lafferty), mu = 2500, per matched term
     "lm_dirichlet": """log2(1 + p.tf / (2500.0 * l.cf / st.ntok))
              + log2(2500.0 / (dl.doclen + 2500.0))""",
@@ -303,6 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="lm_dirichlet")
 
+    def pl2_disjunctive(spark, sf):
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="pl2")
+
     def bm25_bo1_expanded(spark, sf):
         """Two-pass Bo1 pseudo-relevance feedback over the EF index +
         direct index (Terrier's QueryExpansion workflow)."""
@@ -374,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": bm25_conjunctive,
         "dph_disjunctive": dph_disjunctive,
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
+        "pl2_disjunctive": pl2_disjunctive,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "positions_decoded": positions_decoded,
         "phrase_match": phrase_match_tv,
@@ -501,6 +514,9 @@ SELECT term, doc_id AS docid FROM (
         ),
         "lm_dirichlet_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="lm_dirichlet"
+        ),
+        "pl2_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="pl2"
         ),
         "bm25_bo1_expanded": _bo1_oracle_sql(BM25_QUERIES),
         "positions_decoded": f"""

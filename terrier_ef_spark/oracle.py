@@ -60,6 +60,18 @@ class OracleIndex:
         ) + 0.5 * math.log2(2 * math.pi * tf * (1 - f))
         return norm * body
 
+    def score_pl2(self, t, d, tf, c=1.0):
+        """DFR PL2 (Poisson + Laplace + normalization 2)."""
+        log2e = math.log2(math.e)
+        tfn = tf * math.log2(1 + c * self.avgdl / self.doclen[d])
+        lam = self.cf(t) / self.num_docs
+        return (
+            tfn * math.log2(1 / lam)
+            + lam * log2e
+            + 0.5 * math.log2(2 * math.pi * tfn)
+            + tfn * (math.log2(tfn) - log2e)
+        ) / (tfn + 1)
+
     def score_lm_dirichlet(self, t, d, tf, mu=2500.0):
         """Dirichlet-smoothed LM (Zhai & Lafferty), per-matched-term
         decomposition as in Lucene's LMDirichletSimilarity."""
@@ -72,6 +84,7 @@ class OracleIndex:
         scorer = {
             "bm25": self.score,
             "dph": self.score_dph,
+            "pl2": self.score_pl2,
             "lm_dirichlet": self.score_lm_dirichlet,
         }[model]
         present = [t for t in dict.fromkeys(terms) if t in self.postings]

@@ -66,6 +66,9 @@ def _query_plan(queries: list[dict], k: int):
 
 # Dirichlet smoothing parameter (Zhai & Lafferty, SIGIR'01 default)
 LM_MU = 2500.0
+# PL2 term-frequency normalization-2 parameter (Amati & van Rijsbergen)
+PL2_C = 1.0
+LOG2_E = 1.4426950408889634
 
 
 def run_queries(
@@ -88,11 +91,11 @@ def run_queries(
     whenever the collection is too big for the kernel's doclen
     broadcast (>1e8 docs).
 
-    model: 'bm25' (both strategies) | 'dph' | 'lm_dirichlet'
-    (term-major only — published formulas, DFR DPH after Amati and
-    Dirichlet-smoothed LM after Zhai & Lafferty; like Terrier's
+    model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'lm_dirichlet'
+    (term-major only — published formulas: DFR DPH and PL2 after
+    Amati, Dirichlet-smoothed LM after Zhai & Lafferty; like Terrier's
     pluggable weighting models)."""
-    if model not in ("bm25", "dph", "lm_dirichlet"):
+    if model not in ("bm25", "dph", "pl2", "lm_dirichlet"):
         raise ValueError(f"unknown weighting model {model!r}")
     if model != "bm25":
         if algo == "bmw":
@@ -177,6 +180,21 @@ def _run_queries_term_major(
             tf * (F.lit(avgdl) / dl) * (F.lit(num_docs) / F.col("global_cf"))
         ) + 0.5 * F.log2(2 * float(np.pi) * tf * (1 - f_))
         contrib = F.when(tf < dl, norm * body).otherwise(F.lit(0.0))
+    elif model == "pl2":
+        # DFR PL2 (Poisson estimation, Laplace aftereffect,
+        # normalization 2 — Amati & van Rijsbergen TOIS'02):
+        # tfn = tf*log2(1 + c*avgdl/dl), lam = cf/N,
+        # contrib = (tfn*log2(1/lam) + lam*log2e
+        #            + 0.5*log2(2*pi*tfn) + tfn*(log2(tfn) - log2e))
+        #           / (tfn + 1)
+        tfn_ = tf * F.log2(1 + F.lit(PL2_C * avgdl) / dl)
+        lam = F.col("global_cf") / F.lit(num_docs)
+        contrib = (
+            tfn_ * F.log2(1 / lam)
+            + lam * F.lit(LOG2_E)
+            + 0.5 * F.log2(2 * float(np.pi) * tfn_)
+            + tfn_ * (F.log2(tfn_) - F.lit(LOG2_E))
+        ) / (tfn_ + 1)
     elif model == "lm_dirichlet":
         # Dirichlet-smoothed query likelihood (Zhai & Lafferty SIGIR'01)
         # in the per-matched-term decomposition (as in Lucene's

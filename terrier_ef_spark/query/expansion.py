@@ -131,6 +131,12 @@ def run_queries_bo1(
     """Two-pass Bo1 retrieval: BM25 top-fb_docs feedback (deterministic
     6dp/docid selection so reformulation is reproducible), expansion,
     weighted second pass. Returns (qid, rank, docid, score)."""
+    if any(q.get("mode", "disjunctive") == "conjunctive" for q in queries):
+        raise ValueError(
+            "Bo1 expansion is defined for ranked (disjunctive) retrieval; "
+            "expanding a conjunctive query would silently change its AND "
+            "semantics"
+        )
     deep = run_queries(index, queries, k=max(fb_docs, 100), strategy=strategy)
     w = Window.partitionBy("qid").orderBy(
         F.desc(F.round("score", 6)), F.asc("docid")

@@ -105,7 +105,7 @@ def test_bmw_rejects_term_major():
         run_queries(None, [], algo="bmw", strategy="term_major")
 
 
-@pytest.mark.parametrize("model", ["dph", "lm_dirichlet"])
+@pytest.mark.parametrize("model", ["dph", "pl2", "lm_dirichlet"])
 def test_weighting_model_rank_identity_vs_oracle(small_index, small_oracle, model):
     """Pluggable weighting models (DPH after Amati, Dirichlet LM after
     Zhai & Lafferty — Terrier's WeightingModel plug-in role) are
