@@ -170,7 +170,7 @@ def _bo1_oracle_sql(queries, fb_docs: int = 3, fb_terms: int = 10) -> str:
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
-    bm25 = "log2((st.n - l.df + 0.5) / (l.df + 0.5)) * p.tf * 2.2 / (1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl) + p.tf)"
+    bm25 = _MODEL_CONTRIB_SQL["bm25"]  # same aliases (st/l/p/dl) by design
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS term FROM documents
@@ -364,6 +364,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docid", F.col("termid"), F.col("tf").cast("long").alias("tf")
         )
 
+    def embedding_near_dups_q(spark, sf):
+        """Guarded contract wrapper: the static oracle SQL bakes in the
+        dim=64 WTA schedule, and the brute-force oracle has no bucket
+        cap — so refuse (loudly) rather than silently diverge if either
+        assumption breaks on a different corpus."""
+        allv = similarity.planted_near_dup_union(_emb(spark, sf))
+        head = allv.select(F.size("emb").alias("d")).head()
+        if head is not None and int(head["d"]) != 64:
+            raise ValueError(
+                "embedding_near_dups oracle twin is generated for dim=64; "
+                "regenerate embedding_near_dups_sql(dim=...) for this corpus"
+            )
+        if similarity.embedding_near_dup_skipped_buckets(allv).head() is not None:
+            raise ValueError(
+                "near-dup bucket cap engaged on this corpus; the capped "
+                "operator would drop pairs the uncapped brute-force oracle "
+                "keeps — raise max_bucket or dedup the cluster first"
+            )
+        return similarity.embedding_near_dups(allv)
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -405,9 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": lambda s, sf: dedup.simhash_near_dups(_docs(s, sf)),
         # embedding-cosine near-dup: planted rounded copies + WTA-LSH
         # candidates, exact hamming+cosine verify (brute-force oracle)
-        "embedding_near_dups": lambda s, sf: similarity.embedding_near_dups(
-            similarity.planted_near_dup_union(_emb(s, sf))
-        ),
+        "embedding_near_dups": embedding_near_dups_q,
         "ann_cosine_topk": lambda s, sf: similarity.cosine_topk(
             _emb(s, sf), _qvec(s, sf), ANN_K
         ),

@@ -258,16 +258,25 @@ NEAR_DUP_MAX_BUCKET = 256
 
 def wta_pairs(dim: int, nbits: int = NEAR_DUP_NBITS) -> list[tuple[int, int]]:
     """Deterministic WTA element-pair schedule: bit j compares
-    emb[p_j] > emb[q_j]. Coprime strides walk all dimensions; p == q is
-    displaced so every bit is informative."""
-    out = []
-    for j in range(nbits):
-        p = (j * 37 + 11) % dim
-        q = (j * 73 + 29) % dim
-        if p == q:
-            q = (q + 1) % dim
-        out.append((p, q))
-    return out
+    emb[p_j] > emb[q_j]. All ordered (p, q) pairs are enumerated and
+    permuted by a fixed integer mix, so the nbits pairs are DISTINCT
+    whenever nbits <= dim*(dim-1) — every signature bit is an
+    independent comparison regardless of dim (a stride schedule would
+    silently repeat pairs for dim < nbits, halving the hamming
+    tolerance). Only cycles for degenerate dims (dim*(dim-1) < nbits)."""
+    if dim < 2:
+        raise ValueError("WTA signature needs at least 2 dimensions")
+    pairs = [(p, q) for p in range(dim) for q in range(dim) if p != q]
+
+    def mix(i: int) -> int:
+        x = (i * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * 2246822519) & 0xFFFFFFFF
+        x ^= x >> 13
+        return x
+
+    order = sorted(range(len(pairs)), key=lambda i: (mix(i), i))
+    return [pairs[order[i % len(order)]] for i in range(nbits)]
 
 
 def _wta_sig_cols(emb_col, pairs: list[tuple[int, int]]):
@@ -336,7 +345,12 @@ def embedding_near_dups(
     brute-force definition while the work is bucket-local."""
     from terrier_ef_spark.util import eager_release
 
-    dim = int(vectors.select(F.size("emb").alias("d")).head()["d"])
+    head = vectors.select(F.size("emb").alias("d")).head()
+    if head is None:  # empty relation: no pairs
+        return vectors.sparkSession.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, hamming int, cos double"
+        )
+    dim = int(head["d"])
     lo, hi = _wta_sig_cols(F.col("emb"), wta_pairs(dim))
     # persist the signature relation once; the bucket machinery below
     # moves ONLY (vec_id, chunk, val) rows — the wide emb column never
@@ -404,7 +418,12 @@ def embedding_near_dup_skipped_buckets(
 ) -> DataFrame:
     """(chunk, val, n_vecs) for every signature bucket the cap excluded
     — the explicit no-silent-truncation ledger (cf. lsh_skipped_buckets)."""
-    dim = int(vectors.select(F.size("emb").alias("d")).head()["d"])
+    head = vectors.select(F.size("emb").alias("d")).head()
+    if head is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "chunk int, val long, n_vecs long"
+        )
+    dim = int(head["d"])
     lo, hi = _wta_sig_cols(F.col("emb"), wta_pairs(dim))
     sigs = vectors.select("vec_id", lo.alias("lo"), hi.alias("hi"))
     chunks = sigs.select("vec_id", _chunk_explode()).select(

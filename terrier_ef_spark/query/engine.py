@@ -100,6 +100,11 @@ def run_queries(
     if model != "bm25":
         if algo == "bmw":
             raise ValueError("BMW metadata bounds are BM25-specific")
+        if strategy == "query_major":
+            raise ValueError(
+                "the query-major DAAT kernel scores BM25 only; "
+                f"model={model!r} runs on strategy='term_major'"
+            )
         strategy = "term_major"
     if strategy == "auto":
         if algo == "bmw":

@@ -107,14 +107,11 @@ def expand_queries_bo1(
         for t, w in chosen:
             weights[t] = weights.get(t, 0.0) + w / w_max
         weights = {t: round(v, 6) for t, v in weights.items()}
-        out.append(
-            {
-                "qid": qid,
-                "terms": sorted(weights),
-                "mode": "disjunctive",
-                "weights": weights,
-            }
+        nq = dict(q)  # preserve per-query extras (e.g. a 'k' override)
+        nq.update(
+            terms=sorted(weights), mode="disjunctive", weights=weights
         )
+        out.append(nq)
     return out
 
 
