@@ -232,11 +232,14 @@ def _run_queries_term_major(
     )
 
 
-# selective decode pays only when the skippable (conjunctive
-# non-rarest) lists are long: below ~4096 quanta of skippable postings
-# the full vectorized decode beats the candidate-routing stages (same
-# cutover rationale as the query-major kernel's `selective` switch)
-TERM_MAJOR_SELECTIVE_MIN_QUANTA = 4096
+# per-term selective-decode cutover, MEASURED kernel break-even: each
+# candidate run costs ~19us of decode_*_quanta call overhead while the
+# whole-list vectorized decode runs at ~108M ints/s (~9ns/posting), so
+# skipping wins only when df_term > ~2048 x candidate count. In the
+# target regime (10^9-doc hot term, rare-term candidates) the ratio is
+# ~10^6 and selective wins outright; at small ratios full decode is
+# faster and the planner keeps it.
+TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE = 2048
 
 
 def _decode_for_batch(
@@ -284,11 +287,21 @@ def _decode_for_batch(
         conj_terms.update(terms_q)
         sel_qterm_rows.extend((qid, t) for t in terms_q if t != rarest)
 
-    sel_terms = sorted(conj_terms - full_terms)
-    skippable = sum(df_by_term[t] for t in sel_terms)
-    log2q = index.stats["log2_quantum"]
-    if not sel_terms or (skippable >> log2q) < TERM_MAJOR_SELECTIVE_MIN_QUANTA:
+    # per-term cost rule: candidates for term t are bounded by the sum
+    # of its queries' rarest-term dfs; selective decode must beat the
+    # measured per-run overhead, so t qualifies only when its list is
+    # > TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE x that bound
+    cand_bound: dict[str, int] = {}
+    for qid, t in sel_qterm_rows:
+        cand_bound[t] = cand_bound.get(t, 0) + df_by_term[rarest_by_qid[qid]]
+    sel_terms = sorted(
+        t
+        for t in (conj_terms - full_terms)
+        if df_by_term[t] > TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE * cand_bound[t]
+    )
+    if not sel_terms:
         return decode_postings(index, terms=distinct_terms)
+    full_terms.update((conj_terms - full_terms) - set(sel_terms))
 
     spark = index.spark
     posts_full = decode_postings(index, terms=sorted(full_terms))

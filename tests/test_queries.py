@@ -388,7 +388,7 @@ def test_term_major_selective_rank_identity(small_index, small_oracle, monkeypat
     oracle on the full mixed query set."""
     import terrier_ef_spark.query.engine as eng
 
-    monkeypatch.setattr(eng, "TERM_MAJOR_SELECTIVE_MIN_QUANTA", 0)
+    monkeypatch.setattr(eng, "TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE", 0)
     pdf = (
         run_queries(small_index, QUERIES, k=10, strategy="term_major")
         .orderBy("qid", "rank")
@@ -436,3 +436,43 @@ def test_decode_postings_selective_skips_quanta(small_index, small_oracle):
     }
     assert got == full and len(got) > 0
     assert 0 < acc_dec.value < acc_tot.value, (acc_dec.value, acc_tot.value)
+
+
+def test_decode_selective_randomized(spark, tmp_path):
+    """Randomized differential: on a fresh skewed corpus, selective
+    decode with random candidate sets (hits, misses, out-of-range)
+    equals the membership-filtered full decode for every sampled term."""
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.engine import (
+        decode_postings,
+        decode_postings_selective,
+    )
+
+    corpus = synthesize_corpus(spark, 300, seed=9, n_partitions=4)
+    idx = build_index(
+        spark, corpus, str(tmp_path / "selrand"), log2_quantum=3,
+        block_bits=6, n_partitions=4,
+    )
+    full = {}
+    for r in decode_postings(idx).collect():
+        full.setdefault(r.term, {})[int(r.docid)] = int(r.tf)
+    rng = np.random.default_rng(17)
+    terms = sorted(full)
+    sampled = [terms[i] for i in rng.choice(len(terms), size=8, replace=False)]
+    rows = []
+    want = set()
+    for t in sampled:
+        docs = sorted(full[t])
+        hits = rng.choice(docs, size=min(5, len(docs)), replace=False)
+        misses = rng.integers(0, 300, size=4)      # mostly absent docids
+        out_of_range = [10_000 + int(x) for x in rng.integers(0, 50, size=2)]
+        cands = {int(d) for d in hits} | {int(d) for d in misses} | set(out_of_range)
+        rows += [(t, d) for d in sorted(cands)]
+        want |= {(t, d, full[t][d]) for d in cands if d in full[t]}
+    cand = spark.createDataFrame(rows, "term string, docid long")
+    got = {
+        (r.term, int(r.docid), int(r.tf))
+        for r in decode_postings_selective(idx, cand, sampled).collect()
+    }
+    assert got == want
