@@ -232,14 +232,16 @@ def _run_queries_term_major(
     )
 
 
-# per-term selective-decode cutover, MEASURED kernel break-even: each
-# candidate run costs ~19us of decode_*_quanta call overhead while the
-# whole-list vectorized decode runs at ~108M ints/s (~9ns/posting), so
-# skipping wins only when df_term > ~2048 x candidate count. In the
-# target regime (10^9-doc hot term, rare-term candidates) the ratio is
-# ~10^6 and selective wins outright; at small ratios full decode is
-# faster and the planner keeps it.
-TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE = 2048
+# per-term selective-decode cutover, MEASURED kernel break-even
+# (BASELINE.md round-2 addendum): with the batched multi-run kernel
+# (decode_*_quanta_multi — one field gather + one unpackbits pass for
+# ALL runs) selective decode beats whole-list vectorized decode until
+# the decoded quanta reach ~1/4 of the list's quanta. Scattered
+# candidates decode ~1 quantum each, so term t qualifies when
+# candidates < (df_t >> log2q) / FACTOR — verified end-to-end: a
+# rare-and-hot conjunctive batch at df ratio 51:1 (log2q=3) runs 1.67x
+# faster selective, and rank-identity holds either way.
+TERM_MAJOR_SELECTIVE_QUANTA_FACTOR = 4
 
 
 def _decode_for_batch(
@@ -288,16 +290,18 @@ def _decode_for_batch(
         sel_qterm_rows.extend((qid, t) for t in terms_q if t != rarest)
 
     # per-term cost rule: candidates for term t are bounded by the sum
-    # of its queries' rarest-term dfs; selective decode must beat the
-    # measured per-run overhead, so t qualifies only when its list is
-    # > TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE x that bound
+    # of its queries' rarest-term dfs; each scattered candidate decodes
+    # ~1 quantum, so selective pays only while candidate quanta stay
+    # under 1/FACTOR of the term's quanta (measured break-even above)
+    log2q = int(index.stats["log2_quantum"])
     cand_bound: dict[str, int] = {}
     for qid, t in sel_qterm_rows:
         cand_bound[t] = cand_bound.get(t, 0) + df_by_term[rarest_by_qid[qid]]
     sel_terms = sorted(
         t
         for t in (conj_terms - full_terms)
-        if df_by_term[t] > TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE * cand_bound[t]
+        if cand_bound[t] * TERM_MAJOR_SELECTIVE_QUANTA_FACTOR
+        < (df_by_term[t] >> log2q)
     )
     if not sel_terms:
         return decode_postings(index, terms=distinct_terms)
@@ -364,17 +368,16 @@ def decode_term_selective(
         if stats is not None:
             stats["decoded"] = stats.get("decoded", 0) + len(qidx)
         q_last_rel = q_last - base
-        runs = np.split(qidx, np.where(np.diff(qidx) > 1)[0] + 1)
-        for run in runs:
-            j0, j1 = int(run[0]), int(run[-1]) + 1
-            d = ef.decode_docids_quanta(
-                bytes(r.docids_ef), int(r.df), ub, q_last_rel, j0, j1, log2q
+        d_parts.append(
+            ef.decode_docids_quanta_multi(
+                bytes(r.docids_ef), int(r.df), ub, q_last_rel, qidx, log2q
             ) + base
-            f = ef.decode_freqs_quanta(
-                bytes(r.freqs_ef), int(r.df), int(r.cf), j0, j1, log2q
+        )
+        f_parts.append(
+            ef.decode_freqs_quanta_multi(
+                bytes(r.freqs_ef), int(r.df), int(r.cf), qidx, log2q
             )
-            d_parts.append(d)
-            f_parts.append(f)
+        )
     if not d_parts:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return np.concatenate(d_parts), np.concatenate(f_parts)
@@ -464,19 +467,16 @@ def _decode_term_quanta_mask(
         ub = block_upper_bound(block_bits, num_docs)
         q_last_rel = np.asarray(r.q_last_docid, dtype=np.int64) - base
         qidx = np.flatnonzero(mask)
-        runs = np.split(qidx, np.where(np.diff(qidx) > 1)[0] + 1)
-        for run in runs:
-            j0, j1 = int(run[0]), int(run[-1]) + 1
-            d_parts.append(
-                ef.decode_docids_quanta(
-                    bytes(r.docids_ef), int(r.df), ub, q_last_rel, j0, j1, log2q
-                ) + base
+        d_parts.append(
+            ef.decode_docids_quanta_multi(
+                bytes(r.docids_ef), int(r.df), ub, q_last_rel, qidx, log2q
+            ) + base
+        )
+        f_parts.append(
+            ef.decode_freqs_quanta_multi(
+                bytes(r.freqs_ef), int(r.df), int(r.cf), qidx, log2q
             )
-            f_parts.append(
-                ef.decode_freqs_quanta(
-                    bytes(r.freqs_ef), int(r.df), int(r.cf), j0, j1, log2q
-                )
-            )
+        )
     if not d_parts:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return np.concatenate(d_parts), np.concatenate(f_parts)
@@ -863,22 +863,12 @@ def decode_postings_selective(
                 if acc_dec is not None:
                     acc_dec.add(len(qidx))
                 q_last_rel = q_last - base
-                d_parts, f_parts = [], []
-                for run in np.split(qidx, np.where(np.diff(qidx) > 1)[0] + 1):
-                    j0, j1 = int(run[0]), int(run[-1]) + 1
-                    d_parts.append(
-                        ef.decode_docids_quanta(
-                            bytes(r.docids_ef), int(r.df), ub, q_last_rel,
-                            j0, j1, log2q,
-                        ) + base
-                    )
-                    f_parts.append(
-                        ef.decode_freqs_quanta(
-                            bytes(r.freqs_ef), int(r.df), int(r.cf), j0, j1, log2q
-                        )
-                    )
-                d = np.concatenate(d_parts)
-                f = np.concatenate(f_parts)
+                d = ef.decode_docids_quanta_multi(
+                    bytes(r.docids_ef), int(r.df), ub, q_last_rel, qidx, log2q
+                ) + base
+                f = ef.decode_freqs_quanta_multi(
+                    bytes(r.freqs_ef), int(r.df), int(r.cf), qidx, log2q
+                )
                 pos = np.minimum(np.searchsorted(d, cands), len(d) - 1)
                 hit = d[pos] == cands
                 out_t.append(np.repeat(r.term, int(hit.sum())))

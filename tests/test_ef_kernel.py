@@ -284,3 +284,35 @@ def test_quantum_range_decode_misuse_probes():
     # empty window is not an error — it is an empty result
     assert len(ef.decode_docids_quanta(dblob, 600, 100_000, q_last, 3, 5, 8)) == 0
     assert len(ef.decode_freqs_quanta(fblob, 600, cf, 3, 5, 8)) == 0
+
+
+def test_quanta_multi_equals_per_run_and_full():
+    """decode_*_quanta_multi over random scattered quanta selections ==
+    the membership-filtered whole-list decode, across list shapes
+    (dense/sparse, tiny/large, several quantum sizes)."""
+    rng = np.random.default_rng(23)
+    for trial in range(40):
+        log2q = int(rng.integers(2, 9))
+        num_docs = int(rng.integers(50, 60_000))
+        df = int(rng.integers(1, max(2, num_docs)))
+        docids = np.sort(rng.choice(num_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 40, size=df).astype(np.int64)
+        cf = int(tfs.sum())
+        dblob = ef.encode_docids(docids, num_docs, log2q)
+        fblob = ef.encode_freqs(tfs, cf, log2q)
+        q = 1 << log2q
+        n_quanta = (df + q - 1) // q
+        q_last = docids[np.minimum(np.arange(1, n_quanta + 1) * q - 1, df - 1)]
+        # random quantum subset: scattered singletons + a consecutive run
+        k = int(rng.integers(1, n_quanta + 1))
+        qidx = np.unique(rng.choice(n_quanta, size=k, replace=False))
+        keep = np.zeros(df, dtype=bool)
+        for j in qidx:
+            keep[j * q : min((j + 1) * q, df)] = True
+        got_d = ef.decode_docids_quanta_multi(dblob, df, num_docs, q_last, qidx, log2q)
+        got_f = ef.decode_freqs_quanta_multi(fblob, df, cf, qidx, log2q)
+        assert np.array_equal(got_d, docids[keep]), (trial, log2q, df)
+        assert np.array_equal(got_f, tfs[keep]), (trial, log2q, df)
+    # empty selection
+    assert len(ef.decode_docids_quanta_multi(dblob, df, num_docs, q_last, [], log2q)) == 0
+    assert len(ef.decode_freqs_quanta_multi(fblob, df, cf, [], log2q)) == 0

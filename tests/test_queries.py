@@ -388,7 +388,7 @@ def test_term_major_selective_rank_identity(small_index, small_oracle, monkeypat
     oracle on the full mixed query set."""
     import terrier_ef_spark.query.engine as eng
 
-    monkeypatch.setattr(eng, "TERM_MAJOR_SELECTIVE_DF_PER_CANDIDATE", 0)
+    monkeypatch.setattr(eng, "TERM_MAJOR_SELECTIVE_QUANTA_FACTOR", -1)
     pdf = (
         run_queries(small_index, QUERIES, k=10, strategy="term_major")
         .orderBy("qid", "rank")
