@@ -242,6 +242,11 @@ def _run_queries_term_major(
 # rare-and-hot conjunctive batch at df ratio 51:1 (log2q=3) runs 1.67x
 # faster selective, and rank-identity holds either way.
 TERM_MAJOR_SELECTIVE_QUANTA_FACTOR = 4
+# query-major kernel's per-query switch to mask/pointer selective
+# decode; re-measured with the batched multi-run kernel on a 24-query
+# mixed BMW batch (100k-doc corpus): 512 beats 4096 slightly and
+# always-selective (0) is worse on short lists
+QUERY_MAJOR_SELECTIVE_MIN_QUANTA = 512
 
 
 def _decode_for_batch(
@@ -646,6 +651,9 @@ def _run_queries_query_major(
     doclen_bc = spark.sparkContext.broadcast(index.doclen_array())
     qmeta_bc = spark.sparkContext.broadcast(qmeta)
     nqt_bc = spark.sparkContext.broadcast(n_query_terms)
+    # captured by value: the kernel closure runs on executors, where the
+    # module-level default would otherwise be re-imported
+    sel_min_quanta = QUERY_MAJOR_SELECTIVE_MIN_QUANTA
 
     def score_one_query(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
@@ -653,13 +661,12 @@ def _run_queries_query_major(
         doclen_arr = doclen_bc.value
 
         # block-selective decode pays off only on long lists: below this
-        # many total quanta (~1M postings at the default quantum) the
-        # whole-list vectorized decode is cheaper than the mask/pointer
-        # machinery (measured at sf0.1: selective BMW on short lists
-        # cost ~2x; on skewed long lists it skips >50% of bytes — see
+        # many total quanta the whole-list vectorized decode is cheaper
+        # than the mask/pointer machinery (re-measured after the
+        # batched multi-run kernel landed; see BASELINE.md addendum and
         # test_bmw_selective_decodes_fewer_quanta)
         total_quanta = int(pdf["q_last_docid"].map(len).sum())
-        selective = total_quanta >= 4096
+        selective = total_quanta >= sel_min_quanta
 
         if selective and (mode == "conjunctive" or algo == "bmw"):
             # block-selective decode paths: only quanta that can matter
