@@ -569,7 +569,8 @@ def decode_docids_quanta_multi(
     q_last_rel,
     qidx,
     log2_quantum: int = DEFAULT_LOG2_QUANTUM,
-) -> np.ndarray:
+    with_indices: bool = False,
+):
     """Decode ALL quanta in sorted-unique `qidx` in ONE vectorized pass
     (concatenated, run-major ascending) — the batched replacement for a
     per-run decode_docids_quanta loop. Measured: the per-run call costs
@@ -579,7 +580,8 @@ def decode_docids_quanta_multi(
     unpack in one unpackbits pass."""
     qidx = np.asarray(qidx, dtype=np.int64)
     if len(qidx) == 0:
-        return np.zeros(0, dtype=np.int64)
+        z = np.zeros(0, dtype=np.int64)
+        return (z, z) if with_indices else z
     q = 1 << log2_quantum
     m = df + 1  # sentinel (non-strict indexZeroes list)
     l = lower_bits(m, upper_bound, False)
@@ -588,7 +590,7 @@ def decode_docids_quanta_multi(
         keep = np.zeros(df, dtype=bool)
         for j in qidx:
             keep[j * q : min((j + 1) * q, df)] = True
-        return full[keep]
+        return (full[keep], np.flatnonzero(keep)) if with_indices else full[keep]
     psize = pointer_size(m, upper_bound, False, True)
     n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, False, True)
     off = n_ptrs * psize
@@ -597,7 +599,8 @@ def decode_docids_quanta_multi(
 
     j0s, j1s, a, e, counts, _, idx = _runs_of(qidx, q, df)
     if len(counts) == 0:
-        return np.zeros(0, dtype=np.int64)
+        z = np.zeros(0, dtype=np.int64)
+        return (z, z) if with_indices else z
     lower = _read_fields_starts(blob, off + idx * l, l)
     prev_pos = np.where(a == 0, -1, (q_last_rel[j0s - 1] >> l) + (a - 1))
     last_pos = (q_last_rel[j1s - 1] >> l) + (e - 1)
@@ -609,55 +612,51 @@ def decode_docids_quanta_multi(
             f"corrupt EF blob: upper-bit count mismatch in quanta {qidx[:8]}..."
         )
     high = pos - idx
-    return (high << np.int64(l)) | lower
+    d = (high << np.int64(l)) | lower
+    return (d, idx) if with_indices else d
 
 
-def decode_freqs_quanta_multi(
+def decode_strict_cps_quanta_multi(
     blob: bytes,
-    df: int,
-    cf: int,
+    m: int,
+    upper_bound: int,
     qidx,
     log2_quantum: int = DEFAULT_LOG2_QUANTUM,
-) -> np.ndarray:
-    """Decode tf values of all quanta in sorted-unique `qidx` in one
-    vectorized pass (concatenated, run-major ascending) — batched
-    replacement for a per-run decode_freqs_quanta loop. Per-run entry
-    prefix sums come from a single gather over the forward pointers."""
+):
+    """Decode the CORRECTED prefix sums of all quanta in sorted-unique
+    `qidx` of a strict EF list (forward-pointer family: freq blobs and
+    position blobs), one vectorized pass. Returns (cps, prev_cps, idx,
+    starts_cum, counts): concatenated run-major cps values, per-run
+    entry prefix sums (cps of element a-1, 0 at list start), the global
+    element index of each value, and run offsets/counts. Returns None
+    when a run start is unreachable by pointer (tiny list) or the field
+    width is pathological — caller falls back to whole-list decode."""
     qidx = np.asarray(qidx, dtype=np.int64)
     if len(qidx) == 0:
-        return np.zeros(0, dtype=np.int64)
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, z
     q = 1 << log2_quantum
-    m = df
-    l = lower_bits(m, cf, True)
-    psize = pointer_size(m, cf, True, False)
-    n_ptrs = number_of_pointers(m, cf, log2_quantum, True, False)
+    l = lower_bits(m, upper_bound, True)
+    psize = pointer_size(m, upper_bound, True, False)
+    n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, True, False)
     off = n_ptrs * psize
     upper_bit0 = off + m * l
 
-    j0s, j1s, a, e, counts, starts_cum, idx = _runs_of(qidx, q, df)
+    j0s, j1s, a, e, counts, starts_cum, idx = _runs_of(qidx, q, m)
     if len(counts) == 0:
-        return np.zeros(0, dtype=np.int64)
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, z
     needs_ptr = a > 0
     if l > 57 or (needs_ptr.any() and (psize == 0 or int(j0s[needs_ptr].max()) > n_ptrs)):
-        # no pointer reaches some run start (tiny list) or pathological
-        # width: whole-list fallback
-        full = decode_freqs(blob, df, cf, log2_quantum)
-        keep = np.zeros(df, dtype=bool)
-        for j in qidx:
-            keep[j * q : min((j + 1) * q, df)] = True
-        return full[keep]
+        return None
 
     prev_pos = np.full(len(a), -1, dtype=np.int64)
     prev_cps = np.zeros(len(a), dtype=np.int64)
     if needs_ptr.any():
-        ptrs = _read_fields_starts(
-            blob, (j0s[needs_ptr] - 1) * psize, psize
-        )
+        ptrs = _read_fields_starts(blob, (j0s[needs_ptr] - 1) * psize, psize)
         pp = ptrs - 1
         prev_high = pp - (a[needs_ptr] - 1)
-        prev_lower = _read_fields_starts(
-            blob, off + (a[needs_ptr] - 1) * l, l
-        )
+        prev_lower = _read_fields_starts(blob, off + (a[needs_ptr] - 1) * l, l)
         prev_pos[needs_ptr] = pp
         prev_cps[needs_ptr] = (prev_high << np.int64(l)) | prev_lower
 
@@ -679,10 +678,88 @@ def decode_freqs_quanta_multi(
         )
     high = pos - idx
     cps = (high << np.int64(l)) | lower
+    return cps, prev_cps, idx, starts_cum, counts
+
+
+def decode_freqs_quanta_multi(
+    blob: bytes,
+    df: int,
+    cf: int,
+    qidx,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> np.ndarray:
+    """Decode tf values of all quanta in sorted-unique `qidx` in one
+    vectorized pass (concatenated, run-major ascending) — batched
+    replacement for a per-run decode_freqs_quanta loop. Per-run entry
+    prefix sums come from a single gather over the forward pointers."""
+    qidx = np.asarray(qidx, dtype=np.int64)
+    if len(qidx) == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = decode_strict_cps_quanta_multi(blob, df, cf, qidx, log2_quantum)
+    if out is None:  # tiny list / pathological width: whole-list fallback
+        q = 1 << log2_quantum
+        full = decode_freqs(blob, df, cf, log2_quantum)
+        keep = np.zeros(df, dtype=bool)
+        for j in qidx:
+            keep[j * q : min((j + 1) * q, df)] = True
+        return full[keep]
+    cps, prev_cps, _, starts_cum, _ = out
+    if len(cps) == 0:
+        return np.zeros(0, dtype=np.int64)
     shifted = np.empty_like(cps)
     shifted[1:] = cps[:-1]
     shifted[starts_cum] = prev_cps
     return cps - shifted + 1
+
+
+def decode_positions_ranges(
+    blob: bytes,
+    n_elems: int,
+    upper_bound: int,
+    ranges,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> list[np.ndarray]:
+    """Decode positions for SELECTED postings only — the true lazy
+    per-posting decode (EFBlockIterablePosting.getPositions reads one
+    posting's segment on demand; here a batch of segments decodes in
+    one vectorized pass). `ranges` is an (n, 2) array of [s, e) element
+    ranges into the strict position sequence (one per wanted posting;
+    s = cumulative tf before the posting, e = s + tf). Returns one
+    position array per range.
+
+    Derivation: raw prefix sum R_j = cps_j + j + 1 (strict correction),
+    and within a posting pos_k = R_j - R_{s-1} - 1, so
+    pos = cps_j - cps_{s-1} + (j - s) with cps_{-1} = 0."""
+    ranges = np.asarray(ranges, dtype=np.int64).reshape(-1, 2)
+    if len(ranges) == 0:
+        return []
+    # quanta covering every range plus its entry element s-1
+    lo_q = np.maximum(ranges[:, 0] - 1, 0) >> log2_quantum
+    hi_q = (np.maximum(ranges[:, 1], 1) - 1) >> log2_quantum  # inclusive
+    qidx = np.unique(
+        np.concatenate([np.arange(lo, hi + 1) for lo, hi in zip(lo_q, hi_q)])
+    )
+    out = decode_strict_cps_quanta_multi(
+        blob, n_elems, upper_bound, qidx, log2_quantum
+    )
+    if out is None:  # tiny list / pathological width: whole-list cps
+        cps = ef_decode_prefix_sums(
+            blob, n_elems, upper_bound, strict=True, index_zeroes=False,
+            log2_quantum=log2_quantum,
+        )
+        idx = np.arange(n_elems, dtype=np.int64)
+    else:
+        cps, _, idx, _, _ = out
+    res = []
+    for s, e in ranges:
+        if e <= s:
+            res.append(np.zeros(0, dtype=np.int64))
+            continue
+        js = np.arange(s, e, dtype=np.int64)
+        vals = cps[np.searchsorted(idx, js)]
+        entry = 0 if s == 0 else int(cps[np.searchsorted(idx, s - 1)])
+        res.append(vals - entry + (js - s))
+    return res
 
 
 # ---------------------------------------------------------------------------

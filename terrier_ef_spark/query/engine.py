@@ -939,3 +939,110 @@ def decode_positions_df(index: EFIndex, terms: list[str] | None = None) -> DataF
     return src.select(cols).mapInPandas(
         decode_rows, schema="term string, docid long, pos long"
     )
+
+
+def decode_positions_selective(
+    index: EFIndex, cand: DataFrame, terms: list[str]
+) -> DataFrame:
+    """(term, docid, pos) rows for candidate (term, docid) pairs ONLY —
+    the true lazy positions decode at engine level (reference:
+    EFBlockIterablePosting.getPositions reads one posting's segment on
+    demand). Candidate->block routing is the same equi-join as
+    decode_postings_selective (blocks without candidates never read a
+    byte); within a block, candidate postings are located via selective
+    DOCID quanta decode, their position-element ranges derived from a
+    selective FREQ prefix-sum decode, and only those segments of the
+    position sequence are unpacked (ef.decode_positions_ranges)."""
+    stats = index.stats
+    if not stats.get("has_positions"):
+        raise ValueError("index was built without positions")
+    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    block_bits = stats.get("block_bits")
+
+    src = index.postings.select(
+        "term", "block_id", "df", "cf", "first_docid", "last_docid",
+        "docids_ef", "freqs_ef", "positions_ef", "sum_max_pos", "q_last_docid",
+    ).where(F.col("term").isin(sorted(set(terms))))
+    if block_bits is not None:
+        keyed = cand.withColumn("block_id", F.shiftright("docid", block_bits))
+        grouped = keyed.groupBy("term", "block_id").agg(
+            F.sort_array(F.collect_set("docid")).alias("cands")
+        )
+        src = src.join(grouped, ["term", "block_id"])
+    else:
+        grouped = cand.groupBy("term").agg(
+            F.sort_array(F.collect_set("docid")).alias("cands")
+        )
+        src = src.join(grouped, ["term"])
+
+    def decode_sel(batches):
+        for pdf in batches:
+            out_t, out_d, out_p = [], [], []
+            for r in pdf.itertuples(index=False):
+                df_b, cf_b = int(r.df), int(r.cf)
+                base = 0 if block_bits is None else int(r.block_id) << block_bits
+                ub = block_upper_bound(block_bits, num_docs)
+                q_last = np.asarray(r.q_last_docid, dtype=np.int64)
+                cands = np.asarray(r.cands, dtype=np.int64)
+                cands = cands[
+                    (cands >= int(r.first_docid)) & (cands <= int(r.last_docid))
+                ]
+                if len(cands) == 0:
+                    continue
+                # locate candidate postings: element indices in the list
+                qidx = np.unique(np.searchsorted(q_last, cands, side="left"))
+                qidx = qidx[qidx < len(q_last)]
+                d, idx = ef.decode_docids_quanta_multi(
+                    bytes(r.docids_ef), df_b, ub, q_last - base, qidx, log2q,
+                    with_indices=True,
+                )
+                d = d + base
+                pos_in = np.minimum(np.searchsorted(d, cands), len(d) - 1)
+                hit = d[pos_in] == cands
+                pidx = idx[pos_in[hit]]  # global posting indices, ascending
+                dd = cands[hit]
+                if len(pidx) == 0:
+                    continue
+                # element ranges from freq prefix sums: s = cps[i-1] + i,
+                # tf = cps[i] - cps[i-1] + 1 (strict semantics)
+                fq = np.unique(
+                    np.concatenate([pidx >> log2q, np.maximum(pidx - 1, 0) >> log2q])
+                )
+                fout = ef.decode_strict_cps_quanta_multi(
+                    bytes(r.freqs_ef), df_b, cf_b, fq, log2q
+                )
+                if fout is None:
+                    cps_full = np.cumsum(
+                        ef.decode_freqs(bytes(r.freqs_ef), df_b, cf_b, log2q)
+                    ) - np.arange(1, df_b + 1)
+                    fcps, fidx = cps_full, np.arange(df_b, dtype=np.int64)
+                else:
+                    fcps, _, fidx, _, _ = fout
+                cps_i = fcps[np.searchsorted(fidx, pidx)]
+                prev = np.where(
+                    pidx == 0,
+                    0,
+                    fcps[np.searchsorted(fidx, np.maximum(pidx - 1, 0))],
+                )
+                s = prev + pidx
+                e = s + (cps_i - prev + 1)
+                plists = ef.decode_positions_ranges(
+                    bytes(r.positions_ef), cf_b, df_b + int(r.sum_max_pos),
+                    np.stack([s, e], axis=1), log2q,
+                )
+                tf_sel = (e - s).astype(np.int64)
+                out_t.append(np.repeat(r.term, int(tf_sel.sum())))
+                out_d.append(np.repeat(dd, tf_sel))
+                out_p.append(
+                    np.concatenate(plists) if plists else np.zeros(0, np.int64)
+                )
+            if out_t:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(out_t),
+                        "docid": np.concatenate(out_d),
+                        "pos": np.concatenate(out_p).astype(np.int64),
+                    }
+                )
+
+    return src.mapInPandas(decode_sel, schema="term string, docid long, pos long")

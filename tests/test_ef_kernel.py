@@ -316,3 +316,32 @@ def test_quanta_multi_equals_per_run_and_full():
     # empty selection
     assert len(ef.decode_docids_quanta_multi(dblob, df, num_docs, q_last, [], log2q)) == 0
     assert len(ef.decode_freqs_quanta_multi(fblob, df, cf, [], log2q)) == 0
+
+
+def test_positions_ranges_equals_full():
+    """decode_positions_ranges on random posting subsets == the full
+    decode_positions segments, across list shapes and quantum sizes."""
+    rng = np.random.default_rng(31)
+    for trial in range(30):
+        log2q = int(rng.integers(2, 9))
+        df = int(rng.integers(1, 400))
+        tfs = rng.integers(1, 15, size=df).astype(np.int64)
+        plists = []
+        maxpos = 0
+        for tf in tfs:
+            p = np.sort(rng.choice(500, size=tf, replace=False)).astype(np.int64)
+            plists.append(p)
+            maxpos += int(p.max())
+        blob = ef.encode_positions(plists, df, maxpos, log2q)
+        n_elems = int(tfs.sum())
+        ub = df + maxpos
+        full = ef.decode_positions(blob, tfs, df, maxpos, log2q)
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        k = int(rng.integers(1, df + 1))
+        picks = np.sort(rng.choice(df, size=k, replace=False))
+        ranges = np.stack([starts[picks], ends[picks]], axis=1)
+        got = ef.decode_positions_ranges(blob, n_elems, ub, ranges, log2q)
+        for want_i, got_i in zip(picks, got):
+            assert np.array_equal(got_i, full[want_i]), (trial, log2q, want_i)
+    assert ef.decode_positions_ranges(blob, n_elems, ub, [], log2q) == []

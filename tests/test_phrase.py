@@ -83,3 +83,50 @@ def test_positions_relation_matches_token_stream(spark, small_index, small_corpu
         for r in decode_positions_df(small_index).collect()
     )
     assert got == expected
+
+
+def test_phrase_selective_equals_full(small_index):
+    """Candidate-selective positions decode yields identical phrase and
+    proximity results to whole-list decode, including absent-term and
+    duplicate-term phrases."""
+    from terrier_ef_spark.query.phrase import phrase_match, proximity_match
+
+    for phrase in (["the", "v150"], ["import", "def"], ["the", "the"],
+                   ["the", "zzz_absent_zzz"]):
+        full = [tuple(r) for r in phrase_match(
+            small_index, phrase, k=20, selective=False).orderBy("rank").collect()]
+        sel = [tuple(r) for r in phrase_match(
+            small_index, phrase, k=20, selective=True).orderBy("rank").collect()]
+        assert sel == full, phrase
+    fullp = [tuple(r) for r in proximity_match(
+        small_index, "the", "v150", window=5, k=20, selective=False
+    ).orderBy("rank").collect()]
+    selp = [tuple(r) for r in proximity_match(
+        small_index, "the", "v150", window=5, k=20, selective=True
+    ).orderBy("rank").collect()]
+    assert selp == fullp
+
+
+def test_decode_positions_selective_matches_filtered_full(small_index, small_oracle):
+    """decode_positions_selective == decode_positions_df filtered to the
+    candidate (term, docid) pairs."""
+    from terrier_ef_spark.query.engine import (
+        decode_positions_df,
+        decode_positions_selective,
+    )
+
+    spark = small_index.spark
+    cand_docs = sorted(d for d, _ in small_oracle.postings["v150"])
+    cand = spark.createDataFrame(
+        [("the", d) for d in cand_docs], "term string, docid long"
+    )
+    got = sorted(
+        (r.term, int(r.docid), int(r.pos))
+        for r in decode_positions_selective(small_index, cand, ["the"]).collect()
+    )
+    want = sorted(
+        (r.term, int(r.docid), int(r.pos))
+        for r in decode_positions_df(small_index, terms=["the"]).collect()
+        if int(r.docid) in set(cand_docs)
+    )
+    assert got == want and len(got) > 0
