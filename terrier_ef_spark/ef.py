@@ -518,6 +518,9 @@ def _runs_of(qidx: np.ndarray, q: int, df: int):
     counts = e - a
     keep = counts > 0
     j0s, j1s, a, e, counts = j0s[keep], j1s[keep], a[keep], e[keep], counts[keep]
+    if len(counts) == 0:  # every selected quantum lies beyond the list
+        z = np.zeros(0, dtype=np.int64)
+        return j0s, j1s, a, e, counts, z, z
     total = int(counts.sum())
     starts_cum = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     idx = (
@@ -750,16 +753,25 @@ def decode_positions_ranges(
         idx = np.arange(n_elems, dtype=np.int64)
     else:
         cps, _, idx, _, _ = out
-    res = []
-    for s, e in ranges:
-        if e <= s:
-            res.append(np.zeros(0, dtype=np.int64))
-            continue
-        js = np.arange(s, e, dtype=np.int64)
-        vals = cps[np.searchsorted(idx, js)]
-        entry = 0 if s == 0 else int(cps[np.searchsorted(idx, s - 1)])
-        res.append(vals - entry + (js - s))
-    return res
+    # fully vectorized assembly (no per-range Python in the hot path):
+    # one searchsorted for every wanted element, one for every entry
+    s_arr = ranges[:, 0]
+    lens = np.maximum(ranges[:, 1] - s_arr, 0)
+    total = int(lens.sum())
+    if total == 0:
+        return [np.zeros(0, dtype=np.int64) for _ in range(len(ranges))]
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    all_js = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(off, lens)
+        + np.repeat(s_arr, lens)
+    )
+    vals = cps[np.searchsorted(idx, all_js)]
+    entry = np.where(
+        s_arr == 0, 0, cps[np.searchsorted(idx, np.maximum(s_arr - 1, 0))]
+    )
+    flat = vals - np.repeat(entry, lens) + (all_js - np.repeat(s_arr, lens))
+    return np.split(flat, np.cumsum(lens)[:-1])
 
 
 # ---------------------------------------------------------------------------

@@ -1012,10 +1012,11 @@ def decode_positions_selective(
                     bytes(r.freqs_ef), df_b, cf_b, fq, log2q
                 )
                 if fout is None:
-                    cps_full = np.cumsum(
-                        ef.decode_freqs(bytes(r.freqs_ef), df_b, cf_b, log2q)
-                    ) - np.arange(1, df_b + 1)
-                    fcps, fidx = cps_full, np.arange(df_b, dtype=np.int64)
+                    fcps = ef.ef_decode_prefix_sums(
+                        bytes(r.freqs_ef), df_b, cf_b, strict=True,
+                        index_zeroes=False, log2_quantum=log2q,
+                    )
+                    fidx = np.arange(df_b, dtype=np.int64)
                 else:
                     fcps, _, fidx, _, _ = fout
                 cps_i = fcps[np.searchsorted(fidx, pidx)]

@@ -32,6 +32,7 @@ from terrier_ef_spark.query.engine import (
     decode_positions_df,
     decode_positions_selective,
     decode_postings,
+    decode_postings_selective,
 )
 from terrier_ef_spark.util import eager_release
 
@@ -64,16 +65,26 @@ def _positions_for(index: EFIndex, terms: list[str], selective: bool | None) -> 
         sel_terms = list(terms)  # forced (tests): all terms selective
     full_terms = [t for t in terms if t not in sel_terms]
 
-    # candidates: docs containing ALL the phrase's terms (docid decode
-    # only — the positions bytes are the cost being avoided)
-    posts = decode_postings(index, terms=terms)
-    cand_docs = (
-        posts.groupBy("docid")
-        .agg(F.count_distinct("term").alias("nt"))
-        .where(F.col("nt") == len(terms))
-        .select("docid")
-    )
-    terms_df = index.spark.createDataFrame([(t,) for t in sel_terms], "term string")
+    # candidates: docs containing ALL the phrase's terms. Only the
+    # RAREST term's list is decoded in full; every other term checks
+    # membership via selective (candidate-quanta) decode — the same
+    # skip shape as engine._decode_for_batch, so a hot term's docid and
+    # freq blobs are never unpacked wholesale on this path either.
+    spark = index.spark
+    rarest = min(terms, key=lambda t: (lex[t][0], t))
+    cand_docs = decode_postings(index, terms=[rarest]).select("docid")
+    others = [t for t in terms if t != rarest]
+    if others:
+        ot_df = spark.createDataFrame([(t,) for t in others], "term string")
+        probe = cand_docs.crossJoin(F.broadcast(ot_df)).select("term", "docid")
+        hits = decode_postings_selective(index, probe, others)
+        cand_docs = (
+            hits.groupBy("docid")
+            .agg(F.count_distinct("term").alias("nt"))
+            .where(F.col("nt") == len(others))
+            .select("docid")
+        )
+    terms_df = spark.createDataFrame([(t,) for t in sel_terms], "term string")
     cand = cand_docs.crossJoin(F.broadcast(terms_df)).select("term", "docid")
     pos_rows = decode_positions_selective(index, cand, sel_terms)
     if full_terms:

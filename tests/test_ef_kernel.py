@@ -345,3 +345,16 @@ def test_positions_ranges_equals_full():
         for want_i, got_i in zip(picks, got):
             assert np.array_equal(got_i, full[want_i]), (trial, log2q, want_i)
     assert ef.decode_positions_ranges(blob, n_elems, ub, [], log2q) == []
+
+
+def test_quanta_multi_out_of_range_quanta_decode_nothing():
+    """Quantum indices beyond the list decode to empty results (not an
+    opaque broadcast crash) — misuse-probe discipline for the multi
+    variants."""
+    docids = np.array([3, 9, 20, 31, 55], dtype=np.int64)
+    tfs = np.array([1, 4, 2, 2, 7], dtype=np.int64)
+    blob = ef.encode_docids(docids, 100, 3)
+    fblob = ef.encode_freqs(tfs, int(tfs.sum()), 3)
+    q_last = docids[np.minimum(np.arange(1, 2) * 8 - 1, 4)]
+    assert len(ef.decode_docids_quanta_multi(blob, 5, 100, q_last, [20, 25], 3)) == 0
+    assert len(ef.decode_freqs_quanta_multi(fblob, 5, int(tfs.sum()), [20, 25], 3)) == 0
