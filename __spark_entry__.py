@@ -79,13 +79,20 @@ def _bm25(spark: SparkSession, sf_dir: str, queries, algo: str,
     gate exercises the broadcast-free 10^9-doc scoring path; BMW keys
     run the query-major DAAT kernel (reference shape). model selects
     the pluggable weighting model (bm25 | dph | lm_dirichlet)."""
-    from pyspark.sql import Window
-
     from terrier_ef_spark.query.engine import run_queries
 
     idx = _get_index(spark, sf_dir)
     deep = run_queries(idx, queries, k=100, algo=algo, strategy=strategy,
                        model=model)
+    return _rerank_6dp(deep)
+
+
+def _rerank_6dp(deep: DataFrame) -> DataFrame:
+    """Stable contract ranking: re-rank deep full-precision results on
+    (round(score, 6) desc, docid asc), top 10 — shared by every
+    retrieval contract key so Spark and DuckDB order identically."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("docid"))
     return (
         deep.withColumn("score_r", F.round("score", 6))
@@ -318,8 +325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_bo1_expanded(spark, sf):
         """Two-pass Bo1 pseudo-relevance feedback over the EF index +
         direct index (Terrier's QueryExpansion workflow)."""
-        from pyspark.sql import Window
-
         from terrier_ef_spark.index.direct import build_direct
         from terrier_ef_spark.query.expansion import run_queries_bo1
 
@@ -329,13 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx, BM25_QUERIES, k=100, fb_docs=3, fb_terms=10,
             strategy="term_major", direct=direct,
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("docid"))
-        return (
-            deep.withColumn("score_r", F.round("score", 6))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 10)
-            .select("qid", "rank", "docid", F.col("score_r").alias("score"))
-        )
+        return _rerank_6dp(deep)
 
     def positions_decoded(spark, sf):
         from terrier_ef_spark.query.engine import decode_positions_df

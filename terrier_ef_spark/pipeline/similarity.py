@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -256,7 +258,8 @@ NEAR_DUP_MIN_COS = 0.99
 NEAR_DUP_MAX_BUCKET = 256
 
 
-def wta_pairs(dim: int, nbits: int = NEAR_DUP_NBITS) -> list[tuple[int, int]]:
+@lru_cache(maxsize=16)
+def wta_pairs(dim: int, nbits: int = NEAR_DUP_NBITS) -> tuple[tuple[int, int], ...]:
     """Deterministic WTA element-pair schedule: bit j compares
     emb[p_j] > emb[q_j]. All ordered (p, q) pairs are enumerated and
     permuted by a fixed integer mix, so the nbits pairs are DISTINCT
@@ -276,7 +279,8 @@ def wta_pairs(dim: int, nbits: int = NEAR_DUP_NBITS) -> list[tuple[int, int]]:
         return x
 
     order = sorted(range(len(pairs)), key=lambda i: (mix(i), i))
-    return [pairs[order[i % len(order)]] for i in range(nbits)]
+    # tuple: the result is lru_cached and must stay immutable
+    return tuple(pairs[order[i % len(order)]] for i in range(nbits))
 
 
 def _wta_sig_cols(emb_col, pairs: list[tuple[int, int]]):

@@ -282,7 +282,7 @@ def _decode_for_batch(
     for q in queries:
         qid = int(q["qid"])
         mode = qmeta[qid][0]
-        terms_q = [t for t in dict.fromkeys(q["terms"])]
+        terms_q = list(dict.fromkeys(q["terms"]))
         if mode != "conjunctive":
             full_terms.update(t for t in terms_q if t in df_by_term)
             continue
@@ -350,8 +350,8 @@ def decode_term_selective(
     contain `candidates` (sorted absolute docids) — the engine-level
     skipTo (reference: EFBasicIterablePosting.next(target) walks skip
     pointers to the containing quantum, DocidReader.java:118-183; here
-    the stored q_last_docid grid routes straight to the quanta and
-    consecutive quanta decode as one vectorized range).
+    the stored q_last_docid grid routes straight to the quanta and ALL
+    selected quanta decode in one batched kernel pass).
 
     Returns (docids_abs, tfs) covering every candidate present in the
     term's list (supersets are fine — membership is re-checked by the
@@ -806,6 +806,30 @@ def decode_postings(index: EFIndex, terms: list[str] | None = None) -> DataFrame
     )
 
 
+def _route_candidates(
+    index: EFIndex, cand: DataFrame, terms: list[str], cols: list[str]
+) -> DataFrame:
+    """Shared candidate->block routing for the selective decoders:
+    inner-join the (term, docid) candidates onto the postings blocks —
+    on (term, block_id = docid >> block_bits) when the index is
+    docid-range-blocked — so blocks without candidates are pruned
+    before any blob byte is read. Adds a sorted `cands` array column."""
+    block_bits = index.stats.get("block_bits")
+    src = index.postings.select(*cols).where(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    if block_bits is not None:
+        keyed = cand.withColumn("block_id", F.shiftright("docid", block_bits))
+        grouped = keyed.groupBy("term", "block_id").agg(
+            F.sort_array(F.collect_set("docid")).alias("cands")
+        )
+        return src.join(grouped, ["term", "block_id"])
+    grouped = cand.groupBy("term").agg(
+        F.sort_array(F.collect_set("docid")).alias("cands")
+    )
+    return src.join(grouped, ["term"])
+
+
 def decode_postings_selective(
     index: EFIndex,
     cand: DataFrame,
@@ -834,21 +858,11 @@ def decode_postings_selective(
     block_bits = stats.get("block_bits")
     acc_dec, acc_tot = acc if acc is not None else (None, None)
 
-    src = index.postings.select(
-        "term", "block_id", "df", "cf", "first_docid", "last_docid",
-        "docids_ef", "freqs_ef", "q_last_docid",
-    ).where(F.col("term").isin(sorted(set(terms))))
-    if block_bits is not None:
-        keyed = cand.withColumn("block_id", F.shiftright("docid", block_bits))
-        grouped = keyed.groupBy("term", "block_id").agg(
-            F.sort_array(F.collect_set("docid")).alias("cands")
-        )
-        src = src.join(grouped, ["term", "block_id"])
-    else:
-        grouped = cand.groupBy("term").agg(
-            F.sort_array(F.collect_set("docid")).alias("cands")
-        )
-        src = src.join(grouped, ["term"])
+    src = _route_candidates(
+        index, cand, terms,
+        ["term", "block_id", "df", "cf", "first_docid", "last_docid",
+         "docids_ef", "freqs_ef", "q_last_docid"],
+    )
 
     def decode_sel(batches):
         for pdf in batches:
@@ -959,21 +973,12 @@ def decode_positions_selective(
     num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
     block_bits = stats.get("block_bits")
 
-    src = index.postings.select(
-        "term", "block_id", "df", "cf", "first_docid", "last_docid",
-        "docids_ef", "freqs_ef", "positions_ef", "sum_max_pos", "q_last_docid",
-    ).where(F.col("term").isin(sorted(set(terms))))
-    if block_bits is not None:
-        keyed = cand.withColumn("block_id", F.shiftright("docid", block_bits))
-        grouped = keyed.groupBy("term", "block_id").agg(
-            F.sort_array(F.collect_set("docid")).alias("cands")
-        )
-        src = src.join(grouped, ["term", "block_id"])
-    else:
-        grouped = cand.groupBy("term").agg(
-            F.sort_array(F.collect_set("docid")).alias("cands")
-        )
-        src = src.join(grouped, ["term"])
+    src = _route_candidates(
+        index, cand, terms,
+        ["term", "block_id", "df", "cf", "first_docid", "last_docid",
+         "docids_ef", "freqs_ef", "positions_ef", "sum_max_pos",
+         "q_last_docid"],
+    )
 
     def decode_sel(batches):
         for pdf in batches:
