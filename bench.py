@@ -124,9 +124,12 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
     dt = time.time() - t0
     out["bm25_batch256_sec"] = dt
     out["bm25_batch256_qps"] = len(big) / dt
-    run_queries(idx, big, k=10, algo="bmw").count()  # warm
+    # pinned query_major: this number is the reference-DAAT-kernel
+    # comparison (auto would now route a 256 batch to the relational
+    # term-major BMW, which the tm_batch256 number already covers)
+    run_queries(idx, big, k=10, algo="bmw", strategy="query_major").count()  # warm
     t0 = time.time()
-    run_queries(idx, big, k=10, algo="bmw").count()
+    run_queries(idx, big, k=10, algo="bmw", strategy="query_major").count()
     dt = time.time() - t0
     out["bm25_bmw_batch256_sec"] = dt
     out["bm25_bmw_batch256_qps"] = len(big) / dt

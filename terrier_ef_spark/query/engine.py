@@ -84,12 +84,15 @@ def run_queries(
 
     Returns (qid, rank, docid, score), rank 1-based, tie-break
     (score desc, docid asc). strategy: 'term_major' | 'query_major' |
-    'auto'. auto picks query_major for BMW and for SMALL batches on
-    SMALL collections (the per-query kernel has near-zero plan
-    overhead; term-major pays a fixed 2-3 Spark stages), and term_major
-    for large batches — where decode-once-per-term dominates — or
-    whenever the collection is too big for the kernel's doclen
-    broadcast (>1e8 docs).
+    'auto'. auto picks query_major for SMALL batches on SMALL
+    collections (the per-query kernel has near-zero plan overhead;
+    term-major pays a fixed 2-3 Spark stages), and term_major for
+    large batches — where decode-once-per-term dominates — or whenever
+    the collection is too big for the kernel's doclen broadcast
+    (>1e8 docs). algo='bmw' runs on BOTH strategies: the query-major
+    DAAT kernel (reference shape) or the fully relational BMW
+    (_run_queries_term_major_bmw — no doclen broadcast, the 10^9-doc
+    pruned path); both are rank-identical to exhaustive.
 
     model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'lm_dirichlet'
     (term-major only — published formulas: DFR DPH and PL2 after
@@ -107,20 +110,28 @@ def run_queries(
             )
         strategy = "term_major"
     if strategy == "auto":
-        if algo == "bmw":
-            strategy = "query_major"
-        elif len(queries) >= 64 or index.stats["num_docs"] > 100_000_000:
+        if len(queries) >= 64 or index.stats["num_docs"] > 100_000_000:
             strategy = "term_major"
         else:
             strategy = "query_major"
     if strategy == "term_major":
         if algo == "bmw":
-            raise ValueError(
-                "block-max WAND is a document-at-a-time kernel; use "
-                "strategy='query_major' (term_major scores exhaustively)"
-            )
+            return _run_queries_term_major_bmw(index, queries, k=k)
         return _run_queries_term_major(index, queries, k=k, model=model)
     return _run_queries_query_major(index, queries, k=k, algo=algo)
+
+
+def _bm25_contrib_expr(num_docs: float, avgdl: float, tf, dl):
+    """Catalyst BM25 contribution (Robertson idf x tf-normalization) for
+    a posting row joined to (global_df, doclen) — shared by the
+    exhaustive term-major scorer and the relational BMW path."""
+    idf = F.log2(
+        (F.lit(num_docs) - F.col("global_df") + 0.5) / (F.col("global_df") + 0.5)
+    )
+    tfn = (tf * (bm25.K1 + 1)) / (
+        bm25.K1 * (1 - bm25.B + bm25.B * dl / F.lit(avgdl)) + tf
+    )
+    return idf * tfn
 
 
 def _run_queries_term_major(
@@ -129,14 +140,33 @@ def _run_queries_term_major(
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
     spark = index.spark
+    qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
+    if not qterm_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    distinct_terms = sorted({t for _, t, _ in qterm_rows})
+    posts = _decode_for_batch(index, queries, qmeta, distinct_terms)
+    return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model)
+
+
+def _score_rows(
+    index: EFIndex,
+    posts: DataFrame,
+    qterm_rows: list[tuple],
+    qmeta: dict,
+    n_query_terms: dict,
+    model: str = "bm25",
+) -> DataFrame:
+    """Scoring tail of the term-major strategy: (term, docid, tf) rows
+    -> lexicon + partitioned doclen joins -> Catalyst model contribution
+    -> broadcast qterms fanout -> per-(qid, docid) sum -> per-qid
+    top-k. Shared by the exhaustive scorer and the relational BMW path
+    (which feeds a pruned superset of the rows that matter)."""
+    spark = index.spark
     stats = index.stats
     num_docs = float(stats["num_docs"])
     avgdl = float(stats["avgdl"])
     num_tokens = float(stats.get("num_tokens") or (num_docs * avgdl))
 
-    qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
-    if not qterm_rows:
-        return spark.createDataFrame([], RESULT_SCHEMA)
     qterms_df = spark.createDataFrame(
         qterm_rows, "qid long, term string, w double"
     )
@@ -148,8 +178,6 @@ def _run_queries_term_major(
         "qid long, mode string, kq int, n_terms int",
     )
     distinct_terms = sorted({t for _, t, _ in qterm_rows})
-
-    posts = _decode_for_batch(index, queries, qmeta, distinct_terms)
     lex = index.lexicon.select(
         "term",
         F.col("df").cast("double").alias("global_df"),
@@ -165,13 +193,7 @@ def _run_queries_term_major(
     tf = F.col("tf").cast("double")
     dl = F.col("doclen").cast("double")
     if model == "bm25":
-        idf = F.log2(
-            (F.lit(num_docs) - F.col("global_df") + 0.5) / (F.col("global_df") + 0.5)
-        )
-        tfn = (tf * (bm25.K1 + 1)) / (
-            bm25.K1 * (1 - bm25.B + bm25.B * dl / F.lit(avgdl)) + tf
-        )
-        contrib = idf * tfn
+        contrib = _bm25_contrib_expr(num_docs, avgdl, tf, dl)
     elif model == "dph":
         # DFR DPH (Amati; parameter-free): f = tf/dl,
         # norm = (1-f)^2/(tf+1),
@@ -336,6 +358,241 @@ def _decode_for_batch(
     )
     posts_sel = decode_postings_selective(index, cand_td, terms=sel_terms)
     return posts_full.unionByName(posts_sel)
+
+
+# relational BMW pays ~6 fixed extra Spark stages (metadata pass, seed
+# decode, exact-theta scoring, survivor filter) — roughly 10s of
+# orchestration at local scale regardless of data volume. At ~3us of
+# decode+shuffle+score pipeline per posting and a measured ~50% typical
+# prune fraction, the crossover is ~10M matched postings; below that
+# the exhaustive term-major scorer wins on wall time (measured:
+# 1.6M-posting workloads prune 49% of quanta yet lose 0.2-0.3x) and
+# the gate falls back to it.
+BMW_TERM_MAJOR_MIN_POSTINGS = 10_000_000
+
+
+def _run_queries_term_major_bmw(
+    index: EFIndex, queries: list[dict], *, k: int
+) -> DataFrame:
+    """Distributed block-max WAND on the term-major strategy — the
+    pruned-top-k path with NO dense doclen broadcast and NO per-query
+    kernel, i.e. BMW that still works at 10^9+ docs (the query-major
+    DAAT kernel is reference parity, bounded by its doclen broadcast).
+
+    Conjunctive queries route to the exact selective term-major scorer
+    (their skip is candidate-driven, not theta-driven); disjunctive
+    queries run the relational BMW below."""
+    qmeta, _, _ = _query_plan(queries, k)
+    conj = [q for q in queries if qmeta[int(q["qid"])][0] == "conjunctive"]
+    disj = [q for q in queries if qmeta[int(q["qid"])][0] != "conjunctive"]
+    parts = []
+    if conj:
+        parts.append(_run_queries_term_major(index, conj, k=k))
+    if disj:
+        parts.append(_bmw_disjunctive_relational(index, disj, k=k))
+    if not parts:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _bmw_disjunctive_relational(
+    index: EFIndex, queries: list[dict], *, k: int
+) -> DataFrame:
+    """Safe-to-k relational BMW (Ding & Suel SIGIR'11, re-expressed as
+    DataFrame stages):
+
+    1. quantum-metadata relation: posexplode the stored per-quantum
+       (last docid, max tf, min dl) grids of the MATCHED terms only ->
+       per-quantum upper bound ub = max(idf, 0 for negative idf) x
+       tfn(max_tf, min_dl). Negative-idf terms get ub = 0 everywhere,
+       so all their quanta always survive — partial sums therefore
+       never overstate a score (the safe-to-k argument needs computed
+       <= true for sub-theta docs).
+    2. seed: per qid, the ceil(k/2^q)+1 highest-ub quanta; decode them
+       (decode_postings_by_quanta keeps qpos so rows route back to the
+       qids that picked them), then score the seed docs EXACTLY via
+       candidate-selective decode across all the query's terms. theta =
+       the qid's k-th best exact seed score.
+    3. survive: quantum (t, j) survives for qid iff
+       w_t*ub_t(j) + sum_{t'!=t} w_t'*U_t' >= theta. Any doc with true
+       score >= theta has ALL its quanta survive, so the union decode
+       is complete for every potential top-k doc; sub-theta docs may
+       score partially but (contributions complete-or-missing, never
+       overstated) cannot displace them.
+    4. decode the union of surviving quanta ONCE per (term, quantum)
+       across the batch and run the shared relational scoring tail.
+
+    Falls back to the exhaustive term-major scorer when the matched
+    lists are too short for pruning to pay."""
+    spark = index.spark
+    stats = index.stats
+    num_docs = float(stats["num_docs"])
+    avgdl = float(stats["avgdl"])
+    log2q = int(stats["log2_quantum"])
+    q = 1 << log2q
+
+    qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
+    if not qterm_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    distinct_terms = sorted({t for _, t, _ in qterm_rows})
+    df_by_term = {
+        r["term"]: int(r["df"])
+        for r in index.lexicon.select("term", "df")
+        .where(F.col("term").isin(distinct_terms))
+        .collect()
+    }
+    present = sorted(df_by_term)
+    if sum(df_by_term.values()) < BMW_TERM_MAJOR_MIN_POSTINGS:
+        return _run_queries_term_major(index, queries, k=k)
+
+    # ---- stage 1: per-quantum upper bounds (metadata only) ----
+    src = index.postings.select(
+        "term", "block_id", "q_last_docid", "q_max_tf", "q_min_dl"
+    ).where(F.col("term").isin(present))
+    z = F.posexplode(F.arrays_zip("q_last_docid", "q_max_tf", "q_min_dl"))
+    meta = src.select("term", "block_id", z.alias("qpos", "z")).select(
+        "term",
+        "block_id",
+        "qpos",
+        F.col("z.q_max_tf").cast("double").alias("qtf"),
+        F.col("z.q_min_dl").cast("double").alias("qdl"),
+    )
+    idf_df = spark.createDataFrame(
+        [(t, bm25.idf(num_docs, df_by_term[t])) for t in present],
+        "term string, idf double",
+    )
+    tfn_ub = (F.col("qtf") * (bm25.K1 + 1)) / (
+        bm25.K1 * (1 - bm25.B + bm25.B * F.col("qdl") / F.lit(avgdl)) + F.col("qtf")
+    )
+    meta = (
+        meta.join(F.broadcast(idf_df), "term")
+        .withColumn(
+            "ub",
+            F.when(F.col("idf") > 0, F.col("idf") * tfn_ub).otherwise(F.lit(0.0)),
+        )
+        .select("term", "block_id", "qpos", "ub")
+        .persist()
+    )
+    u_by_term = {
+        r["term"]: float(r["u"])
+        for r in meta.groupBy("term").agg(F.max("ub").alias("u")).collect()
+    }
+    present_qterms = [(qid, t, w) for qid, t, w in qterm_rows if t in u_by_term]
+    sum_u: dict[int, float] = {}
+    for qid, t, w in present_qterms:
+        sum_u[qid] = sum_u.get(qid, 0.0) + w * u_by_term[t]
+    other_rows = [
+        (qid, t, sum_u[qid] - w * u_by_term[t]) for qid, t, w in present_qterms
+    ]
+    if not present_qterms:
+        meta.unpersist()
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    pq_df = spark.createDataFrame(present_qterms, "qid long, term string, w double")
+    fan = meta.join(F.broadcast(pq_df), "term")
+
+    # ---- stage 2: seed + exact theta ----
+    # seed the top kq+1 quanta per query (not kq/2^q): the k best docs
+    # can sit in k DISTINCT quanta, and theta is only as good as the
+    # k-th best seed doc — under-seeding yields a filler-doc theta that
+    # prunes nothing (measured on the heterogeneous-tf fixture)
+    seedn_df = spark.createDataFrame(
+        [(qid, kq + 1, kq) for qid, (_, kq) in qmeta.items()],
+        "qid long, sn int, kq int",
+    )
+    wnd = Window.partitionBy("qid").orderBy(
+        F.desc(F.col("w") * F.col("ub")), "term", "block_id", "qpos"
+    )
+    seed_picks = (
+        fan.withColumn("rn", F.row_number().over(wnd))
+        .join(F.broadcast(seedn_df), "qid")
+        .where(F.col("rn") <= F.col("sn"))
+        .select("qid", "term", "block_id", "qpos")
+    )
+    picks_arr = (
+        seed_picks.select("term", "block_id", "qpos")
+        .distinct()
+        .groupBy("term", "block_id")
+        .agg(F.sort_array(F.collect_set("qpos")).alias("qidx"))
+    )
+    seed_rows = decode_postings_by_quanta(index, picks_arr)
+    seed_docs = (
+        seed_rows.join(
+            seed_picks.distinct(), ["term", "block_id", "qpos"]
+        )
+        .select("qid", "docid")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; cuts the seed-decode lineage
+    )
+    cand_td = (
+        seed_docs.join(F.broadcast(pq_df.select("qid", "term")), "qid")
+        .select("term", "docid")
+        .distinct()
+    )
+    cand_rows = decode_postings_selective(index, cand_td, terms=present)
+    lexb = index.lexicon.select(
+        "term", F.col("df").cast("double").alias("global_df")
+    ).where(F.col("term").isin(present))
+    tf = F.col("tf").cast("double")
+    dl = F.col("doclen").cast("double")
+    contribs = (
+        cand_rows.join(F.broadcast(lexb), "term")
+        .join(index.docs.select("docid", "doclen"), "docid")
+        .select(
+            "term", "docid",
+            _bm25_contrib_expr(num_docs, avgdl, tf, dl).alias("contrib"),
+        )
+        .join(F.broadcast(pq_df), "term")
+        .join(seed_docs, ["qid", "docid"])  # exact scores for seeds only
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("contrib") * F.col("w")).alias("score"))
+    )
+    thw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    theta = (
+        contribs.withColumn("rn", F.row_number().over(thw))
+        .join(F.broadcast(seedn_df.select("qid", "kq")), "qid")
+        .where(F.col("rn") == F.col("kq"))
+        .select("qid", F.col("score").alias("theta"))
+        .localCheckpoint(eager=True)  # tiny (one row per qid at most)
+    )
+
+    # ---- stage 3: survivors under BLOCK-ALIGNED bounds ----
+    # classic global-U bounds (ub_t(j) + sum_{t'!=t} U_t') barely prune
+    # multi-term queries: the other terms' GLOBAL maxima dominate theta.
+    # The docid-range blocking gives a free alignment grid: a quantum of
+    # term t in block b competes against the other terms' best-in-BLOCK
+    # bounds, and a term with no postings in b contributes 0 there — so
+    # a hot term's quanta die wherever the high-idf terms are absent.
+    # (Global-U is the degenerate single-block case; quantum-overlap
+    # alignment is the named next refinement.)
+    blockmax = meta.groupBy("term", "block_id").agg(F.max("ub").alias("bu"))
+    bfan = blockmax.join(F.broadcast(pq_df), "term")
+    blocksum = bfan.groupBy("qid", "block_id").agg(
+        F.sum(F.col("w") * F.col("bu")).alias("bsum")
+    )
+    surv_picks = (
+        fan.join(blocksum, ["qid", "block_id"])
+        .join(bfan.select("qid", "term", "block_id", "bu"), ["qid", "term", "block_id"])
+        .join(theta, "qid", "left")
+        .where(
+            F.col("theta").isNull()
+            | (
+                F.col("w") * F.col("ub")
+                + (F.col("bsum") - F.col("w") * F.col("bu"))
+                >= F.col("theta")
+            )
+        )
+        .select("term", "block_id", "qpos")
+        .distinct()
+        .groupBy("term", "block_id")
+        .agg(F.sort_array(F.collect_set("qpos")).alias("qidx"))
+        .localCheckpoint(eager=True)  # metadata-sized; lets meta release
+    )
+    meta.unpersist()
+    rows = decode_postings_by_quanta(index, surv_picks).select("term", "docid", "tf")
+    return _score_rows(index, rows, qterm_rows, qmeta, n_query_terms, "bm25")
 
 
 def decode_term_selective(
@@ -905,6 +1162,62 @@ def decode_postings_selective(
                 )
 
     return src.mapInPandas(decode_sel, schema="term string, docid long, tf int")
+
+
+def decode_postings_by_quanta(index: EFIndex, picks: DataFrame) -> DataFrame:
+    """Decode exactly the picked quanta: `picks` is a
+    (term, block_id, qidx: array<long> sorted-unique) relation. Returns
+    (term, block_id, qpos, docid, tf) — qpos is the quantum each row
+    came from, so callers can join decoded rows back to per-query
+    quantum selections (the relational BMW's seed/survivor routing).
+    Blocks not picked are pruned by the inner join before any byte is
+    read; picked quanta decode in one batched kernel pass per block."""
+    stats = index.stats
+    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    block_bits = stats.get("block_bits")
+
+    src = index.postings.select(
+        "term", "block_id", "df", "cf", "docids_ef", "freqs_ef", "q_last_docid"
+    ).join(picks, ["term", "block_id"])
+
+    def decode_rows(batches):
+        for pdf in batches:
+            out = {"term": [], "block_id": [], "qpos": [], "docid": [], "tf": []}
+            for r in pdf.itertuples(index=False):
+                base = 0 if block_bits is None else int(r.block_id) << block_bits
+                ub = block_upper_bound(block_bits, num_docs)
+                q_last_rel = np.asarray(r.q_last_docid, dtype=np.int64) - base
+                qidx = np.asarray(r.qidx, dtype=np.int64)
+                qidx = qidx[qidx < len(q_last_rel)]
+                if len(qidx) == 0:
+                    continue
+                d, idx = ef.decode_docids_quanta_multi(
+                    bytes(r.docids_ef), int(r.df), ub, q_last_rel, qidx, log2q,
+                    with_indices=True,
+                )
+                f = ef.decode_freqs_quanta_multi(
+                    bytes(r.freqs_ef), int(r.df), int(r.cf), qidx, log2q
+                )
+                out["term"].append(np.repeat(r.term, len(d)))
+                out["block_id"].append(np.full(len(d), int(r.block_id), dtype=np.int64))
+                out["qpos"].append(idx >> log2q)
+                out["docid"].append(d + base)
+                out["tf"].append(f)
+            if out["term"]:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(out["term"]),
+                        "block_id": np.concatenate(out["block_id"]),
+                        "qpos": np.concatenate(out["qpos"]),
+                        "docid": np.concatenate(out["docid"]),
+                        "tf": np.concatenate(out["tf"]).astype(np.int32),
+                    }
+                )
+
+    return src.mapInPandas(
+        decode_rows,
+        schema="term string, block_id long, qpos long, docid long, tf int",
+    )
 
 
 def decode_positions_df(index: EFIndex, terms: list[str] | None = None) -> DataFrame:

@@ -100,9 +100,30 @@ def test_term_major_no_doclen_broadcast(small_index, monkeypatch):
         run_queries(small_index, QUERIES[:1], strategy="query_major").collect()
 
 
-def test_bmw_rejects_term_major():
-    with pytest.raises(ValueError):
-        run_queries(None, [], algo="bmw", strategy="term_major")
+def test_bmw_term_major_rank_identity(small_index, small_oracle, monkeypatch):
+    """The fully relational BMW (algo='bmw', strategy='term_major' — no
+    doclen broadcast, no per-query kernel) is rank-identical to the
+    oracle on the mixed query set, with the pruning machinery FORCED on
+    (the min-postings gate would otherwise fall back to exhaustive on
+    this small corpus). The set includes 'the' (df ~ N, negative idf)
+    so the ub>=0 clamp's safe-to-k argument is exercised."""
+    import terrier_ef_spark.query.engine as eng
+
+    monkeypatch.setattr(eng, "BMW_TERM_MAJOR_MIN_POSTINGS", 0)
+    pdf = (
+        run_queries(small_index, QUERIES, k=10, algo="bmw", strategy="term_major")
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    got = {q["qid"]: [] for q in QUERIES}
+    for r in pdf.itertuples(index=False):
+        got[int(r.qid)].append((int(r.docid), float(r.score)))
+    want = _oracle_results(small_oracle)
+    for q in QUERIES:
+        qid = q["qid"]
+        g, w = got[qid], want[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], (qid, g, w)
+        assert np.allclose([s for _, s in g], [s for _, s in w], atol=1e-9), qid
 
 
 @pytest.mark.parametrize("model", ["dph", "pl2", "lm_dirichlet"])
@@ -476,3 +497,54 @@ def test_decode_selective_randomized(spark, tmp_path):
         for r in decode_postings_selective(idx, cand, sampled).collect()
     }
     assert got == want
+
+
+def test_bmw_term_major_prunes_heterogeneous(spark, tmp_path, monkeypatch):
+    """Decode-volume proof for the relational BMW: on a corpus with
+    heterogeneous tf (a few high-tf 'relevant' docs among a sea of
+    tf=1 postings — BMW's published premise), the survivor decode
+    unpacks a small fraction of the matched quanta, and the result is
+    rank-identical to exhaustive."""
+    import terrier_ef_spark.query.engine as eng
+    from terrier_ef_spark.index.builder import build_index
+
+    n, n_rel = 4000, 20
+    rows = []
+    for i in range(n):
+        toks = []
+        if i % 10 == 0:  # needle in 10% of docs -> positive idf
+            toks += ["needle"] * (30 if i % (n // n_rel) == 0 else 1)
+        toks += [f"pad{j}" for j in range(i % 7)] + ["filler"] * 10
+        rows.append(("r", f"f{i:05d}.py", "c0", "py", " ".join(toks)))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "bmwhet"), log2_quantum=3,
+        block_bits=8, n_partitions=4,
+    )
+    monkeypatch.setattr(eng, "BMW_TERM_MAJOR_MIN_POSTINGS", 0)
+
+    decoded = []
+    orig = eng.decode_postings_by_quanta
+    def spy(index, picks):
+        from pyspark.sql import functions as F
+        decoded.append(
+            picks.select(F.sum(F.size("qidx")).alias("s")).collect()[0]["s"]
+        )
+        return orig(index, picks)
+    monkeypatch.setattr(eng, "decode_postings_by_quanta", spy)
+
+    q = [{"qid": 1, "terms": ["needle"], "mode": "disjunctive"}]
+    got = eng.run_queries(idx, q, k=10, algo="bmw", strategy="term_major") \
+        .orderBy("rank").collect()
+    monkeypatch.setattr(eng, "decode_postings_by_quanta", orig)
+    want = eng.run_queries(idx, q, k=10, strategy="term_major") \
+        .orderBy("rank").collect()
+    assert [(r.qid, r.rank, r.docid) for r in got] == [
+        (r.qid, r.rank, r.docid) for r in want
+    ]
+    assert np.allclose([r.score for r in got], [r.score for r in want], atol=1e-9)
+    total_quanta = (n // 10 + 7) // 8  # df = n/10, 8 postings/quantum
+    survivor_quanta = decoded[-1]
+    assert survivor_quanta < 0.5 * total_quanta, (survivor_quanta, total_quanta)
