@@ -15,7 +15,7 @@ term_major (default for exhaustive scoring; the batch-engine shape):
     10^9-doc-safe path (the r01 scale-killers were the driver-side
     doclen array and blob-per-qid shuffle).
 
-query_major (the reference's DAAT shape; required for algo='bmw'):
+query_major (the reference's DAAT shape; one of two BMW homes):
     matched blobs --repartition by qid--> per-query applyInPandas
     kernel (decode + BM25/BMW top-k in NumPy). Doc lengths ride a
     Spark broadcast (the reference loads them fully in RAM too,
@@ -411,7 +411,7 @@ def _bmw_disjunctive_relational(
        so all their quanta always survive — partial sums therefore
        never overstate a score (the safe-to-k argument needs computed
        <= true for sub-theta docs).
-    2. seed: per qid, the ceil(k/2^q)+1 highest-ub quanta; decode them
+    2. seed: per qid, the kq+1 highest-ub quanta; decode them
        (decode_postings_by_quanta keeps qpos so rows route back to the
        qids that picked them), then score the seed docs EXACTLY via
        candidate-selective decode across all the query's terms. theta =
@@ -431,8 +431,6 @@ def _bmw_disjunctive_relational(
     stats = index.stats
     num_docs = float(stats["num_docs"])
     avgdl = float(stats["avgdl"])
-    log2q = int(stats["log2_quantum"])
-    q = 1 << log2q
 
     qmeta, qterm_rows, n_query_terms = _query_plan(queries, k)
     if not qterm_rows:
@@ -476,17 +474,7 @@ def _bmw_disjunctive_relational(
         .select("term", "block_id", "qpos", "ub")
         .persist()
     )
-    u_by_term = {
-        r["term"]: float(r["u"])
-        for r in meta.groupBy("term").agg(F.max("ub").alias("u")).collect()
-    }
-    present_qterms = [(qid, t, w) for qid, t, w in qterm_rows if t in u_by_term]
-    sum_u: dict[int, float] = {}
-    for qid, t, w in present_qterms:
-        sum_u[qid] = sum_u.get(qid, 0.0) + w * u_by_term[t]
-    other_rows = [
-        (qid, t, sum_u[qid] - w * u_by_term[t]) for qid, t, w in present_qterms
-    ]
+    present_qterms = [(qid, t, w) for qid, t, w in qterm_rows if t in df_by_term]
     if not present_qterms:
         meta.unpersist()
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -510,6 +498,7 @@ def _bmw_disjunctive_relational(
         .join(F.broadcast(seedn_df), "qid")
         .where(F.col("rn") <= F.col("sn"))
         .select("qid", "term", "block_id", "qpos")
+        .localCheckpoint(eager=True)  # tiny (kq+1 rows/qid); consumed twice
     )
     picks_arr = (
         seed_picks.select("term", "block_id", "qpos")
@@ -577,11 +566,14 @@ def _bmw_disjunctive_relational(
         .join(bfan.select("qid", "term", "block_id", "bu"), ["qid", "term", "block_id"])
         .join(theta, "qid", "left")
         .where(
+            # 1e-9 slack: ub-side idf is np.log2 while theta came through
+            # Catalyst F.log2 — a 1-ulp mismatch must loosen the bound
+            # (decode a few extra quanta), never prune a theta-tight one
             F.col("theta").isNull()
             | (
                 F.col("w") * F.col("ub")
                 + (F.col("bsum") - F.col("w") * F.col("bu"))
-                >= F.col("theta")
+                >= F.col("theta") - F.lit(1e-9)
             )
         )
         .select("term", "block_id", "qpos")

@@ -545,6 +545,12 @@ def test_bmw_term_major_prunes_heterogeneous(spark, tmp_path, monkeypatch):
         (r.qid, r.rank, r.docid) for r in want
     ]
     assert np.allclose([r.score for r in got], [r.score for r in want], atol=1e-9)
-    total_quanta = (n // 10 + 7) // 8  # df = n/10, 8 postings/quantum
+    # true quantum total incl. block fragmentation, from the index itself
+    from pyspark.sql import functions as F
+    total_quanta = (
+        idx.postings.where(F.col("term") == "needle")
+        .select(F.sum(F.size("q_last_docid")).alias("s"))
+        .collect()[0]["s"]
+    )
     survivor_quanta = decoded[-1]
     assert survivor_quanta < 0.5 * total_quanta, (survivor_quanta, total_quanta)
