@@ -332,10 +332,15 @@ def finalize_index(
             (F.sum(F.length("docids_ef")) * 8).alias("bits_docids"),
             (F.sum(F.length("freqs_ef")) * 8).alias("bits_freqs"),
         )
-        lex = assign_dense_ids(lex, ["term"], "termid", n_partitions)
+        cached: list = []
+        lex = assign_dense_ids(
+            lex, ["term"], "termid", n_partitions, release_to=cached
+        )
         (lex.repartitionByRange(n_partitions, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite").parquet(paths.lexicon))
+        for c in cached:  # the write materialized the ids; drop the cache
+            c.unpersist()
 
     stage_sec["lexicon"] = time.time() - t_stage
     lexicon_df = spark.read.parquet(paths.lexicon)
@@ -459,11 +464,13 @@ def _build_index(
     need_docs = not (resume and _stage_done(paths.docs))
     need_postings = not (resume and _stage_done(paths.postings))
     rows = None
+    ids_cached: list = []
     if need_docs or need_postings:
         base = corpus
         if "doc_id" not in base.columns:
             base = assign_dense_ids(
-                base, ["repo", "path", "commit"], "doc_id", n_partitions
+                base, ["repo", "path", "commit"], "doc_id", n_partitions,
+                release_to=ids_cached,
             )
         rows = posting_rows(base, tok, positions).persist()
 
@@ -510,6 +517,8 @@ def _build_index(
         encoded.unpersist()
     if rows is not None:
         rows.unpersist()
+    for c in ids_cached:  # docs+postings writes consumed the id map
+        c.unpersist()
 
     stage_sec["postings"] = time.time() - t_stage
 

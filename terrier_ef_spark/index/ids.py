@@ -16,18 +16,32 @@ from pyspark.sql import functions as F
 
 
 def assign_dense_ids(
-    df: DataFrame, order_cols: list[str], id_col: str, n_partitions: int = 32
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    n_partitions: int = 32,
+    release_to: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Add `id_col` = 0..n-1 dense rank of the row in global
     lexicographic `order_cols` order. `n_partitions` must be fixed by
     the caller (not derived from cluster size) so results are identical
-    at any parallelism."""
+    at any parallelism.
+
+    The range-partitioned input is persisted (it is consumed by both the
+    per-partition count job and the final id map). Ownership of that
+    cache: if `release_to` is given, the persisted intermediate is
+    appended to it and the CALLER must unpersist after materializing the
+    result (the builder does so right after each parquet write);
+    otherwise it is released here via an eager localCheckpoint of the
+    result (correct but pins the result blocks until GC)."""
     d = (
         df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     d = d.persist()
+    if release_to is not None:
+        release_to.append(d)
     counts = (
         d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
@@ -56,4 +70,7 @@ def assign_dense_ids(
             yield out
 
     result = d.mapInPandas(add_ids, schema=out_schema)
+    if release_to is None:
+        result = result.localCheckpoint(eager=True)
+        d.unpersist()
     return result

@@ -148,3 +148,18 @@ def test_multiblock_build_matches_single(spark, tmp_path):
     b = decode_postings(blocked).orderBy("term", "docid").toPandas()
     assert a.equals(b)
     assert blocked.postings.where("block_id > 0").count() > 0  # actually split
+
+
+def test_build_leaves_no_cached_blocks(spark, tmp_path):
+    """build_index releases every intermediate it persists (incl. the
+    assign_dense_ids range-partitioned input — VERDICT r02 wrong #4):
+    the session's persistent-RDD set gains nothing across a build."""
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    corpus = synthesize_corpus(spark, 100, seed=5, n_partitions=4)
+    build_index(spark, corpus, str(tmp_path / "leak"), n_partitions=4)
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), sorted(after - before)
