@@ -383,6 +383,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return similarity.embedding_near_dups(allv)
 
+    def simhash_near_dups_q(spark, sf):
+        """Guarded contract wrapper: the brute-force-hamming oracle has
+        no bucket cap, so refuse loudly (rather than silently diverge)
+        if the cap would drop pairs on this corpus."""
+        d = _docs(spark, sf)
+        if dedup.simhash_skipped_buckets(d).head() is not None:
+            raise ValueError(
+                "simhash bucket cap engaged on this corpus; the capped "
+                "operator would drop pairs the uncapped brute-force "
+                "oracle keeps — raise max_bucket or dedup the cluster first"
+            )
+        return dedup.simhash_near_dups(d)
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -421,7 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": lambda s, sf: dedup.lsh_candidate_pairs(_docs(s, sf)),
         "ngram_jaccard_pairs": lambda s, sf: dedup.ngram_jaccard_pairs(_docs(s, sf)),
         "simhash_fingerprints": lambda s, sf: dedup.simhash_fingerprints(_docs(s, sf)),
-        "simhash_near_dups": lambda s, sf: dedup.simhash_near_dups(_docs(s, sf)),
+        "simhash_near_dups": simhash_near_dups_q,
         # embedding-cosine near-dup: planted rounded copies + WTA-LSH
         # candidates, exact hamming+cosine verify (brute-force oracle)
         "embedding_near_dups": embedding_near_dups_q,

@@ -308,16 +308,10 @@ SELECT doc_id, sim FROM sims
 """
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit simhash into 4 x 16-bit
-    chunks (pigeonhole: hamming<=3 pairs share at least one chunk),
-    bucket-join, verify hamming distance exactly.
-
-    The DuckDB twin verifies by brute-force hamming over all pairs —
-    an independent check that the chunk+verify decomposition loses
-    nothing."""
-    d = simhash_fingerprints(docs)
-    chunks = d.select(
+def _simhash_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, sim, chunk, val): the 64-bit simhash banded into
+    4 x 16-bit chunk keys (pigeonhole: hamming<=3 pairs share one)."""
+    return d.select(
         "doc_id",
         "sim",
         F.explode(
@@ -329,8 +323,41 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 for i in range(4)
             ])
         ).alias("c"),
-    ).select("doc_id", "sim", "c.chunk", "c.val").persist()  # hash pipeline runs once
-    a, b = chunks.alias("a"), chunks.alias("b")
+    ).select("doc_id", "sim", "c.chunk", "c.val")
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = MAX_BUCKET
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit simhash into 4 x 16-bit
+    chunks (pigeonhole: hamming<=3 pairs share at least one chunk),
+    bucket-join, verify hamming distance exactly.
+
+    Chunk keys are only 16-bit, so at 10^9 docs the AVERAGE (chunk,
+    val) bucket holds ~15k docs — an uncapped self-join is ~N^2/65536
+    candidate rows before the hamming filter (VERDICT r02 wrong #1).
+    As in lsh_candidate_pairs, buckets larger than `max_bucket` are
+    excluded BEFORE the self-join (the window count shares the join's
+    (chunk, val) partitioning) and reported by simhash_skipped_buckets
+    — truncation explicit, never silent; byte-identical members of a
+    skipped cluster are still caught by exact_duplicates.
+
+    The DuckDB twin verifies by brute-force hamming over all pairs —
+    an independent check that the chunk+verify decomposition loses
+    nothing (valid only while no bucket is capped; the contract
+    wrapper asserts the ledger is empty on the gate corpus)."""
+    d = simhash_fingerprints(docs)
+    chunks = _simhash_chunks(d).persist()  # hash pipeline runs once
+    if max_bucket is not None:
+        w = Window.partitionBy("chunk", "val")
+        capped = (
+            chunks.withColumn("bn", F.count(F.lit(1)).over(w))
+            .where(F.col("bn") <= max_bucket)
+            .drop("bn")
+        )
+    else:
+        capped = chunks
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, ["chunk", "val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -343,6 +370,20 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
     )
     return eager_release(pairs, chunks)
+
+
+def simhash_skipped_buckets(
+    docs: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """(chunk, val, n_docs) for every simhash chunk bucket the cap
+    excluded from candidate generation — the explicit
+    no-silent-truncation ledger (cf. lsh_skipped_buckets)."""
+    return (
+        _simhash_chunks(simhash_fingerprints(docs))
+        .groupBy("chunk", "val")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
 
 
 SIMHASH_NEAR_DUPS_SQL = f"""

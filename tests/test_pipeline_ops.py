@@ -318,3 +318,34 @@ def test_embedding_near_dup_bucket_cap(spark):
     small = spark.createDataFrame(rows[:4] + rows[1000:], "vec_id long, emb array<double>")
     uncapped = sim.embedding_near_dups(small, max_bucket=None).collect()
     assert {(r.vec_id_a, r.vec_id_b) for r in uncapped} >= {(0, 1), (0, 2), (1, 2)}
+
+
+def test_simhash_bucket_cap(spark):
+    """A 1k-doc identical-fingerprint cluster must not produce ~500k
+    candidate pairs (16-bit chunk keys make this the common case at
+    scale): the cap excludes its buckets BEFORE the self-join, and the
+    skipped-buckets ledger reports them (no silent truncation)."""
+    from terrier_ef_spark.pipeline.dedup import (
+        simhash_near_dups,
+        simhash_skipped_buckets,
+    )
+
+    boiler = "permission is hereby granted free of charge to any person obtaining a copy"
+    rows = [(i, boiler, "en", "s", len(boiler)) for i in range(1000)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta iota kappa", "en", "s", 47),
+        (1001, "alpha beta gamma delta epsilon zeta iota kappa", "en", "s", 46),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = simhash_near_dups(docs, max_bucket=100).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert len(got) < 1000 * 999 / 2        # cluster NOT exploded quadratically
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    skipped = simhash_skipped_buckets(docs, max_bucket=100).collect()
+    # the identical cluster fills all 4 chunk buckets past the cap
+    assert len(skipped) == 4 and all(r["n_docs"] == 1000 for r in skipped)
+    # uncapped path still available explicitly; near-identical pair found
+    few = simhash_near_dups(docs.where(F.col("doc_id") >= 1000), max_bucket=None)
+    assert {(r["doc_a"], r["doc_b"]) for r in few.collect()} == {(1000, 1001)}
