@@ -396,6 +396,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return dedup.simhash_near_dups(d)
 
+    def ann_ivf_kmeans_q(spark, sf):
+        """Guarded contract wrapper: the static oracle twin bakes in
+        dim=64 centroid literals — refuse loudly on any other corpus."""
+        emb = _emb(spark, sf)
+        head = emb.select(F.size("embedding").alias("d")).head()
+        if head is not None and int(head["d"]) != 64:
+            raise ValueError(
+                "ann_ivf_kmeans oracle twin is generated for dim=64; "
+                "regenerate ann_ivf_fixed_sql(dim=...) for this corpus"
+            )
+        return similarity.ivf_kmeans_topk(
+            emb, _qvec(spark, sf), ANN_K, nprobe=4,
+            centroids=similarity.fixed_centroids(64),
+        )
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -444,12 +459,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, sf: similarity.ivf_topk(
             _emb(s, sf), _qvec(s, sf), ANN_K
         ),
-        # trained coarse quantizer (k-means) — not SQL-expressible, so
-        # rows-only contract check; recall + exactness properties are
-        # covered in tests/test_pipeline_ops.py
-        "ann_ivf_kmeans_topk": lambda s, sf: similarity.ivf_kmeans_topk(
-            _emb(s, sf), _qvec(s, sf), ANN_K, n_clusters=16, nprobe=4
-        ),
+        # IVF with a PINNED coarse quantizer (fixed_centroids): the
+        # contract proves the real distributed assignment + nprobe probe
+        # + exact-rerank pipeline against a full SQL twin. The k-means
+        # TRAINING is not SQL-expressible and keeps its pytest
+        # recall/exactness coverage (test_ivf_kmeans_recall_clustered).
+        "ann_ivf_kmeans_topk": ann_ivf_kmeans_q,
         "label_centroids": lambda s, sf: similarity.label_centroids(_emb(s, sf)),
     }
 
@@ -626,5 +641,6 @@ FROM events GROUP BY 1, 2
         "embedding_near_dups": similarity.embedding_near_dups_sql(),
         "ann_cosine_topk": qvec_sql_cos,
         "ann_ivf_topk": qvec_sql_ivf,
+        "ann_ivf_kmeans_topk": similarity.ann_ivf_fixed_sql(),
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
     }

@@ -222,7 +222,9 @@ def ivf_kmeans_topk(
         centroids = kmeans_fit(embeddings, n_clusters=n_clusters)
     q = np.asarray(qvec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    # stable sort: exact centroid-score ties break by ascending cell id
+    # (matches the SQL twin's `ORDER BY ... DESC, cid ASC`)
+    probes = np.argsort(-(centroids @ q), kind="stable")[:nprobe].tolist()
     # plain join on vec_id (no broadcast hint): the probed subset is
     # ~nprobe/n_clusters of the table — AQE broadcasts it when small,
     # shuffles when not; in the index lifecycle the assignment would be
@@ -235,6 +237,67 @@ def ivf_kmeans_topk(
         "vec_id", F.round(_cos_expr(F.col("embedding"), qvec), 6).alias("cos")
     )
     return _rank_topk(scored, k)
+
+
+def fixed_centroids(dim: int, n_clusters: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids, rounded to
+    6dp so both sides of the correctness gate share EXACT values: the
+    Spark path consumes them as a pinned quantizer through the real
+    distributed assignment/probe machinery (ivf_kmeans_topk), and the
+    DuckDB twin (ann_ivf_fixed_sql) bakes them in as literals. The
+    k-means TRAINING itself is not SQL-expressible; its quality is
+    covered by the pytest recall/exactness properties instead
+    (tests/test_pipeline_ops.py::test_ivf_kmeans_recall_clustered)."""
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(n_clusters, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 6)
+
+
+def ann_ivf_fixed_sql(
+    dim: int = 64, n_clusters: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    """DuckDB twin of ivf_kmeans_topk with the fixed_centroids
+    quantizer: argmax-dot assignment (kmeans_assign normalizes the
+    vector, which cannot change its argmax over centroids), top-nprobe
+    cells by query-centroid dot, exact cosine top-k within them."""
+    cen = fixed_centroids(dim, n_clusters)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cen[i])}]::DOUBLE[])"
+        for i in range(n_clusters)
+    )
+    return f"""
+WITH cen(cid, c) AS (VALUES {vals}),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cen.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], cen.c) DESC,
+                      cen.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cen
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT cid FROM cen CROSS JOIN qv
+  ORDER BY list_dot_product(cen.c, qv.q) DESC, cid ASC LIMIT {nprobe}
+)
+SELECT vec_id, cos, rank FROM (
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], qv.q)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cos,
+         row_number() OVER (
+           ORDER BY round(list_dot_product(e.embedding::DOUBLE[], qv.q)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 6) DESC, e.vec_id ASC)::int AS rank
+  FROM embeddings e
+       JOIN assign USING (vec_id)
+       JOIN probes ON assign.cid = probes.cid
+       CROSS JOIN qv
+) WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
