@@ -447,16 +447,27 @@ def _bmw_disjunctive_relational(
         return _run_queries_term_major(index, queries, k=k)
 
     # ---- stage 1: per-quantum upper bounds (metadata only) ----
+    # each quantum also carries its docid interval (q_lo_excl, q_hi]:
+    # hi = the stored q_last_docid, lo = the previous quantum's last
+    # docid (the blob's first_docid - 1 for the first quantum). The
+    # true interval is a subset — postings start later — so using it
+    # for cross-term overlap only LOOSENS bounds (never unsafe).
     src = index.postings.select(
-        "term", "block_id", "q_last_docid", "q_max_tf", "q_min_dl"
+        "term", "block_id", "first_docid", "q_last_docid", "q_max_tf", "q_min_dl"
     ).where(F.col("term").isin(present))
     z = F.posexplode(F.arrays_zip("q_last_docid", "q_max_tf", "q_min_dl"))
-    meta = src.select("term", "block_id", z.alias("qpos", "z")).select(
+    meta = src.select(
+        "term", "block_id", "first_docid", "q_last_docid", z.alias("qpos", "z")
+    ).select(
         "term",
         "block_id",
         "qpos",
         F.col("z.q_max_tf").cast("double").alias("qtf"),
         F.col("z.q_min_dl").cast("double").alias("qdl"),
+        F.col("z.q_last_docid").alias("q_hi"),
+        F.when(F.col("qpos") == 0, F.col("first_docid") - 1)
+        .otherwise(F.element_at("q_last_docid", F.col("qpos")))
+        .alias("q_lo_excl"),
     )
     idf_df = spark.createDataFrame(
         [(t, bm25.idf(num_docs, df_by_term[t])) for t in present],
@@ -471,7 +482,7 @@ def _bmw_disjunctive_relational(
             "ub",
             F.when(F.col("idf") > 0, F.col("idf") * tfn_ub).otherwise(F.lit(0.0)),
         )
-        .select("term", "block_id", "qpos", "ub")
+        .select("term", "block_id", "qpos", "ub", "q_lo_excl", "q_hi")
         .persist()
     )
     present_qterms = [(qid, t, w) for qid, t, w in qterm_rows if t in df_by_term]
@@ -547,34 +558,70 @@ def _bmw_disjunctive_relational(
         .localCheckpoint(eager=True)  # tiny (one row per qid at most)
     )
 
-    # ---- stage 3: survivors under BLOCK-ALIGNED bounds ----
-    # classic global-U bounds (ub_t(j) + sum_{t'!=t} U_t') barely prune
-    # multi-term queries: the other terms' GLOBAL maxima dominate theta.
-    # The docid-range blocking gives a free alignment grid: a quantum of
-    # term t in block b competes against the other terms' best-in-BLOCK
-    # bounds, and a term with no postings in b contributes 0 there — so
-    # a hot term's quanta die wherever the high-idf terms are absent.
-    # (Global-U is the degenerate single-block case; quantum-overlap
-    # alignment is the named next refinement.)
-    blockmax = meta.groupBy("term", "block_id").agg(F.max("ub").alias("bu"))
-    bfan = blockmax.join(F.broadcast(pq_df), "term")
-    blocksum = bfan.groupBy("qid", "block_id").agg(
-        F.sum(F.col("w") * F.col("bu")).alias("bsum")
-    )
+    # ---- stage 3: survivors under QUANTUM-ALIGNED (docid-overlap) bounds ----
+    # block-aligned cross-term bounds (r02) pruned ~0% on multi-term
+    # queries: within any co-occupied block each term's block max
+    # dominates theta everywhere. The quantum grid is finer. For a doc d
+    # in quantum j of term t (docids in (lo_j, hi_j]), term t''s
+    # contribution is bounded by ub_{t'} of the t'-quantum CONTAINING d,
+    # hence by the max ub over t' quanta whose docid interval overlaps
+    # (lo_j, hi_j] — and by 0 where t' has no postings at all (the
+    # reference's per-quantum skip grid, DocidReader.java:118-183, gives
+    # exactly this docid alignment for free). Quantum (t, j) survives
+    # for qid iff  w_t*ub_t(j) + sum_{t'!=t} w'*overlapmax_{t'} >= theta;
+    # any doc with true score >= theta therefore has ALL its quanta
+    # survive (each addend bounds its contribution), so the union decode
+    # stays complete for every potential top-k doc.
+    #
+    # Computed per (qid, block) METADATA group in one vectorized kernel:
+    # overlapping quanta form a contiguous run of the other term's
+    # sorted grid (searchsorted on the interval ends), and the run
+    # maxima all come from one np.maximum.reduceat pass. An interval
+    # max-join has no efficient Catalyst shape — the equi-join + range
+    # filter degenerates to per-group cross products on hot terms —
+    # while the kernel is O((n+m) log) per term pair and sees only
+    # metadata rows (the blocking keeps groups bounded: quanta of one
+    # query's terms within one docid-range block).
+    bound_schema = "qid long, term string, block_id long, qpos long, bound double"
+
+    def qbounds(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {}
+        for t, g in pdf.groupby("term", sort=True):
+            g = g.sort_values("qpos")
+            by_term[t] = (
+                g["q_hi"].to_numpy(np.int64),
+                g["q_lo_excl"].to_numpy(np.int64),
+                g["ub"].to_numpy(np.float64) * float(g["w"].iloc[0]),
+                g["qpos"].to_numpy(np.int64),
+            )
+        out = []
+        for t, (hi, lo, wub, qpos) in by_term.items():
+            other = np.zeros(len(hi))
+            for t2, (hi2, _lo2, wub2, _q2) in by_term.items():
+                if t2 != t:
+                    other += _overlap_range_max(hi2, wub2, lo, hi)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(len(hi), int(key[0]), dtype=np.int64),
+                        "term": t,
+                        "block_id": np.full(len(hi), int(key[1]), dtype=np.int64),
+                        "qpos": qpos,
+                        "bound": wub + other,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    bounds = fan.groupBy("qid", "block_id").applyInPandas(qbounds, bound_schema)
     surv_picks = (
-        fan.join(blocksum, ["qid", "block_id"])
-        .join(bfan.select("qid", "term", "block_id", "bu"), ["qid", "term", "block_id"])
-        .join(theta, "qid", "left")
+        bounds.join(theta, "qid", "left")
         .where(
             # 1e-9 slack: ub-side idf is np.log2 while theta came through
             # Catalyst F.log2 — a 1-ulp mismatch must loosen the bound
             # (decode a few extra quanta), never prune a theta-tight one
             F.col("theta").isNull()
-            | (
-                F.col("w") * F.col("ub")
-                + (F.col("bsum") - F.col("w") * F.col("bu"))
-                >= F.col("theta") - F.lit(1e-9)
-            )
+            | (F.col("bound") >= F.col("theta") - F.lit(1e-9))
         )
         .select("term", "block_id", "qpos")
         .distinct()
@@ -585,6 +632,34 @@ def _bmw_disjunctive_relational(
     meta.unpersist()
     rows = decode_postings_by_quanta(index, surv_picks).select("term", "docid", "tf")
     return _score_rows(index, rows, qterm_rows, qmeta, n_query_terms, "bm25")
+
+
+def _overlap_range_max(
+    q_hi: np.ndarray, vals: np.ndarray, lo_excl: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    """For each query interval i = (lo_excl[i], hi[i]], the max of
+    `vals` over the quanta of another term whose docid interval
+    (q_hi[j-1], q_hi[j]] overlaps it; 0.0 where nothing overlaps.
+
+    Quantum j overlaps iff q_hi[j] > lo_excl[i] (ends after the
+    interval opens) and q_hi[j-1] < hi[i] (starts before it closes;
+    always true for j = 0) — a CONTIGUOUS run [start, end) of the
+    ascending grid, so all the run maxima come from one
+    np.maximum.reduceat pass over interleaved (start, end) boundaries
+    (odd slots are garbage between runs and are discarded)."""
+    n = len(q_hi)
+    out = np.zeros(len(lo_excl))
+    if n == 0:
+        return out
+    start = np.searchsorted(q_hi, lo_excl, side="right")
+    end = np.minimum(np.searchsorted(q_hi, hi, side="left") + 1, n)
+    ok = start < end
+    if not ok.any():
+        return out
+    padded = np.append(vals, 0.0)  # allows end == n as a boundary index
+    idx = np.stack([start[ok], end[ok]], axis=1).ravel()
+    out[ok] = np.maximum.reduceat(padded, idx)[::2]
+    return out
 
 
 def decode_term_selective(
