@@ -65,7 +65,22 @@ def make_tokenizer(
     Everything except the stemmer is a pure Catalyst expression
     (JVM-side); the stemmer stage (stemmer='porter') is an
     Arrow-vectorized pandas UDF with a per-batch vocabulary memo,
-    applied AFTER stopword removal (reference pipeline order)."""
+    applied AFTER stopword removal (reference pipeline order).
+
+    base='terrier' is the packaged reference-parity preset: the simple
+    tokenizer + the standard 733-word Terrier stopword list
+    (stopwords.TERRIER_STOPWORDS, the role of the reference's
+    stopword-list.txt) + Porter — i.e. `Stopwords,PorterStemmer` as a
+    one-word pipeline name. Explicit stopwords/stemmer arguments
+    override the preset's defaults."""
+    if base == "terrier":
+        base = "simple"
+        if stopwords is None:
+            from terrier_ef_spark.stopwords import TERRIER_STOPWORDS
+
+            stopwords = list(TERRIER_STOPWORDS)
+        if stemmer is None:
+            stemmer = "porter"
     base_fn = TOKENIZERS[base] if isinstance(base, str) else base
     if stemmer not in (None, "porter"):
         raise ValueError(f"unknown stemmer {stemmer!r}")

@@ -58,3 +58,86 @@ def test_pipeline_change_invalidates_resume(spark, tiny_corpus, tmp_path):
     n1 = i1.stats["num_terms"]
     i2 = build_index(spark, tiny_corpus, out, stopwords=["the"], n_partitions=4)
     assert i2.stats["num_terms"] == n1 - 1
+
+
+def test_terrier_preset_end_to_end(spark, tmp_path):
+    """The packaged reference-parity pipeline (`tokenizer="terrier"` =
+    simple tokenize + the 733-word Terrier stopword list + Porter,
+    the reference's `Stopwords,PorterStemmer`, EFSetupTest.java:106-107)
+    through a full 2k-doc build: lexicon/postings equal the hand-stemmed
+    Python oracle, and BM25 top-10 is rank-identical to a NumPy scorer
+    over the oracle postings."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.engine import decode_postings, run_queries
+    from terrier_ef_spark.stemmer import porter_stem
+    from terrier_ef_spark.stopwords import TERRIER_STOPWORDS
+
+    content_words = [
+        "running", "runner", "tables", "table", "adjustment", "hopping",
+        "relational", "connection", "connected", "operators", "happiness",
+        "nationally", "generalization", "caresses", "ponies", "agreed",
+    ]
+    stop_sample = ["the", "and", "of", "to", "a", "in", "is", "it", "was", "on"]
+    vocab = content_words + stop_sample
+    texts = []
+    for d in range(2000):
+        toks = [vocab[(d * 7 + j * 13 + (d * j) % 5) % len(vocab)] for j in range(20)]
+        texts.append(" ".join(toks))
+    corpus = spark.createDataFrame(
+        [("r", f"f{d:05d}", "c" * 40, "txt", t, d) for d, t in enumerate(texts)],
+        "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "terrier"), tokenizer="terrier",
+        n_partitions=4,
+    )
+
+    stopset = set(TERRIER_STOPWORDS)
+    oracle_post: dict[tuple[str, int], int] = Counter()
+    doclen = np.zeros(2000)
+    for d, t in enumerate(texts):
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        stems = [porter_stem(w) for w in toks if w not in stopset]
+        doclen[d] = len(stems)
+        for s in stems:
+            oracle_post[(s, d)] += 1
+    assert any(w in stopset for w in stop_sample)  # fixture exercises the list
+
+    got = {
+        (r["term"], r["docid"]): r["tf"] for r in decode_postings(idx).collect()
+    }
+    assert got == dict(oracle_post)
+    lex = {r["term"]: (r["df"], r["cf"]) for r in idx.lexicon.collect()}
+    want_df, want_cf = Counter(), Counter()
+    for (s, d), tf in oracle_post.items():
+        want_df[s] += 1
+        want_cf[s] += tf
+    assert lex == {s: (want_df[s], want_cf[s]) for s in want_df}
+
+    # rank identity: query-side pipeline = same stop+stem function
+    raw_q = ["running", "the", "connection"]
+    q_terms = [porter_stem(w) for w in raw_q if w not in stopset]
+    res = run_queries(
+        idx, [{"qid": 1, "terms": q_terms}], k=10, strategy="term_major"
+    ).orderBy("rank").collect()
+    n, avgdl = 2000.0, float(doclen.mean())
+    scores = np.zeros(2000)
+    for s in set(q_terms):
+        df = want_df[s]
+        idf = np.log2((n - df + 0.5) / (df + 0.5))
+        for d in range(2000):
+            tf = oracle_post.get((s, d), 0)
+            if tf:
+                scores[d] += idf * tf * 2.2 / (
+                    1.2 * (0.25 + 0.75 * doclen[d] / avgdl) + tf
+                )
+    order = np.lexsort((np.arange(2000), -np.round(scores, 9)))[:10]
+    assert [r.docid for r in res] == order.tolist()
+    got_scores = np.array([r.score for r in res])
+    assert np.allclose(got_scores, scores[order], rtol=1e-9)
