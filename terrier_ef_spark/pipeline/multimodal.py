@@ -1,9 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata. The Spark-side schema, partitioning, UDF
 signatures and batch shapes are real and tested; the actual media
-decode is STUBBED (decode libs are not in this container) behind
-`decode_stub` — a deterministic fake so tests are reproducible.
-Swap `_decode_image_real` in when PIL/libav are available.
+decode runs through Pillow when importable (decoder='pil'/'auto') and
+otherwise through `decode_stub` — a deterministic fake so tests are
+reproducible in this container (which has no decode libs). Audio/video
+decode (libav) remains an open integration point.
 """
 
 from __future__ import annotations
@@ -37,11 +38,32 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    raise NotImplementedError(
-        "media decode requires PIL/av which are not in this container; "
-        "this stub marks the integration point (see decode_stub)"
-    )
+def _pil_available() -> bool:
+    try:  # extras gate: Pillow is optional and absent in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real image decode via Pillow when importable (extras path):
+    bytes -> grayscale uint8 array. Raises NotImplementedError with the
+    integration context when Pillow is absent — callers pick the path
+    explicitly via extract_features(decoder=...)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover — no Pillow here
+        raise NotImplementedError(
+            "decoder='pil' requires Pillow, which is not installed in "
+            "this environment; use decoder='stub' (deterministic fake) "
+            "or install the extras"
+        ) from exc
+    img = Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
+    return np.asarray(img, dtype=np.uint8)  # pragma: no cover
 
 
 def decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -51,17 +73,30 @@ def decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
-def extract_features(media: DataFrame, resize: tuple[int, int] = (8, 8)) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads: decode
-    (stubbed) -> resize -> mean/std features. Batch shape and schema are
-    the real production contract."""
+def extract_features(
+    media: DataFrame, resize: tuple[int, int] = (8, 8), decoder: str = "auto"
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: decode ->
+    resize -> mean/std features. Batch shape and schema are the real
+    production contract. decoder: 'stub' (deterministic fake, the test
+    path), 'pil' (real Pillow decode, raises if Pillow is absent), or
+    'auto' (pil when importable on the DRIVER, else stub — resolved
+    before the closure ships so every executor uses the same path)."""
     rh, rw = resize
+    if decoder == "auto":
+        decoder = "pil" if _pil_available() else "stub"
+    if decoder not in ("stub", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    use_pil = decoder == "pil"
 
     def feats(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_stub(bytes(r.payload), int(r.width), int(r.height))
+                if use_pil:
+                    img = _decode_image_real(bytes(r.payload))
+                else:
+                    img = decode_stub(bytes(r.payload), int(r.width), int(r.height))
                 # nearest-neighbour resize without PIL
                 ys = (np.arange(rh) * img.shape[0] // rh)
                 xs = (np.arange(rw) * img.shape[1] // rw)

@@ -265,10 +265,12 @@ def _score_rows(
 # faster selective, and rank-identity holds either way.
 TERM_MAJOR_SELECTIVE_QUANTA_FACTOR = 4
 # query-major kernel's per-query switch to mask/pointer selective
-# decode; re-measured with the batched multi-run kernel on a 24-query
-# mixed BMW batch (100k-doc corpus): 512 beats 4096 slightly and
-# always-selective (0) is worse on short lists
-QUERY_MAJOR_SELECTIVE_MIN_QUANTA = 512
+# decode; re-measured round 3 on the 256-query mixed BMW batch at
+# sf0.1 with an INTERLEAVED A/B (contention drift on this VM swamps
+# sequential sweeps): 2048 beat 512 in all six paired reps (~4%,
+# best 62.1 vs 59.5 q/s), both clearly beat never-selective
+# (39 q/s) and 8192 (31 q/s). See BASELINE.md round-3 addendum.
+QUERY_MAJOR_SELECTIVE_MIN_QUANTA = 2048
 
 
 def _decode_for_batch(
@@ -362,12 +364,18 @@ def _decode_for_batch(
 
 # relational BMW pays ~6 fixed extra Spark stages (metadata pass, seed
 # decode, exact-theta scoring, survivor filter) — roughly 10s of
-# orchestration at local scale regardless of data volume. At ~3us of
-# decode+shuffle+score pipeline per posting and a measured ~50% typical
-# prune fraction, the crossover is ~10M matched postings; below that
-# the exhaustive term-major scorer wins on wall time (measured:
-# 1.6M-posting workloads prune 49% of quanta yet lose 0.2-0.3x) and
-# the gate falls back to it.
+# orchestration at local scale regardless of data volume. Re-measured
+# round 3 WITH quantum-aligned bounds on a maximally prunable corpus
+# (84% of quanta pruned, single 3-term query, interleaved best-of-3):
+# exhaustive still wins 2.3-3.0x at 0.3M / 0.9M / 3.1M matched
+# postings — at local[32] the per-survivor relational machinery
+# (metadata explode, bounds kernel Arrow traffic, quantum-routed
+# decode joins) costs more than the ~19ns/posting whole-blob kernel
+# decode it avoids (BASELINE.md round-3 addendum 3). The gate
+# therefore STAYS at 10M: below it the exhaustive scorer is simply
+# faster; above it — and on >1e8-doc collections where the query-major
+# kernel's doclen broadcast is gated off — the pruned path bounds
+# decode volume when whole-list decode becomes the dominant cost.
 BMW_TERM_MAJOR_MIN_POSTINGS = 10_000_000
 
 

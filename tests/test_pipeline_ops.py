@@ -349,3 +349,38 @@ def test_simhash_bucket_cap(spark):
     # uncapped path still available explicitly; near-identical pair found
     few = simhash_near_dups(docs.where(F.col("doc_id") >= 1000), max_bucket=None)
     assert {(r["doc_a"], r["doc_b"]) for r in few.collect()} == {(1000, 1001)}
+
+
+def test_multimodal_decoder_gating(spark, docs):
+    """Real-decode integration point: decoder='pil' routes through
+    Pillow when importable and raises the honest NotImplementedError
+    when not (this container); 'auto' resolves driver-side so the stub
+    path stays deterministic; unknown decoders rejected."""
+    import pytest as _pytest
+
+    from terrier_ef_spark.pipeline.multimodal import (
+        _decode_image_real,
+        _pil_available,
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs)
+    with _pytest.raises(ValueError):
+        extract_features(media, decoder="bogus")
+    if not _pil_available():
+        with _pytest.raises(NotImplementedError):
+            _decode_image_real(b"\x89PNG notreally")
+        # auto falls back to the deterministic stub
+        a = extract_features(media, decoder="auto").toPandas()
+        b = extract_features(media, decoder="stub").toPandas()
+        assert a.sort_values("doc_id")["mean_px"].tolist() == \
+               b.sort_values("doc_id")["mean_px"].tolist()
+    else:  # pragma: no cover — container has no Pillow today
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), 128).save(buf, format="PNG")
+        assert _decode_image_real(buf.getvalue()).shape == (16, 16)
