@@ -307,6 +307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_bmw(spark, sf):
         return _bm25(spark, sf, BM25_QUERIES, algo="bmw")
 
+    def bm25_maxscore(spark, sf):
+        """MaxScore (Turtle & Flood 1995) in the query-major DAAT
+        kernel — safe-to-k, so the oracle is the same exhaustive
+        top-k SQL as the other disjunctive keys."""
+        return _bm25(
+            spark, sf, BM25_QUERIES, algo="maxscore", strategy="query_major"
+        )
+
     def bm25_conjunctive(spark, sf):
         return _bm25(spark, sf, BM25_CONJ_QUERIES, algo="naive", strategy="term_major")
 
@@ -430,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skip_decode_even": skip_decode_even,
         "bm25_disjunctive": bm25_disjunctive,
         "bm25_bmw": bm25_bmw,
+        "bm25_maxscore": bm25_maxscore,
         "bm25_conjunctive": bm25_conjunctive,
         "dph_disjunctive": dph_disjunctive,
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
@@ -553,6 +562,7 @@ SELECT term, doc_id AS docid FROM (
 """,
         "bm25_disjunctive": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_bmw": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
+        "bm25_maxscore": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_conjunctive": _bm25_oracle_sql(BM25_CONJ_QUERIES, conjunctive=True),
         "dph_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="dph"

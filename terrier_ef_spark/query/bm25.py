@@ -12,7 +12,7 @@ star. Semantics follow Terrier 5's published BM25 weighting model:
 Tie-break: (score desc, docid asc), fixed so ranking is deterministic
 across partitions (SURVEY.md §7 risk 2).
 
-Three algorithms, all rank-identical (tested):
+Four algorithms, all rank-identical (tested):
 - disjunctive exhaustive (bincount over the union),
 - conjunctive (sorted-list intersection via np.searchsorted — the
   vectorized equivalent of the reference's next(target) galloping,
@@ -20,7 +20,10 @@ Three algorithms, all rank-identical (tested):
 - block-max WAND, vectorized as safe block-max filtering over the
   2^log2Quantum posting blocks (Ding & Suel SIGIR'11): a provisional
   exact threshold from the rarest term's candidates, per-block upper
-  bounds prune docs whose bound is strictly below it.
+  bounds prune docs whose bound is strictly below it,
+- MaxScore (Turtle & Flood, IP&M 1995), vectorized as an
+  essential/non-essential list split on TERM-level upper bounds: the
+  candidate union shrinks to the essential lists only.
 """
 
 from __future__ import annotations
@@ -183,7 +186,103 @@ def topk_bmw(
     return _topk(survivors, scores, k)
 
 
+def topk_maxscore(
+    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int,
+    stats_out: dict | None = None,
+):
+    """Safe-to-k MaxScore pruned disjunctive top-k (Turtle & Flood,
+    IP&M 1995 — the other classic dynamic-pruning algorithm beside
+    WAND; terrier-micro ships both). Rank-identical to
+    topk_disjunctive by construction.
+
+    Vectorized shape: terms are split by TERM-level max contribution
+    into non-essential (the maximal ascending-UB prefix whose UB sum
+    stays strictly below a provably-valid threshold theta) and
+    essential lists. Any doc absent from every essential list scores
+    <= sum(non-essential UBs) < theta <= the true k-th score, so the
+    candidate set is the union of the essential lists only; candidates
+    are exact-scored across ALL lists (the searchsorted lookups into
+    non-essential lists are the vectorized equivalent of MaxScore's
+    skipTo probes).
+
+    `stats_out`, if given, receives {'candidates', 'survivors',
+    'n_essential'}: full-union size, scored-candidate count, and the
+    essential-list count."""
+    if not terms:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    live = [t for t in terms if len(t.docids)]
+    if not live:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    contribs = {t.term: t.contribs(doclen_arr, avgdl) for t in live}
+
+    def exact_scores(cand: np.ndarray) -> np.ndarray:
+        s = np.zeros(len(cand))
+        for t in live:
+            pos = np.searchsorted(t.docids, cand)
+            pos_c = np.minimum(pos, len(t.docids) - 1)
+            hit = t.docids[pos_c] == cand
+            s += np.where(hit, contribs[t.term][pos_c], 0.0)
+        return s
+
+    # 1. provisional threshold, same seed discipline as topk_bmw:
+    # exact-score rarest terms' lists until the seed holds >= k docs
+    seed_docs: list[np.ndarray] = []
+    total = 0
+    for t in sorted(live, key=lambda t: -t.idf):
+        seed_docs.append(t.docids)
+        total += len(t.docids)
+        if total >= k:
+            break
+    seed_union = np.unique(np.concatenate(seed_docs))
+    seed_scores = exact_scores(seed_union)
+    theta = (
+        np.partition(seed_scores, -k)[-k] if len(seed_scores) >= k else -np.inf
+    )
+
+    # 2. term-level upper bounds, clamped at 0 (a doc NOT containing a
+    # negative-idf term contributes 0 from it, so 0 is the valid bound
+    # for docs outside the list — mirroring topk_bmw's clamp)
+    ubs = []
+    for t in live:
+        if t.q_last_docid is None or t.q_max_tf is None:
+            ub = max(t.idf, 0.0) * (K1 + 1)
+        else:
+            max_tfn = tfn(
+                np.asarray(t.q_max_tf, dtype=np.float64),
+                np.asarray(t.q_min_dl, dtype=np.float64),
+                avgdl,
+            )
+            ub = float(np.max(np.maximum(t.idf * max_tfn, 0.0)))
+        ubs.append(max(ub, 0.0))
+
+    # 3. the maximal ascending-UB prefix with cumulative UB strictly
+    # below theta is non-essential; everything else is essential
+    order = np.argsort(ubs, kind="stable")
+    cum = 0.0
+    essential = set(range(len(live)))
+    for i in order:
+        if cum + ubs[int(i)] < theta:
+            cum += ubs[int(i)]
+            essential.discard(int(i))
+        else:
+            break
+
+    cand_lists = [live[i].docids for i in sorted(essential)]
+    cand = np.unique(np.concatenate(cand_lists + [seed_union]))
+    if stats_out is not None:
+        stats_out["candidates"] = int(
+            len(np.unique(np.concatenate([t.docids for t in live])))
+        )
+        stats_out["survivors"] = int(len(cand))
+        stats_out["n_essential"] = len(essential)
+
+    scores = exact_scores(cand)
+    return _topk(cand, scores, k)
+
+
 ALGOS = {
     "naive": topk_disjunctive,
     "bmw": topk_bmw,
+    "maxscore": topk_maxscore,
 }

@@ -93,6 +93,10 @@ def run_queries(
     DAAT kernel (reference shape) or the fully relational BMW
     (_run_queries_term_major_bmw — no doclen broadcast, the 10^9-doc
     pruned path); both are rank-identical to exhaustive.
+    algo='maxscore' (Turtle & Flood 1995, the other safe pruning
+    algorithm terrier-micro ships) runs in the query-major kernel; on
+    the term-major strategy it routes to the relational BMW — both are
+    safe-to-k, so results are identical either way.
 
     model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'lm_dirichlet'
     (term-major only — published formulas: DFR DPH and PL2 after
@@ -100,9 +104,11 @@ def run_queries(
     pluggable weighting models)."""
     if model not in ("bm25", "dph", "pl2", "lm_dirichlet"):
         raise ValueError(f"unknown weighting model {model!r}")
+    if algo not in ("naive", "bmw", "maxscore"):
+        raise ValueError(f"unknown algo {algo!r}")
     if model != "bm25":
-        if algo == "bmw":
-            raise ValueError("BMW metadata bounds are BM25-specific")
+        if algo in ("bmw", "maxscore"):
+            raise ValueError("pruning-metadata bounds are BM25-specific")
         if strategy == "query_major":
             raise ValueError(
                 "the query-major DAAT kernel scores BM25 only; "
@@ -115,7 +121,8 @@ def run_queries(
         else:
             strategy = "query_major"
     if strategy == "term_major":
-        if algo == "bmw":
+        if algo in ("bmw", "maxscore"):
+            # both are safe-to-k; the relational pruned path is BMW
             return _run_queries_term_major_bmw(index, queries, k=k)
         return _run_queries_term_major(index, queries, k=k, model=model)
     return _run_queries_query_major(index, queries, k=k, algo=algo)

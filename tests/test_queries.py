@@ -43,7 +43,7 @@ def _oracle_results(oracle, k=10):
     }
 
 
-@pytest.mark.parametrize("algo", ["naive", "bmw"])
+@pytest.mark.parametrize("algo", ["naive", "bmw", "maxscore"])
 def test_rank_identity_vs_oracle(small_index, small_oracle, algo):
     got = _engine_results(small_index, algo)
     want = _oracle_results(small_oracle)
@@ -153,7 +153,11 @@ def test_weighting_model_rejects_bmw():
     with pytest.raises(ValueError):
         run_queries(None, [], algo="bmw", model="dph")
     with pytest.raises(ValueError):
+        run_queries(None, [], algo="maxscore", model="pl2")
+    with pytest.raises(ValueError):
         run_queries(None, [{"qid": 1, "terms": ["x"]}], model="nonesuch")
+    with pytest.raises(ValueError):
+        run_queries(None, [{"qid": 1, "terms": ["x"]}], algo="nonesuch")
 
 
 def test_bmw_equals_naive_everywhere(small_index):
@@ -250,11 +254,14 @@ def test_kernel_rank_identity_randomized(small_oracle):
         tps = [term_postings(t) for t in terms]
         d1, s1 = bm25.topk_disjunctive(tps, doclen_arr, small_oracle.avgdl, 10)
         d2, s2 = bm25.topk_bmw(tps, doclen_arr, small_oracle.avgdl, 10)
+        d3, s3 = bm25.topk_maxscore(tps, doclen_arr, small_oracle.avgdl, 10)
         want = small_oracle.bm25_topk(terms, k=10)
         assert d1.tolist() == [d for d, _ in want]
         assert d2.tolist() == d1.tolist()
+        assert d3.tolist() == d1.tolist()
         assert np.allclose(s1, [s for _, s in want], atol=1e-9)
         assert np.allclose(s2, s1, atol=0)
+        assert np.allclose(s3, s1, atol=0)
 
 
 def test_conjunctive_selective_decodes_fewer_quanta(small_index, small_oracle):
@@ -379,6 +386,85 @@ def test_bmw_actually_prunes(small_oracle):
     d_ex, s_ex = bm25.topk_disjunctive(tps, doclen_arr, small_oracle.avgdl, 10)
     assert d_bmw.tolist() == d_ex.tolist()
     assert stats["survivors"] < stats["candidates"], stats
+
+
+def test_maxscore_actually_prunes():
+    """Rare + hot query, the textbook MaxScore case: the hot term's
+    TERM-level upper bound falls below the threshold set by the rare
+    term's exact seed scores, so it goes non-essential and the
+    candidate set shrinks to the rare list — rank-identical to
+    exhaustive throughout. Crafted heterogeneous-tf fixture: the
+    synthetic corpus's near-uniform tf is adversarial to pruning by
+    construction (BASELINE.md round-2 addendum 2), so term-level
+    bounds only separate when tf actually varies."""
+    from terrier_ef_spark.query import bm25
+    from terrier_ef_spark.query.bm25 import TermPostings
+
+    rng = np.random.default_rng(11)
+    n_docs = 5000
+    doclen_arr = rng.integers(40, 80, n_docs).astype(np.int32)
+    avgdl = float(doclen_arr.mean())
+
+    def mk(term, docids, tfs, q=8):
+        docids = np.asarray(docids, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int64)
+        n_q = (len(docids) + q - 1) // q
+        q_last = docids[np.minimum(np.arange(1, n_q + 1) * q - 1, len(docids) - 1)]
+        pad_tf = np.zeros(n_q * q, dtype=np.int64)
+        pad_tf[: len(docids)] = tfs
+        pad_dl = np.full(n_q * q, np.iinfo(np.int64).max, dtype=np.int64)
+        pad_dl[: len(docids)] = doclen_arr[docids]
+        return TermPostings(
+            term=term,
+            idf=bm25.idf(n_docs, len(docids)),
+            docids=docids,
+            tfs=tfs,
+            q_last_docid=q_last,
+            q_max_tf=pad_tf.reshape(n_q, q).max(axis=1),
+            q_min_dl=pad_dl.reshape(n_q, q).min(axis=1),
+        )
+
+    rare_d = np.sort(rng.choice(n_docs, 40, replace=False))
+    hot_d = np.sort(rng.choice(n_docs, 3000, replace=False))
+    tps = [
+        mk("rare", rare_d, rng.integers(20, 40, len(rare_d))),  # high tf
+        mk("hot", hot_d, np.ones(len(hot_d))),                  # tf = 1 sea
+    ]
+    stats = {}
+    d_ms, s_ms = bm25.topk_maxscore(tps, doclen_arr, avgdl, 10, stats_out=stats)
+    d_ex, s_ex = bm25.topk_disjunctive(tps, doclen_arr, avgdl, 10)
+    assert d_ms.tolist() == d_ex.tolist()
+    assert np.allclose(s_ms, s_ex, atol=0)
+    assert stats["n_essential"] == 1, stats
+    assert stats["survivors"] < stats["candidates"] // 10, stats
+
+
+def test_maxscore_term_major_routes_to_relational_bmw(small_index, small_oracle):
+    """algo='maxscore' on the term-major strategy runs the relational
+    BMW (both safe-to-k) — results identical to the oracle."""
+    pdf = (
+        run_queries(
+            small_index,
+            [q for q in QUERIES if q["mode"] == "disjunctive"],
+            k=10,
+            algo="maxscore",
+            strategy="term_major",
+        )
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    got = {}
+    for r in pdf.itertuples(index=False):
+        got.setdefault(int(r.qid), []).append((int(r.docid), float(r.score)))
+    for q in QUERIES:
+        if q["mode"] != "disjunctive":
+            continue
+        want = small_oracle.bm25_topk(q["terms"], k=10, mode="disjunctive")
+        g = got.get(q["qid"], [])
+        assert [d for d, _ in g] == [d for d, _ in want], q
+        assert np.allclose(
+            [s for _, s in g], [s for _, s in want], atol=1e-9
+        ), q
 
 
 def _tp_for_test(oracle, t, doclen_arr, q=8):
