@@ -1,0 +1,127 @@
+"""Pinned-constants weighting-model fixture (VERDICT r02 Wrong #5 /
+Next #7): the DuckDB oracle twins prove Spark==SQL consistency but
+share each model's formula with the engine by construction. This test
+pins LITERAL expected scores for a 10-doc corpus, computed once by a
+standalone clean-room script written only from the published formulas
+(Robertson/Sparck-Jones BM25 as parameterized in Terrier 5's BM25
+model; Amati's DFR DPH and PL2; Zhai & Lafferty Dirichlet LM) with the
+engine's documented constants k1=1.2, b=0.75, c=1.0, mu=2500, log base
+2. If any constant or formula term in the engine drifts, these
+literals break even if the SQL twin drifts with it.
+
+The intended closure — running terrier-core 5.x itself once and
+pinning ITS output — is infeasible in this container (no network, no
+maven, no terrier jars); documented in COVERAGE.md. These literals are
+the strongest available substitute: a third, independently-authored
+expression of each formula, frozen.
+
+Derivation (the generator script, kept runnable by hand):
+    docs = {0: "alpha alpha alpha beta gamma", 1: "alpha beta beta delta",
+            2: "beta gamma gamma gamma delta delta", 3: "alpha delta",
+            4: "epsilon epsilon beta gamma gamma epsilon zeta",
+            5: "beta delta delta zeta", 6: "delta beta zeta eta",
+            7: "epsilon beta eta", 8: "zeta eta delta epsilon",
+            9: "eta zeta zeta beta delta eta"}
+    N=10, num_tokens=45, avgdl=4.5; query = [alpha, gamma] (df 3 each,
+    idf = log2(7.5/3.5) = 1.0995356735509143); per-model scores below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from terrier_ef_spark.query.engine import run_queries
+
+DOCS = {
+    0: "alpha alpha alpha beta gamma",
+    1: "alpha beta beta delta",
+    2: "beta gamma gamma gamma delta delta",
+    3: "alpha delta",
+    4: "epsilon epsilon beta gamma gamma epsilon zeta",
+    5: "beta delta delta zeta",
+    6: "delta beta zeta eta",
+    7: "epsilon beta eta",
+    8: "zeta eta delta epsilon",
+    9: "eta zeta zeta beta delta eta",
+}
+
+QUERY = ["alpha", "gamma"]
+
+# (docid, score) in engine tie-break order (score desc, docid asc),
+# pinned from the clean-room generator in the module docstring
+PINNED = {
+    "bm25": [
+        (0, 2.739389180616232),
+        (2, 1.6126523212080077),
+        (3, 1.4229285187129483),
+        (4, 1.3075559361146007),
+        (1, 1.151894515148577),
+    ],
+    "dph": [
+        (0, 0.9101646253436182),
+        (1, 0.6435434015266077),
+        (4, 0.6432153058253176),
+        (2, 0.45868131887014335),
+        (3, 0.374459133272309),
+    ],
+    "pl2": [
+        (0, 2.211643099116901),
+        (2, 1.2306287040225028),
+        (3, 1.10339564898644),
+        (4, 0.8971850987771991),
+        (1, 0.8420319345435844),
+    ],
+    "lm_dirichlet": [
+        (0, 0.014054158279176183),
+        (2, 0.009467854671858877),
+        (4, 0.00459640385895015),
+        (3, 0.0040306812433529154),
+        (1, 0.002877908476554365),
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def pinned_index(spark, tmp_path_factory):
+    from terrier_ef_spark.index.builder import build_index
+
+    rows = [
+        ("r", f"f{d}.txt", "deadbeefcafe", "text", content, d)
+        for d, content in sorted(DOCS.items())
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long"
+    )
+    out = str(tmp_path_factory.mktemp("pinned") / "idx")
+    return build_index(spark, corpus, out, log2_quantum=3, n_partitions=2)
+
+
+def _got(index, **kw):
+    pdf = (
+        run_queries(index, [{"qid": 1, "terms": QUERY}], k=10, **kw)
+        .orderBy("rank")
+        .toPandas()
+    )
+    return [(int(r.docid), float(r.score)) for r in pdf.itertuples(index=False)]
+
+
+@pytest.mark.parametrize("model", ["bm25", "dph", "pl2", "lm_dirichlet"])
+def test_pinned_scores_term_major(pinned_index, model):
+    got = _got(pinned_index, strategy="term_major", model=model)
+    want = PINNED[model]
+    assert [d for d, _ in got] == [d for d, _ in want], (model, got)
+    assert np.allclose(
+        [s for _, s in got], [s for _, s in want], atol=1e-9
+    ), (model, got)
+
+
+@pytest.mark.parametrize("algo", ["naive", "bmw", "maxscore"])
+def test_pinned_scores_query_major_kernel(pinned_index, algo):
+    got = _got(pinned_index, strategy="query_major", algo=algo)
+    want = PINNED["bm25"]
+    assert [d for d, _ in got] == [d for d, _ in want], (algo, got)
+    assert np.allclose(
+        [s for _, s in got], [s for _, s in want], atol=1e-9
+    ), (algo, got)
