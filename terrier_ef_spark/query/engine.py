@@ -826,6 +826,99 @@ def _decode_term_quanta_mask(
     return np.concatenate(d_parts), np.concatenate(f_parts)
 
 
+def _exact_scores_from(
+    live: list, arrays: dict, cand: np.ndarray,
+    doclen_arr: np.ndarray, avgdl: float,
+) -> np.ndarray:
+    """Exact BM25 scores for `cand` given each term's decoded
+    (docids, tfs) in `arrays` (which must cover every candidate's
+    postings) — shared by the selective BMW and MaxScore kernels."""
+    s = np.zeros(len(cand))
+    for i, (_, idf_t, _) in enumerate(live):
+        d_t, f_t = arrays[i]
+        if len(d_t) == 0:
+            continue
+        pos = np.minimum(np.searchsorted(d_t, cand), len(d_t) - 1)
+        hit = d_t[pos] == cand
+        c = idf_t * bm25.tfn(
+            f_t[pos], doclen_arr[d_t[pos]].astype(np.float64), avgdl
+        )
+        s += np.where(hit, c, 0.0)
+    return s
+
+
+def _metadata_bounds(live: list, avgdl: float) -> list:
+    """Per-term per-quantum upper bounds from metadata only (no
+    decode): [(idf, [per-row (q_last_abs, ub_arr)], U_t)]."""
+    metas = []
+    for gdf, idf_t, grp in live:
+        rows_meta = []
+        u_t = 0.0
+        for r in grp.itertuples(index=False):
+            q_last = np.asarray(r.q_last_docid, dtype=np.int64)
+            max_tfn = bm25.tfn(
+                np.asarray(r.q_max_tf, dtype=np.float64),
+                np.asarray(r.q_min_dl, dtype=np.float64),
+                avgdl,
+            )
+            ub = idf_t * max_tfn
+            if idf_t < 0:
+                ub = np.maximum(ub, 0.0)
+            rows_meta.append((q_last, ub))
+            if len(ub):
+                u_t = max(u_t, float(ub.max()))
+        metas.append((idf_t, rows_meta, u_t))
+    return metas
+
+
+def _seed_theta(
+    live: list, metas: list, kq: int, num_docs: int,
+    block_bits: int | None, log2q: int,
+    doclen_arr: np.ndarray, avgdl: float,
+):
+    """Provisional threshold from a metadata-guided seed: pick the
+    highest-UPPER-BOUND quanta of the highest-idf terms until they
+    hold >= kq docs, decode ONLY those quanta, exact-score the seed
+    docs selectively. Returns (theta, seed_union) — theta is a valid
+    lower bound of the true k-th score (seed scores are exact)."""
+    order = np.argsort([-idf_t for _, idf_t, _ in live])
+    seed_docs: list[np.ndarray] = []
+    chosen = 0
+    for i in order:
+        i = int(i)
+        _, rows_meta, _ = metas[i]
+        grp = live[i][2]
+        q = 1 << log2q
+        masks = [np.zeros(len(ub), dtype=bool) for _, ub in rows_meta]
+        flat = []
+        for ri, (r, (_, ub)) in enumerate(zip(grp.itertuples(index=False), rows_meta)):
+            df_b = int(r.df)
+            for j in range(len(ub)):
+                flat.append((float(ub[j]), ri, j, min(q, df_b - j * q)))
+        flat.sort(key=lambda t: -t[0])
+        for _, ri, j, cnt in flat:
+            if chosen >= kq:
+                break
+            masks[ri][j] = True
+            chosen += cnt
+        d_i, _ = _decode_term_quanta_mask(grp, masks, num_docs, block_bits, log2q)
+        seed_docs.append(d_i)
+        if chosen >= kq:
+            break
+    seed_union = (
+        np.unique(np.concatenate(seed_docs)) if seed_docs else np.zeros(0, np.int64)
+    )
+    seed_arrays = {
+        i: decode_term_selective(grp, seed_union, num_docs, block_bits, log2q)
+        for i, (_, _, grp) in enumerate(live)
+    }
+    seed_scores = _exact_scores_from(live, seed_arrays, seed_union, doclen_arr, avgdl)
+    theta = (
+        np.partition(seed_scores, -kq)[-kq] if len(seed_scores) >= kq else -np.inf
+    )
+    return theta, seed_union
+
+
 def _bmw_selective(
     term_groups: list,
     doclen_arr: np.ndarray,
@@ -852,77 +945,10 @@ def _bmw_selective(
     if not live:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
 
-    # per-term per-quantum upper bounds from metadata only (no decode)
-    metas = []  # (idf, [per-row (q_last_abs, ub_arr)], U_t)
-    for gdf, idf_t, grp in live:
-        rows_meta = []
-        u_t = 0.0
-        for r in grp.itertuples(index=False):
-            q_last = np.asarray(r.q_last_docid, dtype=np.int64)
-            max_tfn = bm25.tfn(
-                np.asarray(r.q_max_tf, dtype=np.float64),
-                np.asarray(r.q_min_dl, dtype=np.float64),
-                avgdl,
-            )
-            ub = idf_t * max_tfn
-            if idf_t < 0:
-                ub = np.maximum(ub, 0.0)
-            rows_meta.append((q_last, ub))
-            if len(ub):
-                u_t = max(u_t, float(ub.max()))
-        metas.append((idf_t, rows_meta, u_t))
+    metas = _metadata_bounds(live, avgdl)
     sum_u = sum(u for _, _, u in metas)
-
-    # seed: pick the highest-UPPER-BOUND quanta (metadata only, no
-    # decode) from the highest-idf terms until they hold >= kq docs —
-    # promising candidates without ever fully decoding a hot term
-    order = np.argsort([-idf_t for _, idf_t, _ in live])
-    seed_docs: list[np.ndarray] = []
-    chosen = 0
-    for i in order:
-        i = int(i)
-        _, rows_meta, _ = metas[i]
-        grp = live[i][2]
-        q = 1 << log2q
-        masks = [np.zeros(len(ub), dtype=bool) for _, ub in rows_meta]
-        flat = []
-        for ri, (r, (_, ub)) in enumerate(zip(grp.itertuples(index=False), rows_meta)):
-            df_b = int(r.df)
-            for j in range(len(ub)):
-                flat.append((float(ub[j]), ri, j, min(q, df_b - j * q)))
-        flat.sort(key=lambda t: -t[0])
-        for _, ri, j, cnt in flat:
-            if chosen >= kq:
-                break
-            masks[ri][j] = True
-            chosen += cnt
-        d_i, _ = _decode_term_quanta_mask(grp, masks, num_docs, block_bits, log2q)
-        seed_docs.append(d_i)
-        if chosen >= kq:
-            break
-    seed_union = np.unique(np.concatenate(seed_docs)) if seed_docs else np.zeros(0, np.int64)
-
-    def exact_scores(cand: np.ndarray, arrays: dict) -> np.ndarray:
-        s = np.zeros(len(cand))
-        for i, (_, idf_t, _) in enumerate(live):
-            d_t, f_t = arrays[i]
-            if len(d_t) == 0:
-                continue
-            pos = np.minimum(np.searchsorted(d_t, cand), len(d_t) - 1)
-            hit = d_t[pos] == cand
-            c = idf_t * bm25.tfn(
-                f_t[pos], doclen_arr[d_t[pos]].astype(np.float64), avgdl
-            )
-            s += np.where(hit, c, 0.0)
-        return s
-
-    seed_arrays = {
-        i: decode_term_selective(grp, seed_union, num_docs, block_bits, log2q)
-        for i, (_, _, grp) in enumerate(live)
-    }
-    seed_scores = exact_scores(seed_union, seed_arrays)
-    theta = (
-        np.partition(seed_scores, -kq)[-kq] if len(seed_scores) >= kq else -np.inf
+    theta, _ = _seed_theta(
+        live, metas, kq, num_docs, block_bits, log2q, doclen_arr, avgdl
     )
 
     # quantum survival: ub_t(j) + sum_{t'!=t} U_t' >= theta
@@ -955,8 +981,72 @@ def _bmw_selective(
     uniq, inv = np.unique(np.concatenate(all_d), return_inverse=True)
     doc_ub = np.bincount(inv, weights=np.concatenate(all_ub))
     survivors = uniq[doc_ub >= theta] if np.isfinite(theta) else uniq
-    scores = exact_scores(survivors, full_arrays)
+    scores = _exact_scores_from(live, full_arrays, survivors, doclen_arr, avgdl)
     return bm25._topk(survivors, scores, kq)
+
+
+def _maxscore_selective(
+    term_groups: list,
+    doclen_arr: np.ndarray,
+    avgdl: float,
+    kq: int,
+    num_docs: int,
+    block_bits: int | None,
+    log2q: int,
+    stats: dict | None = None,
+):
+    """MaxScore with DECODE pruning: essential lists (term-level upper
+    bound can still reach theta) decode fully; non-essential lists
+    decode ONLY candidate quanta — the vectorized form of MaxScore's
+    skipTo probes (Turtle & Flood 1995), on the same quantum-selective
+    kernel as the BMW and conjunctive paths. Safe-to-k: a doc absent
+    from every essential list scores <= the non-essential UB prefix
+    sum < theta <= the true k-th score, so it can never enter the
+    top-k; every candidate is exact-scored across ALL lists.
+
+    term_groups: [(global_df, idf, grp)] — grp rows sorted by block_id."""
+    live = [(gdf, idf_t, grp) for gdf, idf_t, grp in term_groups if len(grp)]
+    if not live:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    metas = _metadata_bounds(live, avgdl)
+    theta, seed_union = _seed_theta(
+        live, metas, kq, num_docs, block_bits, log2q, doclen_arr, avgdl
+    )
+
+    # maximal ascending-UB prefix with cumulative UB strictly below
+    # theta is non-essential (UBs clamped >= 0: a doc outside a
+    # negative-idf list gains 0 from it, same bound discipline as the
+    # whole-list kernel bm25.topk_maxscore)
+    u = [max(u_t, 0.0) for _, _, u_t in metas]
+    order = np.argsort(u, kind="stable")
+    cum = 0.0
+    essential = set(range(len(live)))
+    for i in order:
+        if np.isfinite(theta) and cum + u[int(i)] < theta:
+            cum += u[int(i)]
+            essential.discard(int(i))
+        else:
+            break
+
+    arrays: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    cand_parts = [seed_union]
+    for i in sorted(essential):
+        grp = live[i][2]
+        if stats is not None:
+            nq = sum(len(r.q_last_docid) for r in grp.itertuples(index=False))
+            stats["total"] = stats.get("total", 0) + nq
+            stats["decoded"] = stats.get("decoded", 0) + nq
+        arrays[i] = _decode_term_full(grp, num_docs, block_bits, log2q)
+        cand_parts.append(arrays[i][0])
+    cand = np.unique(np.concatenate(cand_parts))
+    for i in range(len(live)):
+        if i not in arrays:
+            arrays[i] = decode_term_selective(
+                live[i][2], cand, num_docs, block_bits, log2q, stats
+            )
+    scores = _exact_scores_from(live, arrays, cand, doclen_arr, avgdl)
+    return bm25._topk(cand, scores, kq)
 
 
 def _run_queries_query_major(
@@ -1007,11 +1097,14 @@ def _run_queries_query_major(
         total_quanta = int(pdf["q_last_docid"].map(len).sum())
         selective = total_quanta >= sel_min_quanta
 
-        if selective and (mode == "conjunctive" or algo == "bmw"):
+        if selective and (
+            mode == "conjunctive" or algo in ("bmw", "maxscore")
+        ):
             # block-selective decode paths: only quanta that can matter
             # are ever unpacked (conjunctive: quanta holding the rarest
             # term's candidates; BMW: quanta whose metadata bound beats
-            # the provisional threshold)
+            # the provisional threshold; MaxScore: non-essential lists
+            # probe candidate quanta only)
             tgroups = []
             for term, grp in pdf.groupby("term", sort=True):
                 grp = grp.sort_values("block_id")
@@ -1026,6 +1119,11 @@ def _run_queries_query_major(
                         tgroups, doclen_arr, avgdl, kq,
                         num_docs, block_bits, log2q,
                     )
+            elif algo == "maxscore":
+                docids, scores = _maxscore_selective(
+                    tgroups, doclen_arr, avgdl, kq,
+                    num_docs, block_bits, log2q,
+                )
             else:
                 docids, scores = _bmw_selective(
                     tgroups, doclen_arr, avgdl, kq,

@@ -305,17 +305,11 @@ def test_conjunctive_selective_decodes_fewer_quanta(small_index, small_oracle):
     assert stats["decoded"] < stats["total"], stats
 
 
-def test_bmw_selective_decodes_fewer_quanta(spark, tmp_path):
-    """BMW now prunes DECODE, not just scoring (VERDICT r01 wrong #6):
-    on a skewed corpus — a hot term with weak postings everywhere except
-    a strong-doc cluster, the real shape of boilerplate-heavy corpora —
-    the hot term's cold quanta are never unpacked, and the top-k stays
-    rank-identical to exhaustive scoring."""
-    from pyspark.sql import functions as F
-
+@pytest.fixture(scope="module")
+def skew_index(spark, tmp_path_factory):
+    """Skewed corpus — a hot term with weak postings everywhere except
+    a strong-doc cluster, the real shape of boilerplate-heavy corpora."""
     from terrier_ef_spark.index.builder import build_index
-    from terrier_ef_spark.query import bm25
-    from terrier_ef_spark.query.engine import _bmw_selective, run_queries
 
     texts = []
     for d in range(400):
@@ -330,9 +324,15 @@ def test_bmw_selective_decodes_fewer_quanta(spark, tmp_path):
         "repo string, path string, commit string, lang string,"
         " content string, doc_id long",
     )
-    idx = build_index(
-        spark, corpus, str(tmp_path / "skew"), log2_quantum=3, n_partitions=4
-    )
+    out = str(tmp_path_factory.mktemp("skew") / "idx")
+    return build_index(spark, corpus, out, log2_quantum=3, n_partitions=4)
+
+
+def _skew_tgroups(idx):
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.query import bm25
+
     st = idx.stats
     pdf = idx.postings.where(F.col("term").isin(["rare", "hot"])).toPandas()
     lex = {r["term"]: r["df"] for r in idx.lexicon.where(
@@ -343,6 +343,18 @@ def test_bmw_selective_decodes_fewer_quanta(spark, tmp_path):
     ]
     dl = {r["docid"]: r["doclen"] for r in idx.docs.collect()}
     doclen_arr = np.array([dl[d] for d in range(st["num_docs"])], dtype=np.int32)
+    return tgroups, doclen_arr
+
+
+def test_bmw_selective_decodes_fewer_quanta(skew_index):
+    """BMW now prunes DECODE, not just scoring (VERDICT r01 wrong #6):
+    on the skewed corpus the hot term's cold quanta are never unpacked,
+    and the top-k stays rank-identical to exhaustive scoring."""
+    from terrier_ef_spark.query.engine import _bmw_selective, run_queries
+
+    idx = skew_index
+    st = idx.stats
+    tgroups, doclen_arr = _skew_tgroups(idx)
     stats = {}
     docids, scores = _bmw_selective(
         tgroups, doclen_arr, st["avgdl"], 10,
@@ -358,6 +370,47 @@ def test_bmw_selective_decodes_fewer_quanta(spark, tmp_path):
     assert np.allclose(scores, [r["score"] for r in want], atol=1e-9)
     # and the hot term's cold quanta were never decoded
     assert stats["decoded"] < stats["total"] / 2, stats
+
+
+def test_maxscore_selective_decodes_fewer_quanta(skew_index):
+    """Selective MaxScore on the same skewed corpus: the hot term goes
+    non-essential (its term-level bound is below theta from the strong
+    cluster), so only candidate quanta of it decode — rank-identical
+    to exhaustive, decoding less than half the quanta."""
+    from terrier_ef_spark.query.engine import _maxscore_selective, run_queries
+
+    idx = skew_index
+    st = idx.stats
+    tgroups, doclen_arr = _skew_tgroups(idx)
+    stats = {}
+    docids, scores = _maxscore_selective(
+        tgroups, doclen_arr, st["avgdl"], 10,
+        st["num_docs"], st.get("block_bits"), st["log2_quantum"], stats=stats,
+    )
+    want = (
+        run_queries(idx, [{"qid": 1, "terms": ["rare", "hot"]}], k=10,
+                    strategy="query_major", algo="naive")
+        .orderBy("rank").collect()
+    )
+    assert docids.tolist() == [r["docid"] for r in want]
+    assert np.allclose(scores, [r["score"] for r in want], atol=1e-9)
+    assert stats["decoded"] < stats["total"] / 2, stats
+
+
+def test_maxscore_selective_engine_rank_identity(small_index, small_oracle, monkeypatch):
+    """Force the selective cutover on and run algo='maxscore' through
+    the engine on the adversarial small corpus (bounds never separate
+    there, everything stays essential): rank identity must hold."""
+    from terrier_ef_spark.query import engine as eng
+
+    monkeypatch.setattr(eng, "QUERY_MAJOR_SELECTIVE_MIN_QUANTA", 0)
+    got = _engine_results(small_index, "maxscore")
+    want = _oracle_results(small_oracle)
+    for q in QUERIES:
+        qid = q["qid"]
+        g, w = got[qid], want[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], (qid, g, w)
+        assert np.allclose([s for _, s in g], [s for _, s in w], atol=1e-9), qid
 
 
 def test_bmw_actually_prunes(small_oracle):
