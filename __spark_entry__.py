@@ -419,6 +419,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             centroids=similarity.fixed_centroids(64),
         )
 
+    def streaming_dedup(spark, sf):
+        """Stateful streaming exact dedup (applyInPandasWithState):
+        land the documents corpus as two files, run with
+        maxFilesPerTrigger=1 so state carries across micro-batches,
+        return the surviving distinct content hashes. Twin:
+        SELECT DISTINCT md5(text) — first-arrival semantics mean the
+        survivor hash SET equals the batch-distinct set regardless of
+        arrival order."""
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.streaming.dedup import run_dedup_stream
+
+        corpus = corpus_from_documents(spark, sf)
+        work = _tempfile.mkdtemp(prefix="sg_stream_dedup_")
+        try:
+            landing = os.path.join(work, "landing")
+            os.makedirs(landing)
+            for name, part in (
+                ("even", corpus.where(F.col("doc_id") % 2 == 0)),
+                ("odd", corpus.where(F.col("doc_id") % 2 == 1)),
+            ):
+                staging = os.path.join(work, "_stage_" + name)
+                part.coalesce(1).write.mode("overwrite").parquet(staging)
+                src = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+                _shutil.move(src, os.path.join(landing, name + ".parquet"))
+            run_dedup_stream(
+                spark, landing, os.path.join(work, "out"),
+                n_shards=64, max_files_per_trigger=1,
+            )
+            hashes = sorted(
+                r["content_hash"]
+                for r in spark.read.parquet(os.path.join(work, "out", "survivors"))
+                .select("content_hash").distinct().collect()
+            )
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame(
+            [(h,) for h in hashes], "content_hash string"
+        )
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -449,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": proximity_tv,
         "direct_decoded": direct_decoded,
         "events_window": events_window,
+        "streaming_dedup": streaming_dedup,
         "token_counts": lambda s, sf: textstats.token_counts(_docs(s, sf)),
         "quality_score": lambda s, sf: textstats.quality_score(_docs(s, sf)),
         "lang_id": lambda s, sf: textstats.lang_id(_docs(s, sf)),
@@ -629,6 +673,9 @@ lex AS (
 SELECT p.doc_id AS docid, l.termid, p.tf::bigint AS tf
 FROM post p JOIN lex l USING (term)
 """,
+        "streaming_dedup": (
+            "SELECT DISTINCT md5(text) AS content_hash FROM documents"
+        ),
         "events_window": """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::bigint AS n, round(sum(value), 2) AS sum_value
