@@ -169,6 +169,60 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _hybrid_rrf_oracle_sql(
+    terms: list[str], depth: int = 50, k_rrf: int = 60, k: int = 10
+) -> str:
+    """RRF fusion twin: rank the full BM25 scoring and the full cosine
+    scan at 6dp (the engines' stable-rerank contract), fuse the two
+    top-`depth` rank lists with 1/(k_rrf+rank), re-rank at 9dp."""
+    vals = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), q(term) AS (VALUES {vals}),
+sc AS (
+  SELECT p.doc_id AS id, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+         JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1
+), lexr AS (
+  SELECT id, row_number() OVER (ORDER BY round(score, 6) DESC, id ASC)::int AS rank
+  FROM sc
+), qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+), semsc AS (
+  SELECT e.vec_id AS id,
+         round(list_dot_product(e.embedding::DOUBLE[], qv.q)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cos
+  FROM embeddings e CROSS JOIN qv
+), semr AS (
+  SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC)::int AS rank FROM semsc
+), u AS (
+  SELECT id, 1.0::DOUBLE / ({k_rrf} + rank) AS contrib FROM lexr WHERE rank <= {depth}
+  UNION ALL
+  SELECT id, 1.0::DOUBLE / ({k_rrf} + rank) AS contrib FROM semr WHERE rank <= {depth}
+), f AS (
+  SELECT id, round(sum(contrib), 9) AS rrf_score FROM u GROUP BY 1
+)
+SELECT id, rrf_score, rank FROM (
+  SELECT id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, id ASC)::int AS rank
+  FROM f
+) WHERE rank <= {k}
+"""
+
+
 def _bo1_oracle_sql(queries, fb_docs: int = 3, fb_terms: int = 10) -> str:
     """DuckDB twin of the two-pass Bo1 expansion: first-pass BM25 top
     fb_docs (round-6dp/docid selection), Bo1 term weights from the
@@ -344,6 +398,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def hybrid_rrf(spark, sf):
+        """Hybrid retrieval: RRF fusion (Cormack et al. 2009) of the
+        term-major BM25 top-50 with the exact-cosine top-50 over the
+        shared id space (doc_id == vec_id); terms = BM25 qid 1's,
+        qvec = the ANN keys' query vector (vec_id 0)."""
+        from terrier_ef_spark.pipeline import hybrid
+
+        return hybrid.hybrid_bm25_cosine_topk(
+            _get_index(spark, sf), _emb(spark, sf),
+            ["table", "spark"], _qvec(spark, sf), k=ANN_K, depth=50,
+        )
+
     def positions_decoded(spark, sf):
         from terrier_ef_spark.query.engine import decode_positions_df
 
@@ -487,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
         "pl2_disjunctive": pl2_disjunctive,
         "bm25_bo1_expanded": bm25_bo1_expanded,
+        "hybrid_rrf_topk": hybrid_rrf,
         "positions_decoded": positions_decoded,
         "phrase_match": phrase_match_tv,
         "proximity_match": proximity_tv,
@@ -618,6 +685,7 @@ SELECT term, doc_id AS docid FROM (
             BM25_QUERIES, conjunctive=False, model="pl2"
         ),
         "bm25_bo1_expanded": _bo1_oracle_sql(BM25_QUERIES),
+        "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(["table", "spark"]),
         "positions_decoded": f"""
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents)
 SELECT a[i + 1] AS term, doc_id AS docid, i AS pos

@@ -143,7 +143,7 @@ def _make_encode_fn(num_docs: int, log2_quantum: int,
     """
     q = 1 << log2_quantum
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode(key, pdf):
         term, block_id = key[0], int(key[1])
         pdf = pdf.sort_values("docid")
         docids = pdf["docid"].to_numpy(dtype=np.int64)

@@ -76,7 +76,7 @@ def build_direct(index: EFIndex, *, n_partitions: int = 32, resume: bool = True)
     termids = index.lexicon.select("term", "termid")
     rows = decode_postings(index).join(F.broadcast(termids), "term")
 
-    def encode_doc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_doc(key, pdf):
         docid = int(key[0])
         pdf = pdf.sort_values("termid")
         tids = pdf["termid"].to_numpy(dtype=np.int64)

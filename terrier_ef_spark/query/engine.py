@@ -599,7 +599,7 @@ def _bmw_disjunctive_relational(
     # query's terms within one docid-range block).
     bound_schema = "qid long, term string, block_id long, qpos long, bound double"
 
-    def qbounds(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def qbounds(key, pdf):
         by_term = {}
         for t, g in pdf.groupby("term", sort=True):
             g = g.sort_values("qpos")
@@ -1084,7 +1084,7 @@ def _run_queries_query_major(
     # module-level default would otherwise be re-imported
     sel_min_quanta = QUERY_MAJOR_SELECTIVE_MIN_QUANTA
 
-    def score_one_query(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_one_query(key, pdf):
         qid = int(key[0])
         mode, kq = qmeta_bc.value[qid]
         doclen_arr = doclen_bc.value
