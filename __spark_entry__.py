@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, sf: textstats.lang_id(_docs(s, sf)),
         "fingerprint": lambda s, sf: textstats.fingerprint(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
+        "dup_span_stats": lambda s, sf: dedup.duplicate_span_stats(_docs(s, sf)),
         "minhash_signatures": lambda s, sf: dedup.minhash_signatures(_docs(s, sf)),
         "lsh_candidate_pairs": lambda s, sf: dedup.lsh_candidate_pairs(_docs(s, sf)),
         "ngram_jaccard_pairs": lambda s, sf: dedup.ngram_jaccard_pairs(_docs(s, sf)),
@@ -754,6 +755,7 @@ FROM events GROUP BY 1, 2
         "lang_id": textstats.LANG_ID_SQL,
         "fingerprint": textstats.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
+        "dup_span_stats": dedup.DUPLICATE_SPAN_STATS_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_candidate_pairs": dedup.LSH_CANDIDATE_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,

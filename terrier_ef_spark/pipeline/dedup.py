@@ -393,3 +393,133 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sim, b.sim)) <= 3
 """
+
+
+SPAN_N = 8  # duplicated-span n-gram width (tokens)
+
+
+def duplicate_span_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Span-level duplicate coverage per document (the substring-dedup
+    statistic of Lee et al. 2021, 'Deduplicating Training Data Makes
+    Language Models Better', at token-n-gram granularity): for every
+    doc, the fraction of token positions covered by some n-gram that
+    also occurs in ANOTHER document.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_fraction) for ALL docs
+    (zero-duplication docs included), dup_fraction rounded to 6dp.
+
+    100-TB shape: the gram relation is one posexplode (~1 row per
+    corpus token; the gram hashes are computed array-at-a-time inside
+    the row, no explode amplification beyond token count); duplicated
+    grams are found with a groupBy(gram) count-distinct-docs (partial
+    aggregation absorbs hot boilerplate grams — no self-join, so a
+    million-doc license header costs M rows, never M^2); coverage is a
+    per-doc gaps-and-islands interval merge over FLAGGED spans only
+    (window functions — flagged spans are never exploded per-token).
+    """
+    toks = tokenize_expr(F.col("text"))
+    # '|' as the gram separator never collides: tokens are [a-z0-9]+
+    gram_hashes = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.concat_ws("|", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id", F.size(toks).alias("n_tokens"), gram_hashes.alias("grams")
+    )
+    base = base.persist()
+    try:
+        grams = base.select(
+            "doc_id", F.posexplode("grams").alias("pos", "gram")
+        )
+        dup_grams = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2)
+            .select("gram")
+        )
+        flagged = grams.join(dup_grams, "gram").select(
+            "doc_id", "pos", (F.col("pos") + n).alias("end")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        prev_end = F.max("end").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        islands = flagged.withColumn(
+            "new_island",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        ).withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        covered = (
+            islands.groupBy("doc_id", "island")
+            .agg((F.max("end") - F.min("pos")).alias("span_len"))
+            .groupBy("doc_id")
+            .agg(F.sum("span_len").alias("dup_tokens"))
+        )
+        out = (
+            base.select("doc_id", "n_tokens")
+            .join(covered, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                .cast("long")
+                .alias("dup_tokens"),
+                F.round(
+                    F.when(F.col("n_tokens") > 0,
+                           F.coalesce(F.col("dup_tokens"), F.lit(0))
+                           / F.col("n_tokens")).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("dup_fraction"),
+            )
+        )
+        return eager_release(out, base)
+    except Exception:
+        base.unpersist()
+        raise
+
+
+DUPLICATE_SPAN_STATS_SQL = f"""
+WITH arr AS (
+  SELECT doc_id, {_TOK_SQL} AS a FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(a[i + 1 : i + {SPAN_N}], '|')) AS gram
+  FROM arr, unnest(range(len(a) - {SPAN_N} + 1)) AS t(i)
+), dup AS (
+  SELECT gram FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT doc_id, pos, pos + {SPAN_N} AS "end" FROM grams JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos, "end",
+         CASE WHEN max("end") OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max("end") OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM flagged
+), isl2 AS (
+  SELECT doc_id, pos, "end",
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), cov AS (
+  SELECT doc_id, sum(span_len) AS dup_tokens FROM (
+    SELECT doc_id, island, max("end") - min(pos) AS span_len
+    FROM isl2 GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT arr.doc_id,
+       len(a)::BIGINT AS n_tokens,
+       coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(CASE WHEN len(a) > 0
+                  THEN coalesce(cov.dup_tokens, 0)::DOUBLE / len(a)
+                  ELSE 0.0 END, 6) AS dup_fraction
+FROM arr LEFT JOIN cov USING (doc_id)
+"""

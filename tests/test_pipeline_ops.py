@@ -384,3 +384,68 @@ def test_multimodal_decoder_gating(spark, docs):
         buf = io.BytesIO()
         Image.new("L", (16, 16), 128).save(buf, format="PNG")
         assert _decode_image_real(buf.getvalue()).shape == (16, 16)
+
+
+def test_duplicate_span_stats(spark):
+    from terrier_ef_spark.pipeline.dedup import duplicate_span_stats
+
+    shared8 = "a b c d e f g h"          # the one 8-gram docs 0/1 share
+    run9 = "p q r s t u v w x"           # 9-token run shared by docs 3/4
+    rows = [
+        (0, shared8 + " i j"),           # dup span [0,8) of 10 -> 0.8
+        (1, "x " + shared8 + " y"),      # dup span [1,9) of 10 -> 0.8
+        (2, "entirely different tokens with no shared gram at all ok"),
+        (3, run9 + " k1 k2 k3"),         # overlapping grams [0,8)+[1,9)
+        (4, run9 + " m1 m2 m3"),         #   must MERGE to 9, not 16
+        (5, "dup doc one two three four five six seven eight nine ten"),
+        (6, "dup doc one two three four five six seven eight nine ten"),
+        (7, "tiny"),                     # < n tokens -> no grams
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in duplicate_span_stats(docs, n=8).collect()}
+    assert len(got) == 8  # every doc reported, including zero-dup docs
+    assert (got[0]["n_tokens"], got[0]["dup_tokens"]) == (10, 8)
+    assert got[0]["dup_fraction"] == pytest.approx(0.8)
+    assert (got[1]["n_tokens"], got[1]["dup_tokens"]) == (10, 8)
+    assert got[2]["dup_tokens"] == 0 and got[2]["dup_fraction"] == 0.0
+    # overlap merge: [0,8) U [1,9) = 9 covered tokens of 12
+    assert got[3]["dup_tokens"] == 9
+    assert got[3]["dup_fraction"] == pytest.approx(round(9 / 12, 6))
+    assert got[4]["dup_tokens"] == 9
+    # identical docs: fully covered
+    assert got[5]["dup_tokens"] == got[5]["n_tokens"] == 12
+    assert got[5]["dup_fraction"] == 1.0
+    assert (got[7]["n_tokens"], got[7]["dup_tokens"]) == (1, 0)
+
+
+def test_duplicate_span_stats_matches_duckdb(spark, tmp_path):
+    """Cross-engine twin on a small planted frame (the sf0.01 gate
+    re-proves this on real data)."""
+    import duckdb
+
+    from terrier_ef_spark.pipeline.dedup import (
+        DUPLICATE_SPAN_STATS_SQL,
+        duplicate_span_stats,
+    )
+
+    base = "one two three four five six seven eight nine ten eleven"
+    rows = [(i, base + f" tail{i % 3}", "en", "s", 0) for i in range(9)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), float(r[3]))
+        for r in con.sql(DUPLICATE_SPAN_STATS_SQL).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in duplicate_span_stats(spark.read.parquet(pq)).collect()
+    }
+    assert got == want and len(got) == 9
