@@ -127,7 +127,11 @@ _MODEL_CONTRIB_SQL = {
 }
 
 
-def _bm25_oracle_sql(queries, conjunctive: bool, model: str = "bm25") -> str:
+def _bm25_oracle_sql(
+    queries, conjunctive: bool, model: str = "bm25", candidate_where: str = ""
+) -> str:
+    """candidate_where: extra predicate on the scored posting rows
+    (metadata-filtered retrieval; statistics stay corpus-global)."""
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
@@ -157,6 +161,7 @@ sc AS (
          count(*) AS nhit
   FROM q JOIN lex l USING (term) JOIN post p USING (term)
          JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  WHERE true {candidate_where}
   GROUP BY 1, 2
 )
 SELECT qid, rank, docid, score FROM (
@@ -398,6 +403,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def bm25_filtered(spark, sf):
+        """Metadata-filtered retrieval: BM25 top-k over lang='en'
+        candidates only (corpus-global statistics; the filter is a
+        left-semi join on decoded posting rows — engine.py doc_filter)."""
+        from terrier_ef_spark.query.engine import run_queries
+
+        idx = _get_index(spark, sf)
+        filt = _docs(spark, sf).where(F.col("lang") == "en").select(
+            F.col("doc_id").alias("docid")
+        )
+        deep = run_queries(
+            idx, BM25_QUERIES, k=100, strategy="term_major", doc_filter=filt
+        )
+        return _rerank_6dp(deep)
+
     def hybrid_rrf(spark, sf):
         """Hybrid retrieval: RRF fusion (Cormack et al. 2009) of the
         term-major BM25 top-50 with the exact-cosine top-50 over the
@@ -553,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
         "pl2_disjunctive": pl2_disjunctive,
         "bm25_bo1_expanded": bm25_bo1_expanded,
+        "bm25_filtered": bm25_filtered,
         "hybrid_rrf_topk": hybrid_rrf,
         "positions_decoded": positions_decoded,
         "phrase_match": phrase_match_tv,
@@ -686,6 +707,13 @@ SELECT term, doc_id AS docid FROM (
             BM25_QUERIES, conjunctive=False, model="pl2"
         ),
         "bm25_bo1_expanded": _bo1_oracle_sql(BM25_QUERIES),
+        "bm25_filtered": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False,
+            candidate_where=(
+                "AND p.doc_id IN (SELECT doc_id FROM documents "
+                "WHERE lang = 'en')"
+            ),
+        ),
         "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(["table", "spark"]),
         "positions_decoded": f"""
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents)

@@ -79,6 +79,7 @@ def run_queries(
     algo: str = "naive",
     strategy: str = "auto",
     model: str = "bm25",
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """queries: [{'qid': int, 'terms': [str], 'mode': 'disjunctive'|'conjunctive'}].
 
@@ -101,11 +102,32 @@ def run_queries(
     model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'lm_dirichlet'
     (term-major only — published formulas: DFR DPH and PL2 after
     Amati, Dirichlet-smoothed LM after Zhai & Lafferty; like Terrier's
-    pluggable weighting models)."""
+    pluggable weighting models).
+
+    doc_filter: optional (docid) DataFrame restricting results to a
+    candidate set (metadata-filtered search, e.g. lang='en' docs).
+    Collection statistics (df/cf/avgdl) stay corpus-global — standard
+    filtered-retrieval semantics. The filter is a left-semi join on the
+    decoded posting rows (term-major exhaustive path only: any size of
+    filter relation, sort-merge at scale; BMW/MaxScore bounds and the
+    query-major kernel seed their thresholds pre-filter, so they refuse
+    rather than silently over-prune)."""
     if model not in ("bm25", "dph", "pl2", "lm_dirichlet"):
         raise ValueError(f"unknown weighting model {model!r}")
     if algo not in ("naive", "bmw", "maxscore"):
         raise ValueError(f"unknown algo {algo!r}")
+    if doc_filter is not None:
+        if algo != "naive":
+            raise ValueError(
+                "doc_filter runs on the exhaustive term-major scorer; "
+                f"algo={algo!r} seeds pruning thresholds pre-filter"
+            )
+        if strategy == "query_major":
+            raise ValueError(
+                "doc_filter is relational (term-major only); the "
+                "query-major kernel does not support candidate filters"
+            )
+        strategy = "term_major"
     if model != "bm25":
         if algo in ("bmw", "maxscore"):
             raise ValueError("pruning-metadata bounds are BM25-specific")
@@ -124,7 +146,9 @@ def run_queries(
         if algo in ("bmw", "maxscore"):
             # both are safe-to-k; the relational pruned path is BMW
             return _run_queries_term_major_bmw(index, queries, k=k)
-        return _run_queries_term_major(index, queries, k=k, model=model)
+        return _run_queries_term_major(
+            index, queries, k=k, model=model, doc_filter=doc_filter
+        )
     return _run_queries_query_major(index, queries, k=k, algo=algo)
 
 
@@ -142,7 +166,12 @@ def _bm25_contrib_expr(num_docs: float, avgdl: float, tf, dl):
 
 
 def _run_queries_term_major(
-    index: EFIndex, queries: list[dict], *, k: int, model: str = "bm25"
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int,
+    model: str = "bm25",
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
@@ -152,6 +181,13 @@ def _run_queries_term_major(
         return spark.createDataFrame([], RESULT_SCHEMA)
     distinct_terms = sorted({t for _, t, _ in qterm_rows})
     posts = _decode_for_batch(index, queries, qmeta, distinct_terms)
+    if doc_filter is not None:
+        # candidate restriction BEFORE scoring (top-k is computed over
+        # the filtered set); left-semi keeps the posting-row schema and
+        # lets Catalyst pick broadcast vs sort-merge by filter size
+        posts = posts.join(
+            doc_filter.select("docid").distinct(), "docid", "left_semi"
+        )
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model)
 
 

@@ -762,3 +762,40 @@ def test_bmw_term_major_prunes_multiterm(spark, tmp_path, monkeypatch):
     assert 0 < survivor_quanta < 0.7 * total_quanta, (survivor_quanta, total_quanta)
     print(f"\nmultiterm BMW: {survivor_quanta}/{total_quanta} quanta decoded "
           f"({1 - survivor_quanta/total_quanta:.0%} pruned)")
+
+
+def test_doc_filter_rank_identity_vs_oracle(small_index, small_oracle):
+    """Filtered retrieval == oracle scoring restricted to the allowed
+    set (statistics corpus-global), on mixed dis/conjunctive queries."""
+    spark = small_index.spark
+    allowed = [d for d in range(400) if d % 3 == 0]
+    filt = spark.createDataFrame([(d,) for d in allowed], "docid long")
+    got_pdf = (
+        run_queries(
+            small_index, QUERIES, k=10, strategy="term_major", doc_filter=filt
+        )
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    got = {q["qid"]: [] for q in QUERIES}
+    for r in got_pdf.itertuples(index=False):
+        got[int(r.qid)].append((int(r.docid), float(r.score)))
+    allow = set(allowed)
+    for q in QUERIES:
+        full = small_oracle.bm25_topk(q["terms"], k=10**9, mode=q["mode"])
+        want = [(d, s) for d, s in full if d in allow][:10]
+        g = got[q["qid"]]
+        assert [d for d, _ in g] == [d for d, _ in want], (q["qid"], g, want)
+        assert np.allclose(
+            [s for _, s in g], [s for _, s in want], atol=1e-9
+        ), q["qid"]
+
+
+def test_doc_filter_misuse_raises(small_index):
+    spark = small_index.spark
+    filt = spark.createDataFrame([(0,)], "docid long")
+    qs = [{"qid": 1, "terms": ["the"], "mode": "disjunctive"}]
+    with pytest.raises(ValueError, match="exhaustive term-major"):
+        run_queries(small_index, qs, algo="bmw", doc_filter=filt)
+    with pytest.raises(ValueError, match="term-major only"):
+        run_queries(small_index, qs, strategy="query_major", doc_filter=filt)
