@@ -311,7 +311,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from terrier_ef_spark.pipeline import dedup, similarity, textstats
+    from terrier_ef_spark.pipeline import dedup, sampling, similarity, textstats
 
     def doclens(spark, sf):
         idx = _get_index(spark, sf)
@@ -587,6 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": lambda s, sf: textstats.fingerprint(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
         "dup_span_stats": lambda s, sf: dedup.duplicate_span_stats(_docs(s, sf)),
+        "hash_split": lambda s, sf: sampling.hash_split(_docs(s, sf)),
+        "stratified_sample": lambda s, sf: sampling.stratified_sample(
+            _docs(s, sf), {"en": 0.5, "other": 0.1}
+        ),
         "minhash_signatures": lambda s, sf: dedup.minhash_signatures(_docs(s, sf)),
         "lsh_candidate_pairs": lambda s, sf: dedup.lsh_candidate_pairs(_docs(s, sf)),
         "ngram_jaccard_pairs": lambda s, sf: dedup.ngram_jaccard_pairs(_docs(s, sf)),
@@ -612,7 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from terrier_ef_spark.pipeline import dedup, similarity, textstats
+    from terrier_ef_spark.pipeline import dedup, sampling, similarity, textstats
 
     # ANN oracle needs the concrete query vector; read it via DuckDB from
     # the same table (vec_id = 0) as a scalar subquery — but list literals
@@ -784,6 +788,10 @@ FROM events GROUP BY 1, 2
         "fingerprint": textstats.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dup_span_stats": dedup.DUPLICATE_SPAN_STATS_SQL,
+        "hash_split": sampling.hash_split_sql(),
+        "stratified_sample": sampling.stratified_sample_sql(
+            {"en": 0.5, "other": 0.1}
+        ),
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_candidate_pairs": dedup.LSH_CANDIDATE_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
