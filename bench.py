@@ -166,6 +166,10 @@ def pipeline_queries(spark):
     timings["dedup_lsh"] = time.time() - t0
 
     t0 = time.time()
+    dedup.duplicate_span_stats(docs).count()
+    timings["dup_span_stats"] = time.time() - t0
+
+    t0 = time.time()
     textstats.quality_score(docs).agg(F.avg("punct_ratio")).collect()
     timings["quality_score"] = time.time() - t0
 
