@@ -183,11 +183,10 @@ def _run_queries_term_major(
     posts = _decode_for_batch(index, queries, qmeta, distinct_terms)
     if doc_filter is not None:
         # candidate restriction BEFORE scoring (top-k is computed over
-        # the filtered set); left-semi keeps the posting-row schema and
-        # lets Catalyst pick broadcast vs sort-merge by filter size
-        posts = posts.join(
-            doc_filter.select("docid").distinct(), "docid", "left_semi"
-        )
+        # the filtered set); left-semi keeps the posting-row schema,
+        # tolerates duplicate filter rows without a distinct shuffle,
+        # and lets Catalyst pick broadcast vs sort-merge by filter size
+        posts = posts.join(doc_filter.select("docid"), "docid", "left_semi")
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model)
 
 
