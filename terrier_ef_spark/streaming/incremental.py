@@ -157,7 +157,7 @@ def _compact(
     q = 1 << log2_quantum
     ub = 1 << block_bits
 
-    def merge_blocks(key, grp: pd.DataFrame) -> pd.DataFrame:
+    def merge_blocks(key, grp):
         if len(grp) == 1:
             return grp.drop(columns=["doclens"])
         # straddled block: decode every part, concat, re-encode — the
