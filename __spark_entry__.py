@@ -311,7 +311,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from terrier_ef_spark.pipeline import dedup, sampling, similarity, textstats
+    from terrier_ef_spark.pipeline import (
+        chunking,
+        dedup,
+        sampling,
+        similarity,
+        textstats,
+    )
 
     def doclens(spark, sf):
         idx = _get_index(spark, sf)
@@ -585,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, sf: textstats.quality_score(_docs(s, sf)),
         "lang_id": lambda s, sf: textstats.lang_id(_docs(s, sf)),
         "fingerprint": lambda s, sf: textstats.fingerprint(_docs(s, sf)),
+        "repetition_stats": lambda s, sf: textstats.repetition_stats(_docs(s, sf)),
+        "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
         "dup_span_stats": lambda s, sf: dedup.duplicate_span_stats(_docs(s, sf)),
         "hash_split": lambda s, sf: sampling.hash_split(_docs(s, sf)),
@@ -616,7 +624,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from terrier_ef_spark.pipeline import dedup, sampling, similarity, textstats
+    from terrier_ef_spark.pipeline import (
+        chunking,
+        dedup,
+        sampling,
+        similarity,
+        textstats,
+    )
 
     # ANN oracle needs the concrete query vector; read it via DuckDB from
     # the same table (vec_id = 0) as a scalar subquery — but list literals
@@ -786,6 +800,8 @@ FROM events GROUP BY 1, 2
         "quality_score": textstats.QUALITY_SCORE_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "fingerprint": textstats.FINGERPRINT_SQL,
+        "repetition_stats": textstats.REPETITION_STATS_SQL,
+        "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dup_span_stats": dedup.DUPLICATE_SPAN_STATS_SQL,
         "hash_split": sampling.hash_split_sql(),

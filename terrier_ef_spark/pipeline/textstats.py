@@ -138,3 +138,237 @@ SELECT doc_id,
             ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", 2021,
+# Table A1 repetition filters). Per document:
+#   dup_line_frac        duplicated-line occurrences / total lines
+#   dup_line_char_frac   chars in duplicated-line occurrences / line chars
+#   top_{2,3}gram_char_frac  chars covered by the most frequent word
+#                            n-gram (count * gram length) / doc chars
+#   dup_5gram_char_frac  occurrence-weighted chars of 5-grams appearing
+#                        more than once / doc chars (overlap-counted,
+#                        clamped at 1.0 — documented simplification of
+#                        the paper's non-overlapping coverage)
+# "doc chars" = length of the space-joined token string. Ties for the
+# top gram break to the lexicographically LARGEST gram (max-struct
+# semantics, mirrored in the SQL twin with ORDER BY cnt DESC, unit
+# DESC).
+#
+# Scale shape: ONE scan of documents; every unit (line / n-gram
+# occurrence) becomes one row via a single explode (no self-join, no
+# quadratic blow-up on boilerplate); counting is a two-phase
+# HashAggregate on (doc_id, kind, unit) then (doc_id, kind) — partial
+# aggregation absorbs hot units map-side; the final per-doc pivot and
+# the doc_chars join are O(docs). Same plan family as
+# dedup.duplicate_span_stats (plan audit in BASELINE.md).
+# ---------------------------------------------------------------------------
+
+REP_GRAM_NS = (2, 3, 5)
+# thresholds from Gopher Table A1 (subset matching the stats we emit)
+GOPHER_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "dup_5gram_char_frac": 0.15,
+}
+
+_UNIT_T = "array<struct<kind:string,unit:string>>"
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """doc_id + Gopher repetition fractions + gopher_flagged (0/1)."""
+    toks = tokenize_expr(F.col("text"))
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != F.lit(""))
+    base = docs.select(
+        "doc_id", toks.alias("toks"), lines.alias("lines")
+    ).select(
+        "doc_id",
+        "toks",
+        "lines",
+        (
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            )
+            + F.greatest(F.size("toks") - 1, F.lit(0))
+        ).alias("doc_chars"),
+    )
+
+    unit_arrays = [
+        F.transform(
+            "lines",
+            lambda x: F.struct(F.lit("line").alias("kind"), x.alias("unit")),
+        )
+    ]
+    def _gram_units(n: int):
+        # single-parameter lambda: a 2-arg lambda would make transform
+        # pass (element, index) and shadow the captured n
+        return F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.struct(
+                F.lit(f"g{n}").alias("kind"),
+                F.concat_ws(" ", F.slice("toks", i + 1, n)).alias("unit"),
+            ),
+        )
+
+    for n in REP_GRAM_NS:
+        grams = _gram_units(n)
+        # guard: sequence(0, negative) would run backwards
+        unit_arrays.append(
+            F.when(F.size("toks") >= n, grams).otherwise(
+                F.array().cast(_UNIT_T)
+            )
+        )
+
+    units = base.select(
+        "doc_id", F.explode(F.concat(*unit_arrays)).alias("u")
+    ).select("doc_id", "u.kind", "u.unit")
+
+    counts = units.groupBy("doc_id", "kind", "unit").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    chars = (F.col("cnt") * F.length("unit")).cast("long")
+    per_kind = counts.groupBy("doc_id", "kind").agg(
+        F.sum("cnt").alias("tot_cnt"),
+        F.sum(chars).alias("tot_chars"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup_cnt"
+        ),
+        F.sum(F.when(F.col("cnt") >= 2, chars).otherwise(0)).alias(
+            "dup_chars"
+        ),
+        F.max(F.struct("cnt", "unit")).alias("top"),
+    )
+    # repetition requires recurrence: a count-1 "top" gram (any short
+    # doc) contributes 0, so min-length filtering stays a separate
+    # concern from repetition flagging
+    top_chars = (
+        F.when(
+            F.col("top.cnt") >= 2, F.col("top.cnt") * F.length("top.unit")
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    piv = per_kind.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("kind") == "line", F.col("dup_cnt") / F.col("tot_cnt"))
+        ).alias("line_dup"),
+        F.max(
+            F.when(
+                F.col("kind") == "line",
+                F.col("dup_chars") / F.greatest("tot_chars", F.lit(1)),
+            )
+        ).alias("line_dup_chars"),
+        F.max(F.when(F.col("kind") == "g2", top_chars)).alias("g2_top"),
+        F.max(F.when(F.col("kind") == "g3", top_chars)).alias("g3_top"),
+        F.max(F.when(F.col("kind") == "g5", F.col("dup_chars"))).alias(
+            "g5_dup"
+        ),
+    )
+
+    dc = F.greatest("doc_chars", F.lit(1))
+    out = (
+        base.select("doc_id", "doc_chars")
+        .join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("line_dup", F.lit(0.0)), 6).alias(
+                "dup_line_frac"
+            ),
+            F.round(F.coalesce("line_dup_chars", F.lit(0.0)), 6).alias(
+                "dup_line_char_frac"
+            ),
+            F.round(F.coalesce("g2_top", F.lit(0)) / dc, 6).alias(
+                "top_2gram_char_frac"
+            ),
+            F.round(F.coalesce("g3_top", F.lit(0)) / dc, 6).alias(
+                "top_3gram_char_frac"
+            ),
+            F.round(
+                F.least(F.lit(1.0), F.coalesce("g5_dup", F.lit(0)) / dc), 6
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+    t = GOPHER_THRESHOLDS
+    return out.withColumn(
+        "gopher_flagged",
+        (
+            (F.col("dup_line_frac") > t["dup_line_frac"])
+            | (F.col("dup_line_char_frac") > t["dup_line_char_frac"])
+            | (F.col("top_2gram_char_frac") > t["top_2gram_char_frac"])
+            | (F.col("top_3gram_char_frac") > t["top_3gram_char_frac"])
+            | (F.col("dup_5gram_char_frac") > t["dup_5gram_char_frac"])
+        ).cast("int"),
+    )
+
+
+_REP_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+REPETITION_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_REP_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         coalesce(list_aggregate(list_transform({_REP_TOKS}, x -> length(x)), 'sum'), 0)
+           + greatest(len({_REP_TOKS}) - 1, 0) AS doc_chars
+  FROM documents
+),
+units AS (
+  SELECT doc_id, 'line' AS kind, unnest(lines) AS unit FROM base
+  UNION ALL
+  SELECT doc_id, 'g2', unnest(list_transform(range(len(toks) - 1),
+                                             i -> array_to_string(toks[i + 1: i + 2], ' ')))
+  FROM base WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, 'g3', unnest(list_transform(range(len(toks) - 2),
+                                             i -> array_to_string(toks[i + 1: i + 3], ' ')))
+  FROM base WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, 'g5', unnest(list_transform(range(len(toks) - 4),
+                                             i -> array_to_string(toks[i + 1: i + 5], ' ')))
+  FROM base WHERE len(toks) >= 5
+),
+counts AS (
+  SELECT doc_id, kind, unit, count(*)::BIGINT AS cnt
+  FROM units GROUP BY ALL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, kind
+                               ORDER BY cnt DESC, unit DESC) AS rk
+  FROM counts
+),
+per_kind AS (
+  SELECT doc_id, kind,
+         sum(cnt) AS tot_cnt,
+         sum(cnt * length(unit)) AS tot_chars,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(unit) ELSE 0 END) AS dup_chars,
+         sum(CASE WHEN rk = 1 AND cnt >= 2 THEN cnt * length(unit) ELSE 0 END) AS top_chars
+  FROM ranked GROUP BY ALL
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN kind = 'line' THEN dup_cnt / tot_cnt END) AS line_dup,
+         max(CASE WHEN kind = 'line' THEN dup_chars / greatest(tot_chars, 1) END) AS line_dup_chars,
+         max(CASE WHEN kind = 'g2' THEN top_chars END) AS g2_top,
+         max(CASE WHEN kind = 'g3' THEN top_chars END) AS g3_top,
+         max(CASE WHEN kind = 'g5' THEN dup_chars END) AS g5_dup
+  FROM per_kind GROUP BY doc_id
+)
+SELECT b.doc_id,
+       round(coalesce(line_dup, 0), 6) AS dup_line_frac,
+       round(coalesce(line_dup_chars, 0), 6) AS dup_line_char_frac,
+       round(coalesce(g2_top, 0) / greatest(doc_chars, 1), 6) AS top_2gram_char_frac,
+       round(coalesce(g3_top, 0) / greatest(doc_chars, 1), 6) AS top_3gram_char_frac,
+       round(least(1.0, coalesce(g5_dup, 0) / greatest(doc_chars, 1)), 6) AS dup_5gram_char_frac,
+       (round(coalesce(line_dup, 0), 6) > 0.30
+        OR round(coalesce(line_dup_chars, 0), 6) > 0.20
+        OR round(coalesce(g2_top, 0) / greatest(doc_chars, 1), 6) > 0.20
+        OR round(coalesce(g3_top, 0) / greatest(doc_chars, 1), 6) > 0.18
+        OR round(least(1.0, coalesce(g5_dup, 0) / greatest(doc_chars, 1)), 6) > 0.15
+       )::INT AS gopher_flagged
+FROM base b LEFT JOIN piv USING (doc_id)
+"""

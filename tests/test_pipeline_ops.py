@@ -449,3 +449,80 @@ def test_duplicate_span_stats_matches_duckdb(spark, tmp_path):
         for r in duplicate_span_stats(spark.read.parquet(pq)).collect()
     }
     assert got == want and len(got) == 9
+
+
+def test_repetition_stats_hand_values(spark):
+    from terrier_ef_spark.pipeline.textstats import repetition_stats
+
+    rows = [
+        # "a b" x3 -> top 2-gram "a b" cnt=3; doc_chars=11
+        (0, "a b a b a b", "en", "s", 0),
+        # duplicated lines: 3 lines, "x y" twice
+        (1, "x y\nz w\nx y", "en", "s", 0),
+        (2, "", "en", "s", 0),
+        (3, "unique words only here now", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # doc 0: toks=6, doc_chars=11; g2 "a b":3 "b a":2 -> top=3*3/11
+    assert got[0]["top_2gram_char_frac"] == pytest.approx(round(9 / 11, 6))
+    # g3 tie "a b a":2 vs "b a b":2 -> lexicographically largest wins
+    assert got[0]["top_3gram_char_frac"] == pytest.approx(round(10 / 11, 6))
+    # g5: "a b a b a":1, "b a b a b":1 -> no dups
+    assert got[0]["dup_5gram_char_frac"] == 0.0
+    assert got[0]["gopher_flagged"] == 1
+    # doc 1: lines ["x y","z w","x y"] -> dup occurrences 2/3, chars 6/9
+    assert got[1]["dup_line_frac"] == pytest.approx(round(2 / 3, 6))
+    assert got[1]["dup_line_char_frac"] == pytest.approx(round(6 / 9, 6))
+    assert got[1]["gopher_flagged"] == 1
+    # empty doc: all zero, unflagged
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["gopher_flagged"] == 0
+    # no repetition anywhere: count-1 top grams contribute 0
+    assert got[3]["gopher_flagged"] == 0
+    assert got[3]["top_2gram_char_frac"] == 0.0
+
+
+def test_repetition_stats_matches_duckdb(spark, tmp_path):
+    """Cross-engine twin incl. boilerplate-heavy docs (the sf0.01 gate
+    re-proves this on real data)."""
+    import duckdb
+
+    from terrier_ef_spark.pipeline.textstats import (
+        REPETITION_STATS_SQL,
+        repetition_stats,
+    )
+
+    rows = []
+    for i in range(12):
+        body = " ".join(f"w{j % (3 + i)}" for j in range(40))
+        rows.append((i, f"header line\n{body}\nheader line", "en", "s", 0))
+    rows.append((12, "", "en", "s", 0))
+    rows.append((13, "spark " * 30, "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    cols = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "dup_5gram_char_frac",
+        "gopher_flagged",
+    ]
+    want = {
+        int(r[0]): tuple(float(x) for x in r[1:])
+        for r in con.sql(REPETITION_STATS_SQL).fetchall()
+    }
+    got = {
+        r["doc_id"]: tuple(float(r[c]) for c in cols)
+        for r in repetition_stats(spark.read.parquet(pq)).collect()
+    }
+    assert got == want and len(got) == 14
+    # the pure-repetition doc is flagged, the varied ones aren't all
+    assert got[13][-1] == 1.0
