@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from terrier_ef_spark.pipeline import (
         chunking,
         dedup,
+        pq,
         sampling,
         similarity,
         textstats,
@@ -511,6 +512,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             centroids=similarity.fixed_centroids(64),
         )
 
+    def pq_codes_q(spark, sf):
+        """PQ codes with the pinned dim=64 codebooks, flattened to INT
+        columns c0..c3 (cross-engine-stable scalars)."""
+        emb = _emb(spark, sf)
+        head = emb.select(F.size("embedding").alias("d")).head()
+        if head is not None and int(head["d"]) != 64:
+            raise ValueError(
+                "pq oracle twin is generated for dim=64; regenerate "
+                "pq_codes_flat_sql(dim=...) for this corpus"
+            )
+        codes = pq.pq_encode(emb, pq.pq_codebooks(64))
+        return codes.select(
+            "vec_id",
+            *[
+                F.col("codes").getItem(j).alias(f"c{j}")
+                for j in range(pq.PQ_M)
+            ],
+        )
+
     def streaming_dedup(spark, sf):
         """Stateful streaming exact dedup (applyInPandasWithState):
         land the documents corpus as two files, run with
@@ -610,6 +630,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, sf: similarity.cosine_topk(
             _emb(s, sf), _qvec(s, sf), ANN_K
         ),
+        # PQ: pinned codebooks (pq.pq_codebooks) -> codes + ADC top-k;
+        # Lloyd TRAINING keeps pytest coverage (test_pq_trained_beats_pinned)
+        "pq_codes": pq_codes_q,
+        "ann_pq_topk": lambda s, sf: pq.ann_pq_adc_topk(
+            _emb(s, sf), _qvec(s, sf), ANN_K
+        ),
         "ann_ivf_topk": lambda s, sf: similarity.ivf_topk(
             _emb(s, sf), _qvec(s, sf), ANN_K
         ),
@@ -627,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
     from terrier_ef_spark.pipeline import (
         chunking,
         dedup,
+        pq,
         sampling,
         similarity,
         textstats,
@@ -821,5 +848,9 @@ FROM events GROUP BY 1, 2
         "ann_cosine_topk": qvec_sql_cos,
         "ann_ivf_topk": qvec_sql_ivf,
         "ann_ivf_kmeans_topk": similarity.ann_ivf_fixed_sql(),
+        # PQ twins share only the pinned codebooks with the engine; the
+        # ADC tables are re-derived IN SQL from the query vector
+        "pq_codes": pq.pq_codes_flat_sql(64),
+        "ann_pq_topk": pq.ann_pq_adc_from_table_sql(64, ANN_K),
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
     }
