@@ -339,6 +339,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term", "docid", F.col("tf").cast("long").alias("tf")
         )
 
+    def merge_postings_decoded(spark, sf):
+        """End-to-end index MERGE under the gate: build two sub-indexes
+        over a doc_id split of the corpus, merge them (block-aligned
+        docid offset, index/merge.py), decode every posting. The twin
+        recomputes postings relationally with the same static docid
+        mapping (split at 250, block_bits=16 -> offset 65536), so the
+        gate proves the merge is lossless."""
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.index.builder import build_index
+        from terrier_ef_spark.index.merge import merge_indexes
+        from terrier_ef_spark.query.engine import decode_postings
+
+        key = ("merge", os.path.abspath(sf))
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".idx_cache",
+                "merge_" + (os.path.basename(sf.rstrip("/")) or "idx"),
+            )
+            corpus = corpus_from_documents(spark, sf)
+            build_index(
+                spark, corpus.where(F.col("doc_id") < 250),
+                os.path.join(out, "a"), n_partitions=8, block_bits=16,
+            )
+            build_index(
+                spark, corpus.where(F.col("doc_id") >= 250),
+                os.path.join(out, "b"), n_partitions=8, block_bits=16,
+            )
+            _INDEX_CACHE[key] = merge_indexes(
+                spark, os.path.join(out, "a"), os.path.join(out, "b"),
+                os.path.join(out, "m"), n_partitions=8,
+            )
+        return decode_postings(_INDEX_CACHE[key]).select(
+            "term", "docid", F.col("tf").cast("long").alias("tf")
+        )
+
     def collection_stats(spark, sf):
         idx = _get_index(spark, sf)
         st = idx.stats
@@ -589,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclens": doclens,
         "lexicon": lexicon,
         "postings_decoded": postings_decoded,
+        "merge_postings_decoded": merge_postings_decoded,
         "collection_stats": collection_stats,
         "skip_decode_even": skip_decode_even,
         "bm25_disjunctive": bm25_disjunctive,
@@ -717,6 +754,16 @@ FROM post GROUP BY term
         "postings_decoded": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)
 SELECT term, doc_id AS docid, count(*)::bigint AS tf FROM tok GROUP BY 1, 2
+""",
+        # merge twin: same postings, docids >= 250 shifted by the
+        # block-aligned merge offset (block_bits=16 -> 65536)
+        "merge_postings_decoded": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+SELECT term,
+       CASE WHEN doc_id < 250 THEN doc_id
+            ELSE doc_id + 65536 END AS docid,
+       count(*)::bigint AS tf
+FROM tok GROUP BY 1, 2
 """,
         "collection_stats": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),

@@ -80,8 +80,13 @@ class EFIndex:
         Broadcast to scoring kernels; viable to ~1e8 docs — beyond that
         the partitioned doclen join path in query/engine.py applies."""
         pdf = self.docs.select("docid", "doclen").toPandas()
-        arr = np.zeros(self.stats["num_docs"], dtype=np.int32)
-        arr[pdf["docid"].to_numpy()] = pdf["doclen"].to_numpy()
+        ids = pdf["docid"].to_numpy()
+        # size by max docid: merged indexes leave a < block-width docid
+        # gap between source corpora (index/merge.py), so the id space
+        # can exceed num_docs; gap entries stay 0 (never referenced)
+        size = int(ids.max()) + 1 if len(ids) else 0
+        arr = np.zeros(max(size, self.stats["num_docs"]), dtype=np.int32)
+        arr[ids] = pdf["doclen"].to_numpy()
         return arr
 
 
