@@ -313,7 +313,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from terrier_ef_spark.pipeline import (
         chunking,
+        clusters,
         dedup,
+        pii,
         pq,
         sampling,
         similarity,
@@ -533,6 +535,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return dedup.simhash_near_dups(d)
 
+    def pii_redaction_q(spark, sf):
+        """The synthetic corpus carries no PII, so the gate would prove
+        nothing about regex semantics; plant deterministic doc_id-derived
+        email/IP/number strings IN the query (the oracle builds the
+        identical text in SQL), then redact. Hash match == the regex
+        engines agree on every planted and non-planted byte."""
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.12 acct 90000000"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        return pii.redact_pii(d)
+
     def ann_ivf_kmeans_q(spark, sf):
         """Guarded contract wrapper: the static oracle twin bakes in
         dim=64 centroid literals — refuse loudly on any other corpus."""
@@ -651,6 +673,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": lambda s, sf: textstats.repetition_stats(_docs(s, sf)),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
+        # near-dup pairs -> connected components (large-star/small-star)
+        # -> canonical survivor per cluster; recursive-CTE oracle
+        "dedup_clusters": lambda s, sf: clusters.dedup_clusters(_docs(s, sf)),
+        # benchmark = docs with doc_id % 97 == 0 (deterministic stand-in
+        # for an eval set); broadcast n-gram semi-join
+        # n=4 on this random-word corpus (the operator default, 5, is
+        # the production shape; 4 yields a non-trivial gate here)
+        "decontamination": lambda s, sf: clusters.contamination_hits(
+            _docs(s, sf), _docs(s, sf).where(F.col("doc_id") % 97 == 0), n=4
+        ),
+        "pii_redaction": pii_redaction_q,
         "dup_span_stats": lambda s, sf: dedup.duplicate_span_stats(_docs(s, sf)),
         "hash_split": lambda s, sf: sampling.hash_split(_docs(s, sf)),
         "stratified_sample": lambda s, sf: sampling.stratified_sample(
@@ -689,12 +722,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from terrier_ef_spark.pipeline import (
         chunking,
+        clusters,
         dedup,
+        pii,
         pq,
         sampling,
         similarity,
         textstats,
     )
+
+    # PII twin: plant the same doc_id-derived PII strings the Spark
+    # wrapper plants (pii_redaction_q), then redact with the shared
+    # pattern literals
+    planted = (
+        "(text || ' contact user' || doc_id::varchar || "
+        "'@example.com from 10.' || (doc_id % 200)::varchar || "
+        "'.0.12 acct 90000000' || doc_id::varchar)"
+    )
+    pii_sql = pii.redact_sql(planted)
 
     # ANN oracle needs the concrete query vector; read it via DuckDB from
     # the same table (vec_id = 0) as a scalar subquery — but list literals
@@ -877,6 +922,9 @@ FROM events GROUP BY 1, 2
         "repetition_stats": textstats.REPETITION_STATS_SQL,
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
+        "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,
+        "decontamination": clusters.contamination_sql("doc_id % 97 = 0", n=4),
+        "pii_redaction": pii_sql,
         "dup_span_stats": dedup.DUPLICATE_SPAN_STATS_SQL,
         "hash_split": sampling.hash_split_sql(),
         "stratified_sample": sampling.stratified_sample_sql(
