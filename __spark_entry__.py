@@ -228,15 +228,29 @@ SELECT id, rrf_score, rank FROM (
 """
 
 
-def _bo1_oracle_sql(queries, fb_docs: int = 3, fb_terms: int = 10) -> str:
-    """DuckDB twin of the two-pass Bo1 expansion: first-pass BM25 top
-    fb_docs (round-6dp/docid selection), Bo1 term weights from the
-    feedback docs, top fb_terms per query, reweighted second pass —
-    the exact relational mirror of query/expansion.py."""
+def _prf_oracle_sql(
+    queries, model: str = "bo1", fb_docs: int = 3, fb_terms: int = 10
+) -> str:
+    """DuckDB twin of the two-pass PRF expansion: first-pass BM25 top
+    fb_docs (round-6dp/docid selection), model term weights (bo1 | kl)
+    from the feedback docs, top fb_terms per query, reweighted second
+    pass — the exact relational mirror of query/expansion.py."""
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
     bm25 = _MODEL_CONTRIB_SQL["bm25"]  # same aliases (st/l/p/dl) by design
+    weight_expr = {
+        "bo1": (
+            "cand.tfx * log2((1 + l.cf / st.n) / (l.cf / st.n)) "
+            "+ log2(1 + l.cf / st.n)"
+        ),
+        "kl": (
+            "CASE WHEN (cand.tfx / fblen.fl) > (l.cf / ct.c) "
+            "THEN (cand.tfx / fblen.fl) "
+            "     * log2((cand.tfx / fblen.fl) / (l.cf / ct.c)) "
+            "ELSE 0 END"
+        ),
+    }[model]
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS term FROM documents
@@ -265,16 +279,20 @@ sc1 AS (
 ), cand AS (
   SELECT fb.qid, p.term, sum(p.tf) AS tfx
   FROM fb JOIN post p ON p.doc_id = fb.docid GROUP BY 1, 2
-), bo1 AS (
-  SELECT cand.qid, cand.term,
-         round(cand.tfx * log2((1 + l.cf / st.n) / (l.cf / st.n))
-               + log2(1 + l.cf / st.n), 6) AS w
-  FROM cand JOIN lex l USING (term) CROSS JOIN st
+), fblen AS (
+  SELECT fb.qid, sum(dl.doclen) AS fl
+  FROM fb JOIN dl ON dl.doc_id = fb.docid GROUP BY 1
+), ct AS (
+  SELECT sum(doclen)::double AS c FROM dl
+), tw AS (
+  SELECT cand.qid, cand.term, round({weight_expr}, 6) AS w
+  FROM cand JOIN lex l USING (term) JOIN fblen USING (qid)
+       CROSS JOIN st CROSS JOIN ct
 ), sel AS (
   SELECT qid, term, w FROM (
     SELECT qid, term, w,
            row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS rk
-    FROM bo1
+    FROM tw
   ) WHERE rk <= {fb_terms}
 ), wmax AS (
   SELECT qid, max(w) AS wm FROM sel GROUP BY 1
@@ -444,6 +462,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         direct = build_direct(idx, n_partitions=8)
         deep = run_queries_bo1(
             idx, BM25_QUERIES, k=100, fb_docs=3, fb_terms=10,
+            strategy="term_major", direct=direct,
+        )
+        return _rerank_6dp(deep)
+
+    def bm25_kl_expanded(spark, sf):
+        """Two-pass KL-divergence PRF (Terrier's KL expansion model)
+        over the same direct-index machinery as Bo1."""
+        from terrier_ef_spark.index.direct import build_direct
+        from terrier_ef_spark.query.expansion import run_queries_prf
+
+        idx = _get_index(spark, sf)
+        direct = build_direct(idx, n_partitions=8)
+        deep = run_queries_prf(
+            idx, BM25_QUERIES, model="kl", k=100, fb_docs=3, fb_terms=10,
             strategy="term_major", direct=direct,
         )
         return _rerank_6dp(deep)
@@ -658,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
         "pl2_disjunctive": pl2_disjunctive,
         "bm25_bo1_expanded": bm25_bo1_expanded,
+        "bm25_kl_expanded": bm25_kl_expanded,
         "bm25_filtered": bm25_filtered,
         "hybrid_rrf_topk": hybrid_rrf,
         "positions_decoded": positions_decoded,
@@ -843,7 +876,8 @@ SELECT term, doc_id AS docid FROM (
         "pl2_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="pl2"
         ),
-        "bm25_bo1_expanded": _bo1_oracle_sql(BM25_QUERIES),
+        "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
+        "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "bm25_filtered": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False,
             candidate_where=(

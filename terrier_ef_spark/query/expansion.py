@@ -69,19 +69,70 @@ def bo1_term_weights(
     )
 
 
-def expand_queries_bo1(
+def kl_term_weights(
+    index: EFIndex,
+    first_pass: list[tuple[int, int]],
+    direct: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, term, w): Kullback-Leibler divergence expansion weight
+    (Amati's DFR framework; Terrier's KL model — the other standard
+    Terrier PRF model next to Bo1):
+
+        w(t) = f * log2(f / p),  f = tfx / fb_len(q),  p = cf / C
+
+    where fb_len(q) is the total token length of q's feedback docs and
+    C the collection token count; terms with f <= p score 0."""
+    spark = index.spark
+    num_tokens = float(index.stats["num_tokens"])
+    fb = spark.createDataFrame(first_pass, "qid long, docid long")
+    fb_docids = sorted({d for _, d in first_pass})
+
+    if direct is None:
+        direct = spark.read.parquet(f"{index.paths.root}/direct")
+    dd = decode_direct(index, direct.where(F.col("docid").isin(fb_docids)))
+    # per-query feedback length: bounded rows (queries x fb_docs)
+    fb_len = (
+        fb.join(
+            index.docs.select("docid", F.col("doclen").cast("double").alias("dl")),
+            "docid",
+        )
+        .groupBy("qid")
+        .agg(F.sum("dl").alias("fb_len"))
+    )
+    cand = (
+        dd.join(F.broadcast(fb), "docid")
+        .groupBy("qid", "termid")
+        .agg(F.sum("tf").alias("tfx"))
+        .join(F.broadcast(fb_len), "qid")
+    )
+    lex = index.lexicon.select("termid", "term", F.col("cf").cast("double").alias("cf"))
+    f = F.col("tfx").cast("double") / F.col("fb_len")
+    p = F.col("cf") / F.lit(num_tokens)
+    w = F.when(f > p, f * F.log2(f / p)).otherwise(F.lit(0.0))
+    return cand.join(lex, "termid").select(
+        "qid", "term", F.round(w, 6).alias("w")
+    )
+
+
+_WEIGHT_MODELS = {"bo1": bo1_term_weights, "kl": kl_term_weights}
+
+
+def expand_queries(
     index: EFIndex,
     queries: list[dict],
     first_pass: list[tuple[int, int]],
     *,
+    model: str = "bo1",
     fb_terms: int = 10,
     direct: DataFrame | None = None,
 ) -> list[dict]:
-    """Reformulate `queries` (disjunctive) with Bo1 expansion terms from
-    the given feedback set. Returns new query dicts with 6dp-rounded
-    term weights; queries with an empty feedback set pass through
-    unchanged."""
-    wdf = bo1_term_weights(index, first_pass, direct=direct)
+    """Reformulate `queries` (disjunctive) with expansion terms from
+    the given feedback set, using `model` term weights ('bo1' or 'kl';
+    the qtw combination qtf/qtf_max + w/w_max is Terrier's shared
+    ExpansionTerms discipline for every DFR expansion model). Returns
+    new query dicts with 6dp-rounded term weights; queries with an
+    empty feedback set pass through unchanged."""
+    wdf = _WEIGHT_MODELS[model](index, first_pass, direct=direct)
     rk = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
     sel = (
         wdf.withColumn("rk", F.row_number().over(rk))
@@ -115,22 +166,37 @@ def expand_queries_bo1(
     return out
 
 
-def run_queries_bo1(
+def expand_queries_bo1(
+    index: EFIndex,
+    queries: list[dict],
+    first_pass: list[tuple[int, int]],
+    *,
+    fb_terms: int = 10,
+    direct: DataFrame | None = None,
+) -> list[dict]:
+    return expand_queries(
+        index, queries, first_pass, model="bo1", fb_terms=fb_terms, direct=direct
+    )
+
+
+def run_queries_prf(
     index: EFIndex,
     queries: list[dict],
     *,
+    model: str = "bo1",
     k: int = 10,
     fb_docs: int = 3,
     fb_terms: int = 10,
     strategy: str = "auto",
     direct: DataFrame | None = None,
 ) -> DataFrame:
-    """Two-pass Bo1 retrieval: BM25 top-fb_docs feedback (deterministic
-    6dp/docid selection so reformulation is reproducible), expansion,
-    weighted second pass. Returns (qid, rank, docid, score)."""
+    """Two-pass pseudo-relevance-feedback retrieval: BM25 top-fb_docs
+    feedback (deterministic 6dp/docid selection so reformulation is
+    reproducible), `model` expansion (bo1 | kl), weighted second pass.
+    Returns (qid, rank, docid, score)."""
     if any(q.get("mode", "disjunctive") == "conjunctive" for q in queries):
         raise ValueError(
-            "Bo1 expansion is defined for ranked (disjunctive) retrieval; "
+            "PRF expansion is defined for ranked (disjunctive) retrieval; "
             "expanding a conjunctive query would silently change its AND "
             "semantics"
         )
@@ -147,13 +213,23 @@ def run_queries_bo1(
     first_pass = [(int(r["qid"]), int(r["docid"])) for r in fb_rows]
     if not first_pass:
         return run_queries(index, queries, k=k, strategy=strategy)
-    expanded = expand_queries_bo1(
-        index, queries, first_pass, fb_terms=fb_terms, direct=direct
+    expanded = expand_queries(
+        index, queries, first_pass, model=model, fb_terms=fb_terms, direct=direct
     )
     return run_queries(index, expanded, k=k, strategy=strategy)
+
+
+def run_queries_bo1(index: EFIndex, queries: list[dict], **kw) -> DataFrame:
+    return run_queries_prf(index, queries, model="bo1", **kw)
 
 
 def bo1_weight(tfx: float, cf: float, num_docs: float) -> float:
     """Scalar Bo1 weight (test oracle helper)."""
     pn = cf / num_docs
     return tfx * math.log2((1 + pn) / pn) + math.log2(1 + pn)
+
+
+def kl_weight(tfx: float, fb_len: float, cf: float, num_tokens: float) -> float:
+    """Scalar KL weight (test oracle helper)."""
+    f, p = tfx / fb_len, cf / num_tokens
+    return f * math.log2(f / p) if f > p else 0.0
