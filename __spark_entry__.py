@@ -466,6 +466,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def snippet_windows(spark, sf):
+        """Best snippet window per (query, top-10 doc): selective
+        positions decode over only the result docs' segments, bounded
+        anchor-window scoring (Terrier's summariser role)."""
+        from terrier_ef_spark.query.engine import run_queries
+        from terrier_ef_spark.query.snippets import best_windows
+
+        idx = _get_index(spark, sf)
+        deep = run_queries(idx, BM25_QUERIES, k=100, strategy="term_major")
+        res = _rerank_6dp(deep).select("qid", "docid")
+        return best_windows(idx, BM25_QUERIES, res)
+
     def bm25_kl_expanded(spark, sf):
         """Two-pass KL-divergence PRF (Terrier's KL expansion model)
         over the same direct-index machinery as Bo1."""
@@ -691,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_disjunctive": pl2_disjunctive,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
+        "snippet_windows": snippet_windows,
         "bm25_filtered": bm25_filtered,
         "hybrid_rrf_topk": hybrid_rrf,
         "positions_decoded": positions_decoded,
@@ -763,6 +776,8 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         textstats,
     )
+
+    from terrier_ef_spark.query import snippets as snippets_mod
 
     # PII twin: plant the same doc_id-derived PII strings the Spark
     # wrapper plants (pii_redaction_q), then redact with the shared
@@ -878,6 +893,9 @@ SELECT term, doc_id AS docid FROM (
         ),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
+        "snippet_windows": snippets_mod.best_windows_sql(
+            BM25_QUERIES, TOK, _MODEL_CONTRIB_SQL["bm25"]
+        ),
         "bm25_filtered": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False,
             candidate_where=(
