@@ -46,7 +46,8 @@ def _query_batch():
     return qs
 
 
-def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
+def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
+             with_merge: bool = False):
     """Build indexes + run query batch at a given parallelism.
 
     A small warmup build + query runs first so the timed numbers measure
@@ -134,6 +135,28 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS):
     out["bm25_bmw_batch256_sec"] = dt
     out["bm25_bmw_batch256_qps"] = len(big) / dt
 
+    if with_merge:
+        # zero-recode merge: two blocked half-indexes (builds untimed),
+        # the merge itself is metadata relabel + finalize — its cost is
+        # what a segment-compaction step pays at scale
+        from pyspark.sql import functions as F
+
+        from terrier_ef_spark.index.merge import merge_indexes
+
+        half = corpus.count() // 2
+        for name_, pred in (("a", F.col("doc_id") < half),
+                            ("b", F.col("doc_id") >= half)):
+            shutil.rmtree(f"{workdir}_m{name_}", ignore_errors=True)
+            build_index(spark, corpus.where(pred), f"{workdir}_m{name_}",
+                        block_bits=16, n_partitions=max(cores, 8), resume=False)
+        shutil.rmtree(f"{workdir}_mm", ignore_errors=True)
+        t0 = time.time()
+        merge_indexes(spark, f"{workdir}_ma", f"{workdir}_mb",
+                      f"{workdir}_mm", n_partitions=max(cores, 8))
+        out["merge_sec"] = time.time() - t0
+        for suf in ("_ma", "_mb", "_mm"):
+            shutil.rmtree(workdir + suf, ignore_errors=True)
+
     batch = _query_batch()
     for algo, name in (("naive", "bm25_naive"), ("bmw", "bm25_bmw")):
         n = run_queries(idx, batch, k=10, algo=algo).count()  # warm the path
@@ -155,7 +178,7 @@ def pipeline_queries(spark):
     """Non-IR headline ops timed as single actions."""
     from pyspark.sql import functions as F
 
-    from terrier_ef_spark.pipeline import dedup, similarity, textstats
+    from terrier_ef_spark.pipeline import clusters, dedup, similarity, textstats
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -168,6 +191,10 @@ def pipeline_queries(spark):
     t0 = time.time()
     dedup.duplicate_span_stats(docs).count()
     timings["dup_span_stats"] = time.time() - t0
+
+    t0 = time.time()
+    clusters.dedup_clusters(docs).count()
+    timings["dedup_clusters"] = time.time() - t0
 
     t0 = time.time()
     textstats.quality_score(docs).agg(F.avg("punct_ratio")).collect()
@@ -188,7 +215,7 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     work = os.path.join(REPO, ".bench_idx")
 
-    result = run_once(cpus, work)
+    result = run_once(cpus, work, with_merge=True)
 
     from terrier_ef_spark.session import get_spark
 
@@ -203,6 +230,7 @@ def main():
         "bm25_bmw_batch24": round(result["bm25_bmw_sec"], 3),
         "bm25_tm_batch256": round(result["bm25_batch256_sec"], 3),
         "bm25_bmw_batch256": round(result["bm25_bmw_batch256_sec"], 3),
+        "index_merge": round(result["merge_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
