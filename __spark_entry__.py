@@ -579,6 +579,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return dedup.simhash_near_dups(d)
 
+    def _get_pruned(spark, sf, top_n=100):
+        """Non-positional blocked index -> static prune (top_n by tf)."""
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.index.builder import build_index
+        from terrier_ef_spark.index.prune import prune_index
+
+        key = ("pruned", os.path.abspath(sf))
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".idx_cache",
+                "prune_" + (os.path.basename(sf.rstrip("/")) or "idx"),
+            )
+            full = build_index(
+                spark, corpus_from_documents(spark, sf),
+                os.path.join(out, "full"), block_bits=16, n_partitions=16,
+            )
+            _INDEX_CACHE[key] = prune_index(
+                full, os.path.join(out, "pruned"), top_n, n_partitions=16
+            )
+        return _INDEX_CACHE[key]
+
+    def pruned_postings_decoded(spark, sf):
+        """Static pruning (Carmel et al. 2001 top-k variant): decode the
+        pruned index; the twin recomputes the per-term tf-top-100 set
+        relationally — the gate proves prune + re-encode is exact."""
+        from terrier_ef_spark.query.engine import decode_postings
+
+        return decode_postings(_get_pruned(spark, sf)).select(
+            "term", "docid", F.col("tf").cast("long").alias("tf")
+        )
+
+    def bm25_pruned(spark, sf):
+        """BM25 over the pruned index: collection stats stay global
+        (docs table verbatim), df/cf come from the kept postings."""
+        from terrier_ef_spark.query.engine import run_queries
+
+        deep = run_queries(
+            _get_pruned(spark, sf), BM25_QUERIES, k=100, strategy="term_major"
+        )
+        return _rerank_6dp(deep)
+
     def pii_redaction_q(spark, sf):
         """The synthetic corpus carries no PII, so the gate would prove
         nothing about regex semantics; plant deterministic doc_id-derived
@@ -692,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon": lexicon,
         "postings_decoded": postings_decoded,
         "merge_postings_decoded": merge_postings_decoded,
+        "pruned_postings_decoded": pruned_postings_decoded,
+        "bm25_pruned": bm25_pruned,
         "collection_stats": collection_stats,
         "skip_decode_even": skip_decode_even,
         "bm25_disjunctive": bm25_disjunctive,
@@ -858,6 +902,55 @@ SELECT term,
        count(*)::bigint AS tf
 FROM tok GROUP BY 1, 2
 """,
+        # static-prune twins: kept = per-term tf-top-100 (tf desc, docid
+        # asc); BM25 keeps GLOBAL doclen/avgdl/N but df over the kept set
+        "pruned_postings_decoded": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+post AS (SELECT term, doc_id, count(*)::bigint AS tf FROM tok GROUP BY 1, 2)
+SELECT term, doc_id AS docid, tf FROM (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rk
+  FROM post
+) WHERE rk <= 100
+""",
+        "bm25_pruned": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post0 AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), post AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS rk
+    FROM post0
+  ) WHERE rk <= 100
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), q(qid, term) AS (VALUES {{pruned_vals}}),
+sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({{pruned_contrib}}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM sc
+) WHERE rank <= 10
+""".replace("{pruned_vals}", ", ".join(
+            f"({q['qid']}, '{t}')" for q in BM25_QUERIES
+            for t in dict.fromkeys(q["terms"])
+        )).replace("{pruned_contrib}", _MODEL_CONTRIB_SQL["bm25"]),
         "collection_stats": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
