@@ -761,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, sf: textstats.lang_id(_docs(s, sf)),
         "fingerprint": lambda s, sf: textstats.fingerprint(_docs(s, sf)),
         "repetition_stats": lambda s, sf: textstats.repetition_stats(_docs(s, sf)),
+        "term_cooccurrence": lambda s, sf: textstats.term_cooccurrence(_docs(s, sf)),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
         # near-dup pairs -> connected components (large-star/small-star)
@@ -1065,6 +1066,7 @@ FROM events GROUP BY 1, 2
         "lang_id": textstats.LANG_ID_SQL,
         "fingerprint": textstats.FINGERPRINT_SQL,
         "repetition_stats": textstats.REPETITION_STATS_SQL,
+        "term_cooccurrence": textstats.term_cooccurrence_sql(),
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,

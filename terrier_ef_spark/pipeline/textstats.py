@@ -372,3 +372,119 @@ SELECT b.doc_id,
        )::INT AS gopher_flagged
 FROM base b LEFT JOIN piv USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Windowed term co-occurrence with PMI
+# ---------------------------------------------------------------------------
+# The corpus-analysis staple behind embedding pipelines (word2vec/GloVe
+# co-occurrence counting): count unordered term pairs within a forward
+# token window, score by pointwise mutual information
+#     pmi(a,b) = log2( (n_ab / N_pairs) / ((n_a / N_tok) * (n_b / N_tok)) )
+# Scale shape: the positional self-join keys on doc_id and emits at most
+# window x N_tok rows (the standard co-occurrence fanout); the pair count
+# is a groupBy with map-side partial aggregation, so boilerplate-hot
+# pairs combine before the shuffle. min_count prunes the tail BEFORE the
+# PMI arithmetic; top_k is a distributed TakeOrdered.
+
+COOC_WINDOW = 5
+COOC_MIN_COUNT = 5
+COOC_TOP_K = 100
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    window: int = COOC_WINDOW,
+    min_count: int = COOC_MIN_COUNT,
+    top_k: int = COOC_TOP_K,
+) -> DataFrame:
+    """(term_a, term_b, n_ab, pmi): top_k unordered within-`window`
+    co-occurring pairs by PMI (6dp; ties broken on the pair), pairs with
+    fewer than min_count occurrences dropped. Self-pairs excluded."""
+    from terrier_ef_spark.util import eager_release
+
+    # persist: the token stream feeds both join sides, the marginals and
+    # the total; the pair counts feed both the normalizer and the score
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize_expr(F.col("text"))).alias("pos", "term")
+    ).persist()
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("ta"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("tb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") - F.col("pa") <= window)
+            & (F.col("ta") != F.col("tb"))
+        )
+        .select(
+            F.least("ta", "tb").alias("term_a"),
+            F.greatest("ta", "tb").alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+        .persist()
+    )
+    n_pairs = float(pairs.agg(F.sum("n_ab").alias("np")).collect()[0]["np"] or 0.0)
+    marg = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    n_tok = float(toks.count())
+    pmi = F.log2(
+        (F.col("n_ab") / F.lit(n_pairs))
+        / ((F.col("na") / F.lit(n_tok)) * (F.col("nb") / F.lit(n_tok)))
+    )
+    scored = (
+        pairs.join(marg.select(F.col("term").alias("term_a"), F.col("n").alias("na")), "term_a")
+        .join(marg.select(F.col("term").alias("term_b"), F.col("n").alias("nb")), "term_b")
+        .select(
+            "term_a", "term_b", F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+    out = scored.orderBy(
+        F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+    ).limit(top_k)
+    return eager_release(out, toks, pairs)
+
+
+def term_cooccurrence_sql(
+    window: int = COOC_WINDOW,
+    min_count: int = COOC_MIN_COUNT,
+    top_k: int = COOC_TOP_K,
+) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS term
+  FROM t, unnest(range(len(toks))) AS u(i)
+), ntok AS (
+  SELECT count(*)::double AS n FROM tok
+), pairs AS (
+  SELECT least(a.term, b.term) AS term_a,
+         greatest(a.term, b.term) AS term_b,
+         count(*)::bigint AS n_ab
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos - a.pos <= {window}
+   AND a.term <> b.term
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_count}
+), npairs AS (
+  SELECT sum(n_ab)::double AS np FROM pairs
+), marg AS (
+  SELECT term, count(*)::double AS n FROM tok GROUP BY 1
+)
+SELECT term_a, term_b, n_ab,
+       round(log2((n_ab / npairs.np)
+                  / ((ma.n / ntok.n) * (mb.n / ntok.n))), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.term = pairs.term_a
+JOIN marg mb ON mb.term = pairs.term_b
+CROSS JOIN npairs CROSS JOIN ntok
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT {top_k}
+"""

@@ -134,3 +134,20 @@ def test_pii_redaction_cross_engine(spark):
     assert got.loc[0, "n_pii"] == 3
     assert got.loc[1, "n_pii"] == 0  # 8-digit number stays
     assert "<EMAIL> <EMAIL> <IP>" in got.loc[2, "text_clean"]
+
+
+def test_term_cooccurrence_known_pmi(spark):
+    from terrier_ef_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y x y"), (1, "z z z")], "doc_id long, text string"
+    )
+    out = textstats.term_cooccurrence(docs, window=1, min_count=1, top_k=10).collect()
+    # x-y adjacent pairs: n_ab=5; z self-pairs excluded entirely
+    assert len(out) == 1
+    r = out[0]
+    assert (r["term_a"], r["term_b"], r["n_ab"]) == ("x", "y", 5)
+    # pmi = log2((5/5) / ((3/9) * (3/9))) = log2(9)
+    import math
+
+    assert abs(r["pmi"] - round(math.log2(9), 6)) < 1e-9
