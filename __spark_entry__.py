@@ -621,6 +621,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def _get_maintenance(spark, sf):
+        """Blocked index with doc_id % 7 == 3 tombstoned, plus its
+        compacted copy (index/maintenance.py). Own cache dir: the
+        shared _get_index must stay tombstone-free for the other keys."""
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.index.builder import build_index
+        from terrier_ef_spark.index.maintenance import (
+            clear_deletes,
+            compact_index,
+            delete_docs,
+        )
+
+        key = ("maint", os.path.abspath(sf))
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".idx_cache",
+                "maint_" + (os.path.basename(sf.rstrip("/")) or "idx"),
+            )
+            idx = build_index(
+                spark, corpus_from_documents(spark, sf),
+                os.path.join(out, "src"), block_bits=16, n_partitions=16,
+            )
+            clear_deletes(idx)  # deterministic across resumed cache dirs
+            delete_docs(
+                idx, idx.docs.select("docid").where(F.col("docid") % 7 == 3)
+            )
+            cmp_idx = compact_index(
+                idx, os.path.join(out, "cmp"), n_partitions=16
+            )
+            _INDEX_CACHE[key] = (idx, cmp_idx)
+        return _INDEX_CACHE[key]
+
+    def postings_live_after_delete(spark, sf):
+        """Tombstoned-index live view: decode minus tombstones — the
+        exact exclusion join the delete-aware scorer applies."""
+        from terrier_ef_spark.query.engine import decode_postings
+
+        idx, _ = _get_maintenance(spark, sf)
+        return (
+            decode_postings(idx)
+            .join(idx.deleted_docids(), "docid", "left_anti")
+            .select("term", "docid", F.col("tf").cast("long").alias("tf"))
+        )
+
+    def bm25_live_after_delete(spark, sf):
+        """BM25 on a tombstoned index: deleted docs excluded from
+        results, collection statistics still global (Lucene-style
+        pre-compaction semantics; the twin filters only the scored
+        candidate rows)."""
+        from terrier_ef_spark.query.engine import run_queries
+
+        idx, _ = _get_maintenance(spark, sf)
+        deep = run_queries(idx, BM25_QUERIES, k=100, strategy="term_major")
+        return _rerank_6dp(deep)
+
+    def postings_after_compact(spark, sf):
+        """Physical rewrite proof: the compacted index (touched blocks
+        re-encoded, untouched blobs byte-reused) decodes to exactly the
+        live posting set."""
+        from terrier_ef_spark.query.engine import decode_postings
+
+        _, cmp_idx = _get_maintenance(spark, sf)
+        return decode_postings(cmp_idx).select(
+            "term", "docid", F.col("tf").cast("long").alias("tf")
+        )
+
+    def collection_stats_after_compact(spark, sf):
+        """Compaction refreshes collection stats to the live set."""
+        _, cmp_idx = _get_maintenance(spark, sf)
+        st = cmp_idx.stats
+        return spark.createDataFrame(
+            [
+                (
+                    st["num_docs"], st["num_terms"], st["num_postings"],
+                    st["num_tokens"], round(st["avgdl"], 6),
+                )
+            ],
+            "num_docs long, num_terms long, num_postings long, num_tokens long,"
+            " avgdl double",
+        )
+
     def pii_redaction_q(spark, sf):
         """The synthetic corpus carries no PII, so the gate would prove
         nothing about regex semantics; plant deterministic doc_id-derived
@@ -736,6 +818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_postings_decoded": merge_postings_decoded,
         "pruned_postings_decoded": pruned_postings_decoded,
         "bm25_pruned": bm25_pruned,
+        "postings_live_after_delete": postings_live_after_delete,
+        "bm25_live_after_delete": bm25_live_after_delete,
+        "postings_after_compact": postings_after_compact,
+        "collection_stats_after_compact": collection_stats_after_compact,
         "collection_stats": collection_stats,
         "skip_decode_even": skip_decode_even,
         "bm25_disjunctive": bm25_disjunctive,
@@ -952,6 +1038,37 @@ SELECT qid, rank, docid, score FROM (
             f"({q['qid']}, '{t}')" for q in BM25_QUERIES
             for t in dict.fromkeys(q["terms"])
         )).replace("{pruned_contrib}", _MODEL_CONTRIB_SQL["bm25"]),
+        # tombstone/compaction twins: live set = doc_id % 7 <> 3. The
+        # delete view and the physical compaction must both equal the
+        # relational recompute over the live documents; BM25-with-
+        # tombstones keeps GLOBAL statistics (only the scored candidate
+        # rows are filtered), compaction stats are recomputed live.
+        "postings_live_after_delete": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents
+             WHERE doc_id % 7 <> 3)
+SELECT term, doc_id AS docid, count(*)::bigint AS tf FROM tok GROUP BY 1, 2
+""",
+        "postings_after_compact": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents
+             WHERE doc_id % 7 <> 3)
+SELECT term, doc_id AS docid, count(*)::bigint AS tf FROM tok GROUP BY 1, 2
+""",
+        "bm25_live_after_delete": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False,
+            candidate_where="AND p.doc_id % 7 <> 3",
+        ),
+        "collection_stats_after_compact": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents
+             WHERE doc_id % 7 <> 3),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1)
+SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 3)::bigint AS num_docs,
+       (SELECT count(DISTINCT term) FROM post)::bigint AS num_terms,
+       (SELECT count(*) FROM post)::bigint AS num_postings,
+       (SELECT count(*) FROM tok)::bigint AS num_tokens,
+       round((SELECT count(*) FROM tok)::double
+             / (SELECT count(*) FROM documents WHERE doc_id % 7 <> 3), 6) AS avgdl
+""",
         "collection_stats": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),

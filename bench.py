@@ -157,6 +157,28 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
         for suf in ("_ma", "_mb", "_mm"):
             shutil.rmtree(workdir + suf, ignore_errors=True)
 
+        # tombstone + compact (untimed build): block_bits=8 spreads the
+        # corpus over many 256-doc blocks; deleting a CONTIGUOUS ~2%
+        # range (the drop-one-bad-source pattern) touches few blocks, so
+        # the timing shows compaction's O(deleted-blocks) shape — the
+        # blobs in every other block are byte-reused
+        from terrier_ef_spark.index.maintenance import compact_index, delete_docs
+
+        shutil.rmtree(f"{workdir}_c", ignore_errors=True)
+        cidx = build_index(spark, corpus, f"{workdir}_c", block_bits=8,
+                           n_partitions=max(cores, 8), resume=False)
+        n_del = max(64, corpus.count() // 50)
+        t0 = time.time()
+        delete_docs(cidx, cidx.docs.select("docid").where(
+            (F.col("docid") >= 256) & (F.col("docid") < 256 + n_del)))
+        out["delete_sec"] = time.time() - t0
+        shutil.rmtree(f"{workdir}_cc", ignore_errors=True)
+        t0 = time.time()
+        compact_index(cidx, f"{workdir}_cc", n_partitions=max(cores, 8))
+        out["compact_sec"] = time.time() - t0
+        for suf in ("_c", "_cc"):
+            shutil.rmtree(workdir + suf, ignore_errors=True)
+
     batch = _query_batch()
     for algo, name in (("naive", "bm25_naive"), ("bmw", "bm25_bmw")):
         n = run_queries(idx, batch, k=10, algo=algo).count()  # warm the path
@@ -231,6 +253,8 @@ def main():
         "bm25_tm_batch256": round(result["bm25_batch256_sec"], 3),
         "bm25_bmw_batch256": round(result["bm25_bmw_batch256_sec"], 3),
         "index_merge": round(result["merge_sec"], 3),
+        "index_delete": round(result["delete_sec"], 3),
+        "index_compact": round(result["compact_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)

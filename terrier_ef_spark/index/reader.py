@@ -50,6 +50,15 @@ class EFIndex:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.metrics)
 
+    def deleted_docids(self) -> DataFrame | None:
+        """Tombstoned docids (index/maintenance.py delete_docs), or None
+        if the index carries no tombstones. Queries exclude these by
+        default (run_queries respect_deletes)."""
+        p = os.path.join(self.paths.root, "deletes")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(p)
+
     # decode helpers (used by kernels and tests) ----------------------
     def decode_block_docids(self, row) -> np.ndarray:
         """Decode one postings row's docid blob to absolute docids."""

@@ -80,6 +80,7 @@ def run_queries(
     strategy: str = "auto",
     model: str = "bm25",
     doc_filter: DataFrame | None = None,
+    respect_deletes: bool = True,
 ) -> DataFrame:
     """queries: [{'qid': int, 'terms': [str], 'mode': 'disjunctive'|'conjunctive'}].
 
@@ -111,11 +112,35 @@ def run_queries(
     decoded posting rows (term-major exhaustive path only: any size of
     filter relation, sort-merge at scale; BMW/MaxScore bounds and the
     query-major kernel seed their thresholds pre-filter, so they refuse
-    rather than silently over-prune)."""
+    rather than silently over-prune).
+
+    respect_deletes: when the index carries tombstones
+    (index/maintenance.py delete_docs), exclude them from results via a
+    left-anti join on the decoded posting rows. Same term-major-only
+    constraint as doc_filter, and for the same reason: a pruning seed
+    theta computed over deleted docs can exceed the live k-th score and
+    over-prune — wrong results, not just slow ones. Tombstoned indexes
+    therefore refuse algo='bmw'/'maxscore' (compact first); collection
+    statistics stay global until compaction (Lucene semantics)."""
     if model not in ("bm25", "dph", "pl2", "lm_dirichlet"):
         raise ValueError(f"unknown weighting model {model!r}")
     if algo not in ("naive", "bmw", "maxscore"):
         raise ValueError(f"unknown algo {algo!r}")
+    tombstones = index.deleted_docids() if respect_deletes else None
+    if tombstones is not None:
+        if algo != "naive":
+            raise ValueError(
+                "index has tombstoned deletes: pruning algorithms seed "
+                "their threshold over docs that can no longer be returned "
+                "(unsafe over-pruning) — compact_index first, or "
+                f"algo='naive' (got algo={algo!r})"
+            )
+        if strategy == "query_major":
+            raise ValueError(
+                "index has tombstoned deletes: the query-major kernel "
+                "does not support exclusion filters — strategy='term_major'"
+            )
+        strategy = "term_major"
     if doc_filter is not None:
         if algo != "naive":
             raise ValueError(
@@ -147,7 +172,8 @@ def run_queries(
             # both are safe-to-k; the relational pruned path is BMW
             return _run_queries_term_major_bmw(index, queries, k=k)
         return _run_queries_term_major(
-            index, queries, k=k, model=model, doc_filter=doc_filter
+            index, queries, k=k, model=model, doc_filter=doc_filter,
+            exclude_docs=tombstones,
         )
     return _run_queries_query_major(index, queries, k=k, algo=algo)
 
@@ -172,6 +198,7 @@ def _run_queries_term_major(
     k: int,
     model: str = "bm25",
     doc_filter: DataFrame | None = None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
@@ -187,6 +214,11 @@ def _run_queries_term_major(
         # tolerates duplicate filter rows without a distinct shuffle,
         # and lets Catalyst pick broadcast vs sort-merge by filter size
         posts = posts.join(doc_filter.select("docid"), "docid", "left_semi")
+    if exclude_docs is not None:
+        # tombstone exclusion: left-anti mirrors the doc_filter semi —
+        # duplicate-tolerant, schema-preserving, broadcast vs sort-merge
+        # left to Catalyst by tombstone-set size
+        posts = posts.join(exclude_docs.select("docid"), "docid", "left_anti")
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model)
 
 

@@ -33,7 +33,8 @@ def main() -> None:
     ap.add_argument("--log2-quantum", type=int, default=8)
     ap.add_argument("--block-bits", type=int, default=None)
     ap.add_argument("--positions", action="store_true")
-    ap.add_argument("--tokenizer", default="simple", choices=["simple", "code"])
+    ap.add_argument("--tokenizer", default="simple",
+                    choices=["simple", "code", "terrier"])
     ap.add_argument("--stopwords", nargs="*", default=None,
                     help="terms removed by the term pipeline")
     ap.add_argument("--max-term-length", type=int, default=None)
