@@ -124,7 +124,58 @@ _MODEL_CONTRIB_SQL = {
     # Dirichlet-smoothed LM (Zhai & Lafferty), mu = 2500, per matched term
     "lm_dirichlet": """log2(1 + p.tf / (2500.0 * l.cf / st.ntok))
              + log2(2500.0 / (dl.doclen + 2500.0))""",
+    # Jelinek-Mercer LM, Hiemstra's form (Terrier Hiemstra_LM), c = 0.15
+    "lm_jm": """log2(1 + (0.15 * p.tf * st.ntok)
+                     / (0.85 * l.cf * dl.doclen))""",
 }
+
+
+def _bm25f_oracle_sql(queries, title_w: float = 2.0, title_len: int = 64) -> str:
+    """BM25F twin: per-field tfn from two tokenize CTEs (content = text,
+    title = first title_len chars), weighted sum, combined any-field df,
+    one BM25 saturation (k1=1.2, b=0.75 per field)."""
+    tok_title = TOK.replace("lower(text)", f"lower(substr(text, 1, {title_len}))")
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    return f"""
+WITH tokc AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+tokt AS (SELECT doc_id, unnest({tok_title}) AS term FROM documents),
+postc AS (SELECT term, doc_id, count(*)::double AS tf FROM tokc GROUP BY 1, 2),
+postt AS (SELECT term, doc_id, count(*)::double AS tf FROM tokt GROUP BY 1, 2),
+dlc AS (SELECT doc_id, count(*)::double AS dl FROM tokc GROUP BY 1),
+dlt AS (SELECT doc_id, count(*)::double AS dl FROM tokt GROUP BY 1),
+stc AS (SELECT avg(dl) AS avgdl FROM dlc),
+stt AS (SELECT avg(dl) AS avgdl FROM dlt),
+nn AS (SELECT (SELECT count(*) FROM documents)::double AS n),
+fold AS (
+  SELECT term, doc_id, sum(wtfn) AS tfn FROM (
+    SELECT p.term, p.doc_id,
+           1.0 * p.tf / (1 + 0.75 * (d.dl / stc.avgdl - 1)) AS wtfn
+    FROM postc p JOIN dlc d USING (doc_id) CROSS JOIN stc
+    UNION ALL
+    SELECT p.term, p.doc_id,
+           {title_w} * p.tf / (1 + 0.75 * (d.dl / stt.avgdl - 1)) AS wtfn
+    FROM postt p JOIN dlt d USING (doc_id) CROSS JOIN stt
+  ) GROUP BY 1, 2
+),
+dfed AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM fold),
+q(qid, term) AS (VALUES {vals}),
+sc AS (
+  SELECT q.qid, f.doc_id AS docid,
+         sum(log2((nn.n - f.df + 0.5) / (f.df + 0.5))
+             * f.tfn / (1.2 + f.tfn)) AS score
+  FROM q JOIN dfed f USING (term) CROSS JOIN nn
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM sc
+) WHERE rank <= 10
+"""
 
 
 def _bm25_oracle_sql(
@@ -451,6 +502,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pl2_disjunctive(spark, sf):
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="pl2")
+
+    def lm_jm_disjunctive(spark, sf):
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="lm_jm")
+
+    def bm25f_topk(spark, sf):
+        """BM25F over two fields of the same docid space: content
+        (the shared index) + a title field (first 64 chars), title
+        weighted 2x. Per-field tf normalization, ONE saturation over
+        the weighted sum (Zaragoza et al. 2004)."""
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.index.builder import build_index
+        from terrier_ef_spark.query.bm25f import run_queries_bm25f
+
+        key = ("title_field", os.path.abspath(sf))
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".idx_cache",
+                "title_" + (os.path.basename(sf.rstrip("/")) or "idx"),
+            )
+            title_corpus = corpus_from_documents(spark, sf).withColumn(
+                "content", F.substring("content", 1, 64)
+            )
+            _INDEX_CACHE[key] = build_index(
+                spark, title_corpus, out, n_partitions=16
+            )
+        fields = {"content": _get_index(spark, sf),
+                  "title": _INDEX_CACHE[key]}
+        deep = run_queries_bm25f(fields, BM25_QUERIES, k=100,
+                                 weights={"title": 2.0, "content": 1.0})
+        return _rerank_6dp(deep)
 
     def bm25_bo1_expanded(spark, sf):
         """Two-pass Bo1 pseudo-relevance feedback over the EF index +
@@ -831,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dph_disjunctive": dph_disjunctive,
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
         "pl2_disjunctive": pl2_disjunctive,
+        "lm_jm_disjunctive": lm_jm_disjunctive,
+        "bm25f_topk": bm25f_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -848,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": lambda s, sf: textstats.fingerprint(_docs(s, sf)),
         "repetition_stats": lambda s, sf: textstats.repetition_stats(_docs(s, sf)),
         "term_cooccurrence": lambda s, sf: textstats.term_cooccurrence(_docs(s, sf)),
+        "filter_pipeline": lambda s, sf: textstats.filter_pipeline(_docs(s, sf)),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
         # near-dup pairs -> connected components (large-star/small-star)
@@ -1102,6 +1188,10 @@ SELECT term, doc_id AS docid FROM (
         "pl2_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="pl2"
         ),
+        "lm_jm_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="lm_jm"
+        ),
+        "bm25f_topk": _bm25f_oracle_sql(BM25_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(
@@ -1184,6 +1274,7 @@ FROM events GROUP BY 1, 2
         "fingerprint": textstats.FINGERPRINT_SQL,
         "repetition_stats": textstats.REPETITION_STATS_SQL,
         "term_cooccurrence": textstats.term_cooccurrence_sql(),
+        "filter_pipeline": textstats.filter_pipeline_sql(),
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,

@@ -59,14 +59,17 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
     from terrier_ef_spark.query.engine import run_queries
     from terrier_ef_spark.session import get_spark
 
-    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    # 4 tasks per core (see session.get_spark): 1 task/core lets one
+    # straggler extend every stage; measured +31% on the 8-core build
+    npart = max(4 * cores, 8)
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=npart)
     out = {}
 
     # warmup (untimed): exercises every codepath the timed sections use
     shutil.rmtree(workdir + "_warm", ignore_errors=True)
-    warm = synthesize_corpus(spark, 2000, seed=1, n_partitions=max(cores, 8))
+    warm = synthesize_corpus(spark, 2000, seed=1, n_partitions=npart)
     widx = build_index(
-        spark, warm, workdir + "_warm", n_partitions=max(cores, 8), resume=False
+        spark, warm, workdir + "_warm", n_partitions=npart, resume=False
     )
     run_queries(widx, _query_batch()[:4], k=10, algo="bmw").count()
     shutil.rmtree(workdir + "_warm", ignore_errors=True)
@@ -90,7 +93,7 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
         shutil.rmtree(workdir + "_synth", ignore_errors=True)
         t0 = time.time()
         sidx = build_index(
-            spark, synth, workdir + "_synth", n_partitions=max(cores, 8), resume=False
+            spark, synth, workdir + "_synth", n_partitions=npart, resume=False
         )
         times.append(time.time() - t0)
     out["synth_build_cold_sec"] = times[0]
@@ -103,7 +106,7 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
     shutil.rmtree(workdir, ignore_errors=True)
     corpus = corpus_from_documents(spark, SF_DIR)
     t0 = time.time()
-    idx = build_index(spark, corpus, workdir, n_partitions=max(cores, 8), resume=False)
+    idx = build_index(spark, corpus, workdir, n_partitions=npart, resume=False)
     out["build_sec"] = time.time() - t0
 
     # large-batch amortized throughput: 256 mixed queries in ONE Spark
@@ -148,11 +151,11 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
                             ("b", F.col("doc_id") >= half)):
             shutil.rmtree(f"{workdir}_m{name_}", ignore_errors=True)
             build_index(spark, corpus.where(pred), f"{workdir}_m{name_}",
-                        block_bits=16, n_partitions=max(cores, 8), resume=False)
+                        block_bits=16, n_partitions=npart, resume=False)
         shutil.rmtree(f"{workdir}_mm", ignore_errors=True)
         t0 = time.time()
         merge_indexes(spark, f"{workdir}_ma", f"{workdir}_mb",
-                      f"{workdir}_mm", n_partitions=max(cores, 8))
+                      f"{workdir}_mm", n_partitions=npart)
         out["merge_sec"] = time.time() - t0
         for suf in ("_ma", "_mb", "_mm"):
             shutil.rmtree(workdir + suf, ignore_errors=True)
@@ -166,7 +169,7 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
 
         shutil.rmtree(f"{workdir}_c", ignore_errors=True)
         cidx = build_index(spark, corpus, f"{workdir}_c", block_bits=8,
-                           n_partitions=max(cores, 8), resume=False)
+                           n_partitions=npart, resume=False)
         n_del = max(64, corpus.count() // 50)
         t0 = time.time()
         delete_docs(cidx, cidx.docs.select("docid").where(
@@ -174,7 +177,7 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
         out["delete_sec"] = time.time() - t0
         shutil.rmtree(f"{workdir}_cc", ignore_errors=True)
         t0 = time.time()
-        compact_index(cidx, f"{workdir}_cc", n_partitions=max(cores, 8))
+        compact_index(cidx, f"{workdir}_cc", n_partitions=npart)
         out["compact_sec"] = time.time() - t0
         for suf in ("_c", "_cc"):
             shutil.rmtree(workdir + suf, ignore_errors=True)

@@ -38,6 +38,118 @@ from terrier_ef_spark.index.reader import EFIndex
 _MUST_MATCH = ("format", "log2_quantum", "positions", "block_bits", "tokenizer")
 
 
+def merge_many(
+    spark: SparkSession,
+    dirs: list[str],
+    out_dir: str,
+    *,
+    n_partitions: int = 32,
+) -> EFIndex:
+    """N-way zero-recode merge: union ALL segments in one pass with
+    cumulative block-aligned docid offsets. This is the log-structured
+    build's compaction step — and doing it N-way matters at scale: a
+    chain of pairwise merges rewrites the accumulated big segment N-1
+    times (O(N·total) write amplification), while one N-way union
+    writes every blob byte exactly once (O(total)). Offsets compose the
+    pairwise rule: each segment starts at the first block boundary past
+    the previous segment's docid space, so no (term, block_id) can
+    collide and every blob rides through untouched."""
+    if len(dirs) < 2:
+        raise ValueError("merge_many needs at least two indexes")
+    paths = [IndexPaths(d) for d in dirs]
+    po = IndexPaths(out_dir)
+    params = []
+    for p in paths:
+        with open(p.params) as fh:
+            params.append(json.load(fh))
+    for i, prm in enumerate(params[1:], start=1):
+        for key in _MUST_MATCH:
+            if params[0].get(key) != prm.get(key):
+                raise ValueError(
+                    f"cannot merge: params mismatch on {key!r}: "
+                    f"{params[0].get(key)!r} != {prm.get(key)!r} "
+                    f"({dirs[0]} vs {dirs[i]})"
+                )
+    if params[0].get("format") != FORMAT_VERSION:
+        raise ValueError(
+            f"cannot merge format {params[0].get('format')} indexes "
+            f"(expected {FORMAT_VERSION})"
+        )
+    if params[0].get("block_bits") is None:
+        raise ValueError(
+            "merge requires blocked indexes (block_bits set): unblocked "
+            "blobs encode absolute docids with a num_docs upper bound, "
+            "so relabeling cannot reuse their bytes — rebuild with "
+            "block_bits (always set at scale anyway)"
+        )
+    block_bits = int(params[0]["block_bits"])
+    log2_quantum = int(params[0]["log2_quantum"])
+    positions = bool(params[0]["positions"])
+
+    # per-segment max docid: one tiny agg per segment (segment counts
+    # are tens-to-hundreds; the docs scans are metadata-cheap and the
+    # offsets must be known before the single union job is planned)
+    offsets: list[int] = []
+    running = 0
+    docs_parts = []
+    post_parts = []
+    for d, p in zip(dirs, paths):
+        docs_d = spark.read.parquet(p.docs)
+        max_d = docs_d.agg(F.max("docid")).collect()[0][0]
+        if max_d is None:
+            raise ValueError(f"index {d} has no documents")
+        offset = running
+        offsets.append(offset)
+        running = offset + ((((int(max_d)) >> block_bits) + 1) << block_bits)
+        block_offset = offset >> block_bits
+        docs_parts.append(
+            docs_d if offset == 0
+            else docs_d.withColumn("docid", F.col("docid") + offset)
+        )
+        post_d = spark.read.parquet(p.postings)
+        post_parts.append(
+            post_d if offset == 0
+            else post_d.withColumn("block_id", F.col("block_id") + block_offset)
+            .withColumn("first_docid", F.col("first_docid") + offset)
+            .withColumn("last_docid", F.col("last_docid") + offset)
+            .withColumn(
+                "q_last_docid",
+                F.transform("q_last_docid", lambda x: x + offset),
+            )
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(po.params, "w") as fh:
+        json.dump({**params[0], "merged_from": list(dirs),
+                   "merge_offsets": offsets, "n_partitions": n_partitions}, fh)
+
+    docs = docs_parts[0]
+    for part in docs_parts[1:]:
+        docs = docs.unionByName(part)
+    (docs.repartitionByRange(n_partitions, "docid")
+         .sortWithinPartitions("docid")
+         .write.mode("overwrite").parquet(po.docs))
+
+    # block-aligned offsets => no (term, block_id) collision is possible;
+    # blobs ride through untouched (byte-identity asserted in tests)
+    posts = post_parts[0]
+    for part in post_parts[1:]:
+        posts = posts.unionByName(part)
+    (posts.repartitionByRange(n_partitions, "term", "block_id")
+          .sortWithinPartitions("term", "block_id")
+          .write.mode("overwrite").parquet(po.postings))
+
+    finalize_index(
+        spark, po,
+        log2_quantum=log2_quantum, positions=positions,
+        block_bits=block_bits, n_partitions=n_partitions, resume=False,
+    )
+    with open(po.manifest, "w") as fh:
+        json.dump({"op": "merge", "sources": list(dirs),
+                   "offsets": offsets}, fh)
+    return EFIndex(spark, out_dir)
+
+
 def merge_indexes(
     spark: SparkSession,
     a_dir: str,
@@ -49,78 +161,7 @@ def merge_indexes(
     """Merge index `a` and index `b` (both `build_index` outputs with
     identical encoding params) into a new index at out_dir. Docids of
     `b` are shifted up by the smallest block-aligned offset past `a`'s
-    docid space; blob bytes are reused verbatim."""
-    pa, pb, po = IndexPaths(a_dir), IndexPaths(b_dir), IndexPaths(out_dir)
-    with open(pa.params) as fh:
-        params_a = json.load(fh)
-    with open(pb.params) as fh:
-        params_b = json.load(fh)
-    for key in _MUST_MATCH:
-        if params_a.get(key) != params_b.get(key):
-            raise ValueError(
-                f"cannot merge: params mismatch on {key!r}: "
-                f"{params_a.get(key)!r} != {params_b.get(key)!r}"
-            )
-    if params_a.get("format") != FORMAT_VERSION:
-        raise ValueError(
-            f"cannot merge format {params_a.get('format')} indexes "
-            f"(expected {FORMAT_VERSION})"
-        )
-    if params_a.get("block_bits") is None:
-        raise ValueError(
-            "merge requires blocked indexes (block_bits set): unblocked "
-            "blobs encode absolute docids with a num_docs upper bound, "
-            "so relabeling cannot reuse their bytes — rebuild with "
-            "block_bits (always set at scale anyway)"
-        )
-    block_bits = int(params_a["block_bits"])
-    log2_quantum = int(params_a["log2_quantum"])
-    positions = bool(params_a["positions"])
-
-    docs_a = spark.read.parquet(pa.docs)
-    docs_b = spark.read.parquet(pb.docs)
-    max_a = docs_a.agg(F.max("docid")).collect()[0][0]
-    if max_a is None:
-        raise ValueError("index a has no documents")
-    offset = ((int(max_a) >> block_bits) + 1) << block_bits
-    block_offset = offset >> block_bits
-
-    os.makedirs(out_dir, exist_ok=True)
-    with open(po.params, "w") as fh:
-        json.dump({**params_a, "merged_from": [a_dir, b_dir],
-                   "merge_offset": offset, "n_partitions": n_partitions}, fh)
-
-    docs = docs_a.unionByName(
-        docs_b.withColumn("docid", F.col("docid") + offset)
-    )
-    (docs.repartitionByRange(n_partitions, "docid")
-         .sortWithinPartitions("docid")
-         .write.mode("overwrite").parquet(po.docs))
-
-    post_a = spark.read.parquet(pa.postings)
-    post_b = spark.read.parquet(pb.postings)
-    shifted_b = (
-        post_b.withColumn("block_id", F.col("block_id") + block_offset)
-        .withColumn("first_docid", F.col("first_docid") + offset)
-        .withColumn("last_docid", F.col("last_docid") + offset)
-        .withColumn(
-            "q_last_docid",
-            F.transform("q_last_docid", lambda x: x + offset),
-        )
-    )
-    # block-aligned offset => no (term, block_id) collision is possible;
-    # blobs ride through untouched (byte-identity asserted in tests)
-    (post_a.unionByName(shifted_b)
-           .repartitionByRange(n_partitions, "term", "block_id")
-           .sortWithinPartitions("term", "block_id")
-           .write.mode("overwrite").parquet(po.postings))
-
-    finalize_index(
-        spark, po,
-        log2_quantum=log2_quantum, positions=positions,
-        block_bits=block_bits, n_partitions=n_partitions, resume=False,
-    )
-    with open(po.manifest, "w") as fh:
-        json.dump({"op": "merge", "sources": [a_dir, b_dir],
-                   "offset": offset}, fh)
-    return EFIndex(spark, out_dir)
+    docid space; blob bytes are reused verbatim. (The two-segment case
+    of merge_many.)"""
+    return merge_many(spark, [a_dir, b_dir], out_dir,
+                      n_partitions=n_partitions)

@@ -488,3 +488,81 @@ CROSS JOIN npairs CROSS JOIN ntok
 ORDER BY pmi DESC, term_a ASC, term_b ASC
 LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Composite quality filter (C4/Gopher-style keep/drop with reasons)
+# ---------------------------------------------------------------------------
+# The decision layer a training-data pipeline runs after the feature
+# ops: combine token-count bounds, mean-token-length bounds, punctuation
+# and stopword-ratio thresholds (C4, Raffel et al. 2020) with the
+# Gopher repetition flag (Rae et al. 2021) into one (keep, reasons)
+# verdict per document. Reasons are explicit — a silent drop is a
+# debugging dead end at 100 TB; the reasons string doubles as the
+# no-silent-truncation ledger for the filter stage. Scale shape:
+# map-only over the two feature relations, one doc_id equi-join (both
+# sides share the documents scan partitioning), zero Python.
+
+FILTER_MIN_TOKENS = 50
+FILTER_MAX_TOKENS = 100_000
+FILTER_MIN_MEAN_TOK = 2.0
+FILTER_MAX_MEAN_TOK = 12.0
+FILTER_MAX_PUNCT = 0.30
+FILTER_MIN_STOPWORD = 0.0005
+
+
+def filter_pipeline(docs: DataFrame) -> DataFrame:
+    """(doc_id, keep, reasons): reasons is a comma-joined list of the
+    failed rule names (empty string == keep). Thresholds are the
+    module-level FILTER_* constants."""
+    q = quality_score(docs)
+    r = repetition_stats(docs).select("doc_id", "gopher_flagged")
+    joined = q.join(r, "doc_id")
+    rules = [
+        (F.col("n_tokens") < FILTER_MIN_TOKENS, "too_few_tokens"),
+        (F.col("n_tokens") > FILTER_MAX_TOKENS, "too_many_tokens"),
+        (F.col("mean_token_len") < FILTER_MIN_MEAN_TOK, "mean_token_len_low"),
+        (F.col("mean_token_len") > FILTER_MAX_MEAN_TOK, "mean_token_len_high"),
+        (F.col("punct_ratio") > FILTER_MAX_PUNCT, "high_punct"),
+        (F.col("stopword_ratio") < FILTER_MIN_STOPWORD, "low_stopword"),
+        (F.col("gopher_flagged") == 1, "gopher_repetition"),
+    ]
+    reasons = F.array_join(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for cond, name in rules]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return joined.select(
+        "doc_id",
+        (reasons == F.lit("")).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def filter_pipeline_sql() -> str:
+    rules = [
+        (f"q.n_tokens < {FILTER_MIN_TOKENS}", "too_few_tokens"),
+        (f"q.n_tokens > {FILTER_MAX_TOKENS}", "too_many_tokens"),
+        (f"q.mean_token_len < {FILTER_MIN_MEAN_TOK}", "mean_token_len_low"),
+        (f"q.mean_token_len > {FILTER_MAX_MEAN_TOK}", "mean_token_len_high"),
+        (f"q.punct_ratio > {FILTER_MAX_PUNCT}", "high_punct"),
+        (f"q.stopword_ratio < {FILTER_MIN_STOPWORD}", "low_stopword"),
+        ("r.gopher_flagged = 1", "gopher_repetition"),
+    ]
+    cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for cond, name in rules
+    )
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+    reasons = (
+        f"coalesce(array_to_string(list_filter([{cases}],"
+        f" x -> x IS NOT NULL), ','), '')"
+    )
+    return f"""
+SELECT q.doc_id,
+       ({reasons} = '') AS keep,
+       {reasons} AS reasons
+FROM ({QUALITY_SCORE_SQL}) q
+JOIN ({REPETITION_STATS_SQL}) r ON r.doc_id = q.doc_id
+"""

@@ -66,6 +66,7 @@ def _query_plan(queries: list[dict], k: int):
 
 # Dirichlet smoothing parameter (Zhai & Lafferty, SIGIR'01 default)
 LM_MU = 2500.0
+HIEMSTRA_C = 0.15
 # PL2 term-frequency normalization-2 parameter (Amati & van Rijsbergen)
 PL2_C = 1.0
 LOG2_E = 1.4426950408889634
@@ -100,10 +101,11 @@ def run_queries(
     the term-major strategy it routes to the relational BMW — both are
     safe-to-k, so results are identical either way.
 
-    model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'lm_dirichlet'
-    (term-major only — published formulas: DFR DPH and PL2 after
-    Amati, Dirichlet-smoothed LM after Zhai & Lafferty; like Terrier's
-    pluggable weighting models).
+    model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'lm_dirichlet' |
+    'lm_jm' (term-major only — published formulas: DFR DPH and PL2
+    after Amati, Dirichlet-smoothed LM after Zhai & Lafferty,
+    Jelinek-Mercer LM after Hiemstra; like Terrier's pluggable
+    weighting models).
 
     doc_filter: optional (docid) DataFrame restricting results to a
     candidate set (metadata-filtered search, e.g. lang='en' docs).
@@ -122,7 +124,7 @@ def run_queries(
     over-prune — wrong results, not just slow ones. Tombstoned indexes
     therefore refuse algo='bmw'/'maxscore' (compact first); collection
     statistics stay global until compaction (Lucene semantics)."""
-    if model not in ("bm25", "dph", "pl2", "lm_dirichlet"):
+    if model not in ("bm25", "dph", "pl2", "lm_dirichlet", "lm_jm"):
         raise ValueError(f"unknown weighting model {model!r}")
     if algo not in ("naive", "bmw", "maxscore"):
         raise ValueError(f"unknown algo {algo!r}")
@@ -304,6 +306,16 @@ def _score_rows(
         p_c = F.col("global_cf") / F.lit(num_tokens)
         contrib = F.log2(1 + tf / (F.lit(LM_MU) * p_c)) + F.log2(
             F.lit(LM_MU) / (dl + F.lit(LM_MU))
+        )
+    elif model == "lm_jm":
+        # Jelinek-Mercer-smoothed query likelihood in Hiemstra's form
+        # (Hiemstra 2000; Terrier's Hiemstra_LM, c = 0.15):
+        # log2(1 + (c * tf * num_tokens) / ((1-c) * cf * dl)) per
+        # matched term — unmatched terms contribute 0, so disjunctive
+        # accumulation is exact.
+        contrib = F.log2(
+            1 + (F.lit(HIEMSTRA_C) * tf * F.lit(num_tokens))
+            / (F.lit(1 - HIEMSTRA_C) * F.col("global_cf") * dl)
         )
     else:
         raise ValueError(f"unknown weighting model {model!r}")

@@ -18,7 +18,11 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # 4 tasks per core (standard Spark sizing): with 1 task/core a
+        # single straggler extends every stage; 4 waves average them out
+        # (+31% measured on the 8-core build, BASELINE.md round-3
+        # scaling addendum). AQE coalesces the excess on small shuffles.
+        shuffle_partitions = max(4 * cores, 8)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

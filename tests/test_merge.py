@@ -112,3 +112,46 @@ def test_merge_param_guards(spark, merged_setup, tmp_path):
     with pytest.raises(ValueError, match="block"):
         merge_indexes(spark, str(tmp_path / "unblocked"),
                       str(tmp_path / "unblocked"), str(tmp_path / "out2"))
+
+
+def test_merge_many_three_way(spark, tmp_path):
+    """N-way merge: cumulative block-aligned offsets, every blob byte
+    reused, decoded postings == union of the shifted segments."""
+    import json
+
+    from terrier_ef_spark.index.merge import merge_many
+    from terrier_ef_spark.query.engine import decode_postings
+
+    segs = []
+    for i, (n, seed) in enumerate(((60, 41), (45, 42), (50, 43))):
+        c = synthesize_corpus(spark, n, seed=seed, n_partitions=2)
+        segs.append(build_index(spark, c, str(tmp_path / f"s{i}"),
+                                block_bits=5, n_partitions=2))
+    m = merge_many(spark, [str(tmp_path / f"s{i}") for i in range(3)],
+                   str(tmp_path / "m"), n_partitions=2)
+    # max docids 59/44/49 with 32-wide blocks -> offsets 0, 64, 128
+    manifest = json.load(open(str(tmp_path / "m" / "MANIFEST.json")))
+    assert manifest["offsets"] == [0, 64, 128]
+
+    src = {}
+    for off, idx in zip((0, 64, 128), segs):
+        for r in idx.postings.collect():
+            src[(r["term"], r["block_id"] + (off >> 5))] = (
+                bytes(r["docids_ef"]), bytes(r["freqs_ef"]))
+    merged_rows = m.postings.collect()
+    assert len(merged_rows) == len(src)  # zero collisions, zero recode
+    for r in merged_rows:
+        assert (bytes(r["docids_ef"]), bytes(r["freqs_ef"])) == src[
+            (r["term"], r["block_id"])]
+
+    want = set()
+    for off, idx in zip((0, 64, 128), segs):
+        want |= {(r["term"], r["docid"] + off, r["tf"])
+                 for r in decode_postings(idx).collect()}
+    got = {(r["term"], r["docid"], r["tf"])
+           for r in decode_postings(m).collect()}
+    assert got == want
+    assert m.stats["num_docs"] == 155
+
+    with pytest.raises(ValueError, match="at least two"):
+        merge_many(spark, [str(tmp_path / "s0")], str(tmp_path / "m2"))

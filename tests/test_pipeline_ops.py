@@ -526,3 +526,25 @@ def test_repetition_stats_matches_duckdb(spark, tmp_path):
     assert got == want and len(got) == 14
     # the pure-repetition doc is flagged, the varied ones aren't all
     assert got[13][-1] == 1.0
+
+
+def test_filter_pipeline_known_verdicts(spark):
+    from terrier_ef_spark.pipeline.textstats import filter_pipeline
+
+    good = " ".join(
+        f"the item{i} has size{i} and color{i} in box{i}" for i in range(8)
+    )  # 64 tokens, stopwords present, every 2-gram/3-gram/5-gram unique
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "tiny doc"),
+            (2, " ".join(["spam"] * 80)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reasons"])
+           for r in filter_pipeline(docs).collect()}
+    assert got[0] == (True, "")
+    assert got[1][0] is False and "too_few_tokens" in got[1][1]
+    assert got[2][0] is False and "gopher_repetition" in got[2][1]
+    assert "low_stopword" in got[2][1]  # reasons accumulate, not first-hit

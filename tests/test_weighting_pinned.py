@@ -4,9 +4,9 @@ share each model's formula with the engine by construction. This test
 pins LITERAL expected scores for a 10-doc corpus, computed once by a
 standalone clean-room script written only from the published formulas
 (Robertson/Sparck-Jones BM25 as parameterized in Terrier 5's BM25
-model; Amati's DFR DPH and PL2; Zhai & Lafferty Dirichlet LM) with the
-engine's documented constants k1=1.2, b=0.75, c=1.0, mu=2500, log base
-2. If any constant or formula term in the engine drifts, these
+model; Amati's DFR DPH and PL2; Zhai & Lafferty Dirichlet LM; Hiemstra
+JM LM) with the engine's documented constants k1=1.2, b=0.75, c=1.0,
+mu=2500, jm c=0.15, log base 2. If any constant or formula term in the engine drifts, these
 literals break even if the SQL twin drifts with it.
 
 The intended closure — running terrier-core 5.x itself once and
@@ -79,6 +79,15 @@ PINNED = {
         (3, 0.0040306812433529154),
         (1, 0.002877908476554365),
     ],
+    # Hiemstra JM LM, c=0.15: log2(1 + (c*tf*ntok)/((1-c)*cf*dl));
+    # cf(alpha)=5, cf(gamma)=6, ntok=45
+    "lm_jm": [
+        (0, 1.3044504086609812),
+        (3, 0.8432744963125467),
+        (2, 0.7327161211648482),
+        (1, 0.48239276708060835),
+        (4, 0.4627342413101402),
+    ],
 }
 
 
@@ -107,7 +116,7 @@ def _got(index, **kw):
     return [(int(r.docid), float(r.score)) for r in pdf.itertuples(index=False)]
 
 
-@pytest.mark.parametrize("model", ["bm25", "dph", "pl2", "lm_dirichlet"])
+@pytest.mark.parametrize("model", ["bm25", "dph", "pl2", "lm_dirichlet", "lm_jm"])
 def test_pinned_scores_term_major(pinned_index, model):
     got = _got(pinned_index, strategy="term_major", model=model)
     want = PINNED[model]
