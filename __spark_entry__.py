@@ -178,6 +178,80 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _bm25_prox_oracle_sql(queries, depth: int = 20, window: int = 4) -> str:
+    """Twin of run_queries_bm25_prox: exact base BM25, candidate cut by
+    (round(score,6) desc, docid) at `depth`, pairwise 1/dist^2 window
+    accumulators, min-idf (clamped >= 0) saturation boost, 6dp rerank."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+ptok AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS term
+  FROM t, unnest(range(len(toks))) AS u(i)
+),
+post AS (SELECT term, doc_id, count(*)::double AS tf FROM ptok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS doclen FROM ptok GROUP BY 1),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+),
+lex AS (SELECT term, count(*)::double AS df FROM post GROUP BY 1),
+q(qid, term) AS (VALUES {vals}),
+sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT qid, docid, score FROM (
+    SELECT qid, docid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC) AS rk
+    FROM sc
+  ) WHERE rk <= {depth}
+),
+posq AS (
+  SELECT q.qid, p.doc_id AS docid, q.term, p.pos
+  FROM q JOIN ptok p USING (term)
+       JOIN cand c ON c.qid = q.qid AND c.docid = p.doc_id
+),
+pairs AS (
+  SELECT a.qid, a.docid, a.term AS ta, b.term AS tb,
+         sum(1.0 / ((a.pos - b.pos) * (a.pos - b.pos))) AS tpi
+  FROM posq a JOIN posq b
+    ON a.qid = b.qid AND a.docid = b.docid
+   AND a.term < b.term AND abs(a.pos - b.pos) <= {window}
+  GROUP BY 1, 2, 3, 4
+),
+idf AS (
+  SELECT term, greatest(log2((st.n - df + 0.5) / (df + 0.5)), 0) AS idf
+  FROM lex CROSS JOIN st
+),
+prox AS (
+  SELECT qid, docid,
+         sum(least(ia.idf, ib.idf) * tpi * 2.2 / (tpi + 1.2)) AS prox
+  FROM pairs JOIN idf ia ON ia.term = pairs.ta
+             JOIN idf ib ON ib.term = pairs.tb
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT c.qid, c.docid, c.score + coalesce(prox.prox, 0) AS score
+  FROM cand c LEFT JOIN prox USING (qid, docid)
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM fin
+) WHERE rank <= 10
+"""
+
+
 def _bm25_oracle_sql(
     queries, conjunctive: bool, model: str = "bm25", candidate_where: str = ""
 ) -> str:
@@ -506,6 +580,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lm_jm_disjunctive(spark, sf):
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="lm_jm")
+
+    def bm25_prox_topk(spark, sf):
+        """Proximity-boosted BM25 (Rasolofo & Savoy 2003): top-20 base
+        candidates re-scored with pairwise 1/dist^2 co-occurrence
+        accumulators over candidate-routed positions decode."""
+        from terrier_ef_spark.query.phrase import run_queries_bm25_prox
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_bm25_prox(idx, BM25_QUERIES, k=100,
+                                     depth=20, window=4)
+        return _rerank_6dp(deep)
 
     def bm25f_topk(spark, sf):
         """BM25F over two fields of the same docid space: content
@@ -916,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_disjunctive": pl2_disjunctive,
         "lm_jm_disjunctive": lm_jm_disjunctive,
         "bm25f_topk": bm25f_topk,
+        "bm25_prox_topk": bm25_prox_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -1192,6 +1278,7 @@ SELECT term, doc_id AS docid FROM (
             BM25_QUERIES, conjunctive=False, model="lm_jm"
         ),
         "bm25f_topk": _bm25f_oracle_sql(BM25_QUERIES),
+        "bm25_prox_topk": _bm25_prox_oracle_sql(BM25_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(

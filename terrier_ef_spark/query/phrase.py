@@ -159,3 +159,115 @@ def proximity_match(
     )
     hits = pairs.groupBy("docid").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return eager_release(_rank_hits(hits, k), pos_rows)
+
+
+def run_queries_bm25_prox(
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int = 10,
+    depth: int = 20,
+    window: int = 4,
+    fetch: int = 100,
+) -> DataFrame:
+    """Proximity-boosted BM25 re-ranking (Rasolofo & Savoy, ECIR 2003
+    "Term proximity scoring for keyword-based retrieval systems" — the
+    role Terrier fills with its dependence-score modifiers): take the
+    base BM25 top-`depth` per query, and for every unordered query-term
+    pair co-occurring within `window` positions in a candidate doc add
+
+        tpi(d,a,b) = sum over occurrence pairs 1/(pos_a - pos_b)^2
+        prox(d)    = sum_pairs min(idf_a, idf_b)+ * tpi*(k1+1)/(tpi+k1)
+        final(d)   = bm25(d) + prox(d)
+
+    (idf clamped at 0: a stopword-frequency term contributes no boost,
+    never a penalty). The candidate cut is by (round(score,6) desc,
+    docid) over a deeper `fetch` so the set is reproducible across
+    engines; positions decode is candidate-routed — only the top-depth
+    docs' position segments are ever unpacked, so the re-rank cost is
+    O(queries * depth * tf^2-in-window), corpus-size independent."""
+    from terrier_ef_spark.query import bm25
+    from terrier_ef_spark.query.engine import run_queries
+
+    spark = index.spark
+    num_docs = float(index.stats["num_docs"])
+    deep = run_queries(index, queries, k=fetch, strategy="term_major")
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docid")
+    )
+    base = (
+        deep.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= depth)
+        .select("qid", "docid", "score")
+        .persist()
+    )
+
+    qterm_rows = [
+        (int(q["qid"]), t) for q in queries for t in dict.fromkeys(q["terms"])
+    ]
+    qterms_df = spark.createDataFrame(qterm_rows, "qid long, term string")
+    terms = sorted({t for _, t in qterm_rows})
+
+    cand = (
+        base.join(F.broadcast(qterms_df), "qid")
+        .select("term", "docid").distinct()
+    )
+    pos = decode_positions_selective(index, cand, terms)
+    # (qid, term, docid, pos) restricted to each query's own candidates
+    posq = (
+        pos.join(F.broadcast(qterms_df), "term")
+        .join(base.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .persist()
+    )
+
+    idf = F.greatest(
+        F.log2((F.lit(num_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        F.lit(0.0),
+    )
+    lex = index.lexicon.where(F.col("term").isin(terms)).select(
+        "term", idf.alias("idf")
+    )
+    a = posq.select("qid", "docid", F.col("term").alias("ta"),
+                    F.col("pos").alias("pa"))
+    b = posq.select("qid", "docid", F.col("term").alias("tb"),
+                    F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, ["qid", "docid"])
+        .where(
+            (F.col("ta") < F.col("tb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= window)
+        )
+        .groupBy("qid", "docid", "ta", "tb")
+        .agg(
+            F.sum(
+                1.0 / ((F.col("pa") - F.col("pb"))
+                       * (F.col("pa") - F.col("pb")))
+            ).alias("tpi")
+        )
+    )
+    prox = (
+        pairs.join(F.broadcast(lex.withColumnRenamed("term", "ta")
+                               .withColumnRenamed("idf", "idf_a")), "ta")
+        .join(F.broadcast(lex.withColumnRenamed("term", "tb")
+                          .withColumnRenamed("idf", "idf_b")), "tb")
+        .select(
+            "qid", "docid",
+            (
+                F.least("idf_a", "idf_b")
+                * F.col("tpi") * (bm25.K1 + 1) / (F.col("tpi") + bm25.K1)
+            ).alias("boost"),
+        )
+        .groupBy("qid", "docid")
+        .agg(F.sum("boost").alias("prox"))
+    )
+    final = base.join(prox, ["qid", "docid"], "left").select(
+        "qid", "docid",
+        (F.col("score") + F.coalesce(F.col("prox"), F.lit(0.0))).alias("score"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    out = (
+        final.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "docid", "score")
+    )
+    return eager_release(out, base, posq)
