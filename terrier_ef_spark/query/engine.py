@@ -128,21 +128,6 @@ def run_queries(
         raise ValueError(f"unknown weighting model {model!r}")
     if algo not in ("naive", "bmw", "maxscore"):
         raise ValueError(f"unknown algo {algo!r}")
-    tombstones = index.deleted_docids() if respect_deletes else None
-    if tombstones is not None:
-        if algo != "naive":
-            raise ValueError(
-                "index has tombstoned deletes: pruning algorithms seed "
-                "their threshold over docs that can no longer be returned "
-                "(unsafe over-pruning) — compact_index first, or "
-                f"algo='naive' (got algo={algo!r})"
-            )
-        if strategy == "query_major":
-            raise ValueError(
-                "index has tombstoned deletes: the query-major kernel "
-                "does not support exclusion filters — strategy='term_major'"
-            )
-        strategy = "term_major"
     if doc_filter is not None:
         if algo != "naive":
             raise ValueError(
@@ -162,6 +147,23 @@ def run_queries(
             raise ValueError(
                 "the query-major DAAT kernel scores BM25 only; "
                 f"model={model!r} runs on strategy='term_major'"
+            )
+        strategy = "term_major"
+    # tombstone checks come AFTER the pure-argument validation above:
+    # they are the only checks that touch the index artifacts
+    tombstones = index.deleted_docids() if respect_deletes else None
+    if tombstones is not None:
+        if algo != "naive":
+            raise ValueError(
+                "index has tombstoned deletes: pruning algorithms seed "
+                "their threshold over docs that can no longer be returned "
+                "(unsafe over-pruning) — compact_index first, or "
+                f"algo='naive' (got algo={algo!r})"
+            )
+        if strategy == "query_major":
+            raise ValueError(
+                "index has tombstoned deletes: the query-major kernel "
+                "does not support exclusion filters — strategy='term_major'"
             )
         strategy = "term_major"
     if strategy == "auto":
