@@ -1020,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": lambda s, sf: textstats.repetition_stats(_docs(s, sf)),
         "term_cooccurrence": lambda s, sf: textstats.term_cooccurrence(_docs(s, sf)),
         "filter_pipeline": lambda s, sf: textstats.filter_pipeline(_docs(s, sf)),
+        "term_stats": lambda s, sf: textstats.term_stats(_docs(s, sf)),
+        "zipf_fit": lambda s, sf: textstats.zipf_fit(_docs(s, sf)),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
         # near-dup pairs -> connected components (large-star/small-star)
@@ -1362,6 +1364,8 @@ FROM events GROUP BY 1, 2
         "repetition_stats": textstats.REPETITION_STATS_SQL,
         "term_cooccurrence": textstats.term_cooccurrence_sql(),
         "filter_pipeline": textstats.filter_pipeline_sql(),
+        "term_stats": textstats.term_stats_sql(),
+        "zipf_fit": textstats.zipf_fit_sql(),
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,

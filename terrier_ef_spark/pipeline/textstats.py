@@ -566,3 +566,87 @@ SELECT q.doc_id,
 FROM ({QUALITY_SCORE_SQL}) q
 JOIN ({REPETITION_STATS_SQL}) r ON r.doc_id = q.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics + Zipf fit
+# ---------------------------------------------------------------------------
+# The vocabulary-health report run before committing a tokenizer or a
+# filter threshold at scale: top terms by collection frequency, and the
+# Zipf log-log slope over the top ranks (natural text ~ -1; a slope far
+# off flags boilerplate floods or tokenizer breakage). One tokenize
+# pass, one groupBy with map-side combine, a distributed top-k; the
+# slope is two covariance aggregates over top_k rows.
+
+TERM_STATS_TOP_K = 100
+ZIPF_FIT_RANKS = 1000
+
+
+def term_stats(docs: DataFrame, top_k: int = TERM_STATS_TOP_K) -> DataFrame:
+    """(term, cf, df, rank): top_k terms by collection frequency
+    (ties on term asc)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term")
+    )
+    agg = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    return (
+        agg.orderBy(F.desc("cf"), F.asc("term")).limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("term", F.col("cf").cast("long").alias("cf"),
+                F.col("df").cast("long").alias("df"), "rank")
+    )
+
+
+def zipf_fit(docs: DataFrame, ranks: int = ZIPF_FIT_RANKS) -> DataFrame:
+    """One row (n_ranks, slope): OLS slope of log2(cf) on log2(rank)
+    over the top `ranks` terms — the Zipf exponent (~ -1 for natural
+    text). slope = covar_pop / var_pop, rounded to 6dp, computed with
+    the identical decomposition in the SQL twin."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(tokenize_expr(F.col("text"))).alias("term"))
+    agg = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    top = (
+        agg.orderBy(F.desc("cf"), F.asc("term")).limit(ranks)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.log2("rank").alias("x"), F.log2("cf").alias("y"))
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+    )
+
+
+def term_stats_sql(top_k: int = TERM_STATS_TOP_K) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_REP_TOKS}) AS term FROM documents),
+agg AS (
+  SELECT term, count(*)::bigint AS cf, count(DISTINCT doc_id)::bigint AS df
+  FROM tok GROUP BY 1
+)
+SELECT term, cf, df,
+       row_number() OVER (ORDER BY cf DESC, term ASC)::int AS rank
+FROM agg ORDER BY cf DESC, term ASC LIMIT {top_k}
+"""
+
+
+def zipf_fit_sql(ranks: int = ZIPF_FIT_RANKS) -> str:
+    return f"""
+WITH tok AS (SELECT unnest({_REP_TOKS}) AS term FROM documents),
+agg AS (SELECT term, count(*)::double AS cf FROM tok GROUP BY 1),
+top AS (
+  SELECT log2(row_number() OVER (ORDER BY cf DESC, term ASC)) AS x,
+         log2(cf) AS y
+  FROM agg ORDER BY cf DESC, term ASC LIMIT {ranks}
+)
+SELECT count(*)::bigint AS n_ranks,
+       round(covar_pop(x, y) / var_pop(x), 6) AS slope
+FROM top
+"""

@@ -548,3 +548,26 @@ def test_filter_pipeline_known_verdicts(spark):
     assert got[1][0] is False and "too_few_tokens" in got[1][1]
     assert got[2][0] is False and "gopher_repetition" in got[2][1]
     assert "low_stopword" in got[2][1]  # reasons accumulate, not first-hit
+
+
+def test_term_stats_and_zipf_fit_known(spark):
+    import numpy as np
+
+    from terrier_ef_spark.pipeline.textstats import term_stats, zipf_fit
+
+    # cf: aa=8, bb=4+1, cc=2, dd=1 -> exact OLS slope over log2 space
+    docs = spark.createDataFrame(
+        [(0, " ".join(["aa"] * 8 + ["bb"] * 4)), (1, "cc cc bb dd")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: (r["cf"], r["df"], r["rank"])
+           for r in term_stats(docs, top_k=10).collect()}
+    assert got == {"aa": (8, 1, 1), "bb": (5, 2, 2),
+                   "cc": (2, 1, 3), "dd": (1, 1, 4)}
+
+    x = np.log2([1, 2, 3, 4])
+    y = np.log2([8, 5, 2, 1])
+    want = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    row = zipf_fit(docs, ranks=10).collect()[0]
+    assert row["n_ranks"] == 4
+    assert abs(row["slope"] - round(want, 6)) < 1e-9
