@@ -175,3 +175,33 @@ def test_compact_guards(spark, maint_setup, tmp_path_factory):
         compact_index(noblock, clean_dir + "_out")
     clear_deletes(noblock)
     assert noblock.deleted_docids() is None
+
+
+def test_maintenance_composes_with_merge(spark, tmp_path):
+    """Tombstone + compact a MERGED index (docids offset by the merge):
+    live postings match the pre-delete merged decode minus tombstones,
+    and untouched blocks keep their (relabeled) blob bytes."""
+    from terrier_ef_spark.index.merge import merge_indexes
+
+    ca = synthesize_corpus(spark, 40, seed=61, n_partitions=2)
+    cb = synthesize_corpus(spark, 35, seed=62, n_partitions=2)
+    build_index(spark, ca, str(tmp_path / "a"), block_bits=5, n_partitions=2)
+    build_index(spark, cb, str(tmp_path / "b"), block_bits=5, n_partitions=2)
+    m = merge_indexes(spark, str(tmp_path / "a"), str(tmp_path / "b"),
+                      str(tmp_path / "m"), n_partitions=2)
+    before = {(r["term"], r["docid"], r["tf"])
+              for r in decode_postings(m).collect()}
+    # one doc from each side: docid 3 (a) and 64+2 (b, offset = 64)
+    deleted = {3, 66}
+    delete_docs(m, sorted(deleted))
+    cmp_idx = compact_index(m, str(tmp_path / "mc"), n_partitions=2)
+    got = {(r["term"], r["docid"], r["tf"])
+           for r in decode_postings(cmp_idx).collect()}
+    assert got == {x for x in before if x[1] not in deleted}
+    assert cmp_idx.stats["num_docs"] == m.stats["num_docs"] - 2
+    # blocks 0 (docid 3) and 2 (docid 66) were touched; others byte-reuse
+    src = {(r["term"], r["block_id"]): bytes(r["docids_ef"])
+           for r in m.postings.collect()}
+    for r in cmp_idx.postings.collect():
+        if r["block_id"] not in (3 >> BLOCK_BITS, 66 >> BLOCK_BITS):
+            assert bytes(r["docids_ef"]) == src[(r["term"], r["block_id"])]
