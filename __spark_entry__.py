@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 
 TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+PREFIX_QUERIES = [
+    {"qid": 1, "prefix": "ta"},
+    {"qid": 2, "prefix": "s"},
+    {"qid": 3, "prefix": "wi"},
+]
+
 # fixed reference query set over the documents vocabulary (FIXTURES.md F4)
 BM25_QUERIES = [
     {"qid": 1, "terms": ["table", "spark"], "mode": "disjunctive"},
@@ -128,6 +134,47 @@ _MODEL_CONTRIB_SQL = {
     "lm_jm": """log2(1 + (0.15 * p.tf * st.ntok)
                      / (0.85 * l.cf * dl.doclen))""",
 }
+
+
+def _bm25_prefix_oracle_sql(queries, max_expansions: int = 50) -> str:
+    """Twin of run_queries_prefix: per-qid term set = lexicon LIKE
+    'prefix%' capped at max_expansions by (df desc, term asc), then the
+    standard disjunctive BM25 sum and 6dp rerank."""
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT {q['qid']} AS qid, term FROM (
+    SELECT term FROM lex WHERE term LIKE '{q['prefix']}%'
+    ORDER BY df DESC, term ASC LIMIT {max_expansions})"""
+        for q in queries
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
+), ex AS (
+{branches}
+), sc AS (
+  SELECT ex.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM ex JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM sc
+) WHERE rank <= 10
+"""
 
 
 def _bm25f_oracle_sql(queries, title_w: float = 2.0, title_len: int = 64) -> str:
@@ -581,6 +628,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="lm_jm")
 
+    def bm25_prefix_topk(spark, sf):
+        """Prefix (wildcard) queries: Lucene-style multi-term rewrite —
+        lexicon terms matching the prefix (df desc, term asc, cap 50)
+        scored as a disjunctive BM25 query."""
+        from terrier_ef_spark.query.expansion import run_queries_prefix
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_prefix(idx, PREFIX_QUERIES, k=100)
+        return _rerank_6dp(deep)
+
     def bm25_prox_topk(spark, sf):
         """Proximity-boosted BM25 (Rasolofo & Savoy 2003): top-20 base
         candidates re-scored with pairwise 1/dist^2 co-occurrence
@@ -1002,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_disjunctive": lm_jm_disjunctive,
         "bm25f_topk": bm25f_topk,
         "bm25_prox_topk": bm25_prox_topk,
+        "bm25_prefix_topk": bm25_prefix_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -1281,6 +1339,7 @@ SELECT term, doc_id AS docid FROM (
         ),
         "bm25f_topk": _bm25f_oracle_sql(BM25_QUERIES),
         "bm25_prox_topk": _bm25_prox_oracle_sql(BM25_QUERIES),
+        "bm25_prefix_topk": _bm25_prefix_oracle_sql(PREFIX_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(

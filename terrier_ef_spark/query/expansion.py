@@ -233,3 +233,54 @@ def kl_weight(tfx: float, fb_len: float, cf: float, num_tokens: float) -> float:
     """Scalar KL weight (test oracle helper)."""
     f, p = tfx / fb_len, cf / num_tokens
     return f * math.log2(f / p) if f > p else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Prefix (wildcard) queries — multi-term rewrite
+# ---------------------------------------------------------------------------
+
+def expand_prefix(index: EFIndex, prefix: str, max_expansions: int = 50) -> list[str]:
+    """Lexicon terms starting with `prefix`, most-frequent-first
+    (df desc, term asc), capped at max_expansions — Lucene's
+    PrefixQuery rewrite discipline. The startswith filter pushes to the
+    term-range-sorted lexicon parquet, so only the prefix's row groups
+    are read; the collect is bounded by max_expansions (same
+    driver-side discipline as the PRF term selection above)."""
+    if not prefix:
+        raise ValueError("empty prefix would expand the whole lexicon")
+    rows = (
+        index.lexicon.where(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def run_queries_prefix(
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """queries: [{'qid': int, 'prefix': str}] — each prefix rewrites to
+    a disjunctive BM25 query over its matching terms (weight 1 each,
+    Lucene constant-score-boolean semantics with BM25 scoring); runs on
+    the term-major scorer. Prefixes matching nothing return no rows for
+    that qid."""
+    expanded = []
+    for q in queries:
+        terms = expand_prefix(index, q["prefix"], max_expansions)
+        if terms:
+            expanded.append(
+                {"qid": q["qid"], "terms": terms, "mode": "disjunctive"}
+            )
+    from terrier_ef_spark.query.engine import run_queries
+
+    if not expanded:
+        from terrier_ef_spark.query.engine import RESULT_SCHEMA
+
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    return run_queries(index, expanded, k=k, strategy="term_major")

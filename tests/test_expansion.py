@@ -149,3 +149,43 @@ def test_bo1_expanded_terms_widen_the_query(small_index, small_oracle, direct):
     )
     assert len(out[0]["terms"]) > 1  # "the" plus expansion terms
     assert all(v > 0 for v in out[0]["weights"].values())
+
+
+def test_prefix_query_rewrite(spark, tmp_path_factory):
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.engine import run_queries
+    from terrier_ef_spark.query.expansion import expand_prefix, run_queries_prefix
+
+    docs = {
+        0: "spark sparse spot apple",
+        1: "spark spark spectrum apple banana",
+        2: "sparse spot spot apple apple",
+        3: "banana apple spectrum",
+    }
+    rows = [("r", f"f{d}", "c0", "t", t, d) for d, t in sorted(docs.items())]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("prefix") / "idx"),
+        log2_quantum=3, n_partitions=2,
+    )
+    # df: spark=2, sparse=2, spectrum=2, spot=2 -> df-tie, term asc
+    assert expand_prefix(idx, "sp") == ["spark", "sparse", "spectrum", "spot"]
+    assert expand_prefix(idx, "sp", max_expansions=2) == ["spark", "sparse"]
+    assert expand_prefix(idx, "zz") == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty prefix"):
+        expand_prefix(idx, "")
+
+    got = run_queries_prefix(idx, [{"qid": 7, "prefix": "sp"}], k=10).collect()
+    want = run_queries(
+        idx,
+        [{"qid": 7, "terms": ["spark", "sparse", "spectrum", "spot"],
+          "mode": "disjunctive"}],
+        k=10, strategy="term_major",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+    assert run_queries_prefix(idx, [{"qid": 1, "prefix": "zz"}]).count() == 0
