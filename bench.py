@@ -32,6 +32,43 @@ _VOCAB = [
 ]
 
 
+def _spin_once(_):
+    """Fixed single-thread cache-resident NumPy kernel (the round-3
+    interference control, BASELINE.md addendum 5)."""
+    import time as _time
+
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.uint64)
+    t0 = _time.time()
+    for _ in range(60):
+        x = x * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(29)
+    return _time.time() - t0
+
+
+# quiet-machine reference for the 8-way probe, measured on this VM with
+# nothing else running (BASELINE.md round-3 addendum 5)
+PROBE_QUIET_REF_SEC = 0.37
+
+
+def contention_probe(n: int = 8) -> dict:
+    """Mean per-process time of n concurrent copies of the spin kernel.
+    This VM's deliverable capacity swings ~2x with hypervisor load
+    (BASELINE.md); reporting the factor alongside every bench run makes
+    the numbers interpretable: factor ~1.0 = quiet machine, >1.3 = the
+    timed numbers under-state capacity by roughly that factor."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n) as pool:
+        ts = pool.map(_spin_once, range(n))
+    mean = sum(ts) / n
+    return {
+        "probe_sec": round(mean, 3),
+        "contention_factor": round(mean / PROBE_QUIET_REF_SEC, 2),
+    }
+
+
 def _query_batch():
     qs = []
     qid = 0
@@ -240,6 +277,7 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     work = os.path.join(REPO, ".bench_idx")
 
+    probe = contention_probe()
     result = run_once(cpus, work, with_merge=True)
 
     from terrier_ef_spark.session import get_spark
@@ -302,6 +340,7 @@ def main():
                 "bm25_bmw_qps": round(result["bm25_bmw_qps"], 2),
                 "bm25_batch256_qps": round(result["bm25_batch256_qps"], 2),
                 "bm25_bmw_batch256_qps": round(result["bm25_bmw_batch256_qps"], 2),
+                **probe,
                 **extra,
             }
         )
