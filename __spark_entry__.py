@@ -20,6 +20,15 @@ from pyspark.sql import functions as F
 
 TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+NOT_QUERIES = [
+    {"qid": 1, "terms": ["table", "spark"], "mode": "disjunctive",
+     "not_terms": ["merge"]},
+    {"qid": 2, "terms": ["window", "query"], "mode": "disjunctive",
+     "not_terms": ["slow", "fast"]},
+    {"qid": 3, "terms": ["slow", "fast", "query"], "mode": "disjunctive",
+     "not_terms": ["window"]},
+]
+
 PREFIX_QUERIES = [
     {"qid": 1, "prefix": "ta"},
     {"qid": 2, "prefix": "s"},
@@ -303,12 +312,30 @@ def _bm25_oracle_sql(
     queries, conjunctive: bool, model: str = "bm25", candidate_where: str = ""
 ) -> str:
     """candidate_where: extra predicate on the scored posting rows
-    (metadata-filtered retrieval; statistics stay corpus-global)."""
+    (metadata-filtered retrieval; statistics stay corpus-global).
+    Queries may carry 'not_terms' (boolean MUST_NOT): docs containing
+    any of them are excluded from that qid's results."""
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
     nterms = ", ".join(
         f"({q['qid']}, {len(dict.fromkeys(q['terms']))})" for q in queries
+    )
+    not_vals = ", ".join(
+        f"({q['qid']}, '{t}')"
+        for q in queries
+        for t in dict.fromkeys(q.get("not_terms", ()))
+    )
+    not_cte = (
+        f""", nq(qid, term) AS (VALUES {not_vals}),
+excl AS (SELECT DISTINCT nq.qid, p.doc_id AS docid
+         FROM nq JOIN post p USING (term))"""
+        if not_vals else ""
+    )
+    not_filter = (
+        "AND NOT EXISTS (SELECT 1 FROM excl WHERE excl.qid = sc.qid"
+        " AND excl.docid = sc.docid)"
+        if not_vals else ""
     )
     conj_filter = "AND sc.nhit = nt.n_terms" if conjunctive else ""
     contrib = _MODEL_CONTRIB_SQL[model]
@@ -335,13 +362,13 @@ sc AS (
          JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
   WHERE true {candidate_where}
   GROUP BY 1, 2
-)
+){not_cte}
 SELECT qid, rank, docid, score FROM (
   SELECT sc.qid::bigint AS qid,
          row_number() OVER (PARTITION BY sc.qid
                             ORDER BY round(sc.score, 6) DESC, sc.docid ASC)::int AS rank,
          sc.docid, round(sc.score, 6) AS score
-  FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter}
+  FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
 ) WHERE rank <= 10
 """
 
@@ -627,6 +654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lm_jm_disjunctive(spark, sf):
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="lm_jm")
+
+    def bm25_not_topk(spark, sf):
+        """Boolean MUST_NOT: docs containing any excluded term are
+        anti-joined out per query before ranking."""
+        return _bm25(spark, sf, NOT_QUERIES, algo="naive",
+                     strategy="term_major")
 
     def bm25_prefix_topk(spark, sf):
         """Prefix (wildcard) queries: Lucene-style multi-term rewrite —
@@ -1060,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": bm25f_topk,
         "bm25_prox_topk": bm25_prox_topk,
         "bm25_prefix_topk": bm25_prefix_topk,
+        "bm25_not_topk": bm25_not_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -1340,6 +1374,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25f_topk": _bm25f_oracle_sql(BM25_QUERIES),
         "bm25_prox_topk": _bm25_prox_oracle_sql(BM25_QUERIES),
         "bm25_prefix_topk": _bm25_prefix_oracle_sql(PREFIX_QUERIES),
+        "bm25_not_topk": _bm25_oracle_sql(NOT_QUERIES, conjunctive=False),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(

@@ -83,7 +83,10 @@ def run_queries(
     doc_filter: DataFrame | None = None,
     respect_deletes: bool = True,
 ) -> DataFrame:
-    """queries: [{'qid': int, 'terms': [str], 'mode': 'disjunctive'|'conjunctive'}].
+    """queries: [{'qid': int, 'terms': [str], 'mode':
+    'disjunctive'|'conjunctive'[, 'not_terms': [str]]}]. not_terms are
+    boolean MUST_NOT: any doc containing one is excluded from that
+    query's results (term-major naive only, like doc_filter).
 
     Returns (qid, rank, docid, score), rank 1-based, tie-break
     (score desc, docid asc). strategy: 'term_major' | 'query_major' |
@@ -138,6 +141,22 @@ def run_queries(
             raise ValueError(
                 "doc_filter is relational (term-major only); the "
                 "query-major kernel does not support candidate filters"
+            )
+        strategy = "term_major"
+    if any(q.get("not_terms") for q in queries):
+        # boolean MUST_NOT: docs containing any excluded term are
+        # anti-joined out before ranking — same term-major-only
+        # discipline as doc_filter (a pruning theta seeded over docs
+        # that exclusion will remove could exceed the true k-th score)
+        if algo != "naive":
+            raise ValueError(
+                "not_terms run on the exhaustive term-major scorer; "
+                f"algo={algo!r} seeds pruning thresholds pre-exclusion"
+            )
+        if strategy == "query_major":
+            raise ValueError(
+                "not_terms are relational (term-major only); the "
+                "query-major kernel does not support exclusions"
             )
         strategy = "term_major"
     if model != "bm25":
@@ -223,7 +242,25 @@ def _run_queries_term_major(
         # duplicate-tolerant, schema-preserving, broadcast vs sort-merge
         # left to Catalyst by tombstone-set size
         posts = posts.join(exclude_docs.select("docid"), "docid", "left_anti")
-    return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model)
+    # boolean MUST_NOT terms: per-qid (qid, docid) exclusion pairs from
+    # the excluded terms' posting lists (pushed isin scan), anti-joined
+    # after the per-(qid, docid) fold inside _score_rows
+    not_rows = [
+        (int(q["qid"]), t)
+        for q in queries
+        for t in dict.fromkeys(q.get("not_terms", ()))
+    ]
+    exclude_pairs = None
+    if not_rows:
+        nq = spark.createDataFrame(not_rows, "qid long, term string")
+        nterms = sorted({t for _, t in not_rows})
+        exclude_pairs = (
+            decode_postings(index, nterms)
+            .join(F.broadcast(nq), "term")
+            .select("qid", "docid")
+        )
+    return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model,
+                       exclude_pairs=exclude_pairs)
 
 
 def _score_rows(
@@ -233,6 +270,7 @@ def _score_rows(
     qmeta: dict,
     n_query_terms: dict,
     model: str = "bm25",
+    exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Scoring tail of the term-major strategy: (term, docid, tf) rows
     -> lexicon + partitioned doclen joins -> Catalyst model contribution
@@ -331,6 +369,8 @@ def _score_rows(
             F.count(F.lit(1)).alias("nhit"),
         )
     )
+    if exclude_pairs is not None:
+        scored = scored.join(exclude_pairs, ["qid", "docid"], "left_anti")
     res = scored.join(F.broadcast(qmeta_df), "qid").where(
         (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
     )

@@ -799,3 +799,33 @@ def test_doc_filter_misuse_raises(small_index):
         run_queries(small_index, qs, algo="bmw", doc_filter=filt)
     with pytest.raises(ValueError, match="term-major only"):
         run_queries(small_index, qs, strategy="query_major", doc_filter=filt)
+
+
+def test_not_terms_exclusion(spark, small_index):
+    """Boolean MUST_NOT: excluded docs never appear, results equal the
+    doc_filter-complement formulation, and misuse raises."""
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.query.engine import decode_postings
+
+    q = [{"qid": 1, "terms": ["the", "import"], "mode": "disjunctive",
+          "not_terms": ["def"]}]
+    got = run_queries(small_index, q, k=15).collect()
+    banned = {r["docid"]
+              for r in decode_postings(small_index, ["def"]).collect()}
+    assert banned and not ({r["docid"] for r in got} & banned)
+
+    allowed = small_index.docs.select("docid").where(
+        ~F.col("docid").isin(sorted(banned))
+    )
+    want = run_queries(
+        small_index,
+        [{"qid": 1, "terms": ["the", "import"], "mode": "disjunctive"}],
+        k=15, doc_filter=allowed,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    with pytest.raises(ValueError, match="not_terms"):
+        run_queries(small_index, q, k=5, algo="bmw")
+    with pytest.raises(ValueError, match="not_terms"):
+        run_queries(small_index, q, k=5, strategy="query_major")
