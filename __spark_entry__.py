@@ -35,6 +35,12 @@ PREFIX_QUERIES = [
     {"qid": 3, "prefix": "wi"},
 ]
 
+FUZZY_QUERIES = [
+    {"qid": 1, "term": "tabl"},     # deletion of 'table'
+    {"qid": 2, "term": "sparkk"},   # insertion into 'spark'
+    {"qid": 3, "term": "windoe"},   # substitution in 'window'
+]
+
 # fixed reference query set over the documents vocabulary (FIXTURES.md F4)
 BM25_QUERIES = [
     {"qid": 1, "terms": ["table", "spark"], "mode": "disjunctive"},
@@ -149,11 +155,33 @@ def _bm25_prefix_oracle_sql(queries, max_expansions: int = 50) -> str:
     """Twin of run_queries_prefix: per-qid term set = lexicon LIKE
     'prefix%' capped at max_expansions by (df desc, term asc), then the
     standard disjunctive BM25 sum and 6dp rerank."""
+    return _bm25_rewrite_oracle_sql(
+        f"""  SELECT {{qid}} AS qid, term FROM (
+    SELECT term FROM lex WHERE term LIKE '{{prefix}}%'
+    ORDER BY df DESC, term ASC LIMIT {max_expansions})""",
+        queries,
+    )
+
+
+def _bm25_fuzzy_oracle_sql(queries, max_expansions: int = 10) -> str:
+    """Twin of run_queries_fuzzy: per-qid term set = lexicon terms at
+    Levenshtein distance <= 1 (the oracle filters DIRECTLY with
+    levenshtein — a different algorithm than the engine's SymSpell
+    deletion-neighborhood join, so agreement verifies the trick's
+    completeness, not shared code)."""
+    return _bm25_rewrite_oracle_sql(
+        f"""  SELECT {{qid}} AS qid, term FROM (
+    SELECT term FROM lex WHERE levenshtein(term, '{{term}}') <= 1
+    ORDER BY df DESC, term ASC LIMIT {max_expansions})""",
+        queries,
+    )
+
+
+def _bm25_rewrite_oracle_sql(branch_template: str, queries) -> str:
+    """Shared multi-term-rewrite twin: per-qid expansion branches
+    (UNION ALL), standard disjunctive BM25 sum, 6dp rerank."""
     branches = "\n  UNION ALL\n".join(
-        f"""  SELECT {q['qid']} AS qid, term FROM (
-    SELECT term FROM lex WHERE term LIKE '{q['prefix']}%'
-    ORDER BY df DESC, term ASC LIMIT {max_expansions})"""
-        for q in queries
+        branch_template.format(**q) for q in queries
     )
     contrib = _MODEL_CONTRIB_SQL["bm25"]
     return f"""
@@ -671,6 +699,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         deep = run_queries_prefix(idx, PREFIX_QUERIES, k=100)
         return _rerank_6dp(deep)
 
+    def bm25_fuzzy_topk(spark, sf):
+        """Fuzzy (edit-distance-1) term queries: SymSpell deletion-
+        neighborhood candidate join + exact levenshtein verify; the
+        oracle filters with levenshtein directly (different algorithm)."""
+        from terrier_ef_spark.query.expansion import run_queries_fuzzy
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_fuzzy(idx, FUZZY_QUERIES, k=100)
+        return _rerank_6dp(deep)
+
     def bm25_prox_topk(spark, sf):
         """Proximity-boosted BM25 (Rasolofo & Savoy 2003): top-20 base
         candidates re-scored with pairwise 1/dist^2 co-occurrence
@@ -1094,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prox_topk": bm25_prox_topk,
         "bm25_prefix_topk": bm25_prefix_topk,
         "bm25_not_topk": bm25_not_topk,
+        "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -1375,6 +1414,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_prox_topk": _bm25_prox_oracle_sql(BM25_QUERIES),
         "bm25_prefix_topk": _bm25_prefix_oracle_sql(PREFIX_QUERIES),
         "bm25_not_topk": _bm25_oracle_sql(NOT_QUERIES, conjunctive=False),
+        "bm25_fuzzy_topk": _bm25_fuzzy_oracle_sql(FUZZY_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(

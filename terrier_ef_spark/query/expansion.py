@@ -284,3 +284,75 @@ def run_queries_prefix(
 
         return index.spark.createDataFrame([], RESULT_SCHEMA)
     return run_queries(index, expanded, k=k, strategy="term_major")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance-1) term queries — SymSpell-style
+# ---------------------------------------------------------------------------
+
+def expand_fuzzy(index: EFIndex, term: str, max_expansions: int = 10) -> list[str]:
+    """Lexicon terms within Levenshtein distance 1 of `term`,
+    most-frequent-first (df desc, term asc), capped at max_expansions.
+
+    Candidate generation is the SymSpell deletion-neighborhood trick
+    (Garbe's symspell; the delete-match completeness argument for
+    distance 1: equal terms match trivially, a substitution matches on
+    same-position deletes, a deletion matches the query's delete
+    against the term itself, an insertion matches the term's delete
+    against the query): the lexicon side explodes each term into
+    {term} U single-deletes and equi-matches the query's variant set —
+    at a 10^9-term lexicon this is a JOIN against a materialized
+    neighborhood table instead of a full-lexicon distance scan. A
+    length +-1 prefilter bounds the explode and an exact levenshtein
+    verify removes the trick's distance-2 false positives (e.g.
+    'ab'~'ba')."""
+    if not term:
+        raise ValueError("empty term")
+    qvars = [term] + [term[:i] + term[i + 1:] for i in range(len(term))]
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length("term")),
+        lambda i: F.concat(
+            F.col("term").substr(F.lit(1), i - 1),
+            F.col("term").substr(i + 1, F.length("term") - i),
+        ),
+    )
+    rows = (
+        index.lexicon.select("term", "df")
+        .where(F.abs(F.length("term") - len(term)) <= 1)
+        .withColumn(
+            "variant",
+            F.explode(F.array_union(F.array(F.col("term")), deletes)),
+        )
+        .where(F.col("variant").isin(qvars))
+        .where(F.levenshtein(F.col("term"), F.lit(term)) <= 1)
+        .select("term", "df")
+        .distinct()
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def run_queries_fuzzy(
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int = 10,
+    max_expansions: int = 10,
+) -> DataFrame:
+    """queries: [{'qid': int, 'term': str}] — each (possibly
+    misspelled) term rewrites to a disjunctive BM25 query over its
+    edit-distance-1 lexicon matches (weight 1 each)."""
+    expanded = []
+    for q in queries:
+        terms = expand_fuzzy(index, q["term"], max_expansions)
+        if terms:
+            expanded.append(
+                {"qid": q["qid"], "terms": terms, "mode": "disjunctive"}
+            )
+    from terrier_ef_spark.query.engine import RESULT_SCHEMA, run_queries
+
+    if not expanded:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    return run_queries(index, expanded, k=k, strategy="term_major")

@@ -189,3 +189,47 @@ def test_prefix_query_rewrite(spark, tmp_path_factory):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
     assert run_queries_prefix(idx, [{"qid": 1, "prefix": "zz"}]).count() == 0
+
+
+def test_fuzzy_query_rewrite(spark, tmp_path_factory):
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.engine import run_queries
+    from terrier_ef_spark.query.expansion import expand_fuzzy, run_queries_fuzzy
+
+    docs = {
+        0: "table cable stable apple",          # 1-edit family of 'table'
+        1: "table table fable apple banana",
+        2: "cable fable apple apple",
+        3: "banana apple orange",
+        4: "ab ba apple",                       # 'ab'~'ba': the distance-2
+    }                                           # delete-trick false positive
+    rows = [("r", f"f{d}", "c0", "t", t, d) for d, t in sorted(docs.items())]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("fuzzy") / "idx"),
+        log2_quantum=3, n_partitions=2,
+    )
+    # deletion ('tble' is 1 edit from 'table'), plus the exact term
+    # df: table=2, cable=2, fable=2, stable=1
+    assert expand_fuzzy(idx, "table") == ["cable", "fable", "table", "stable"]
+    # 'fable','cable' are 1 sub away; 'stable' 1 insert; all found
+    assert expand_fuzzy(idx, "tble") == ["table"]      # delete in query
+    assert expand_fuzzy(idx, "tables") == ["table"]    # insert in query
+    assert expand_fuzzy(idx, "tabls") == ["table"]     # substitution
+    # the delete-trick's distance-2 false positive must be verified away
+    assert expand_fuzzy(idx, "ab") == ["ab"]           # NOT 'ba'
+    assert expand_fuzzy(idx, "zzzzz") == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        expand_fuzzy(idx, "")
+
+    got = run_queries_fuzzy(idx, [{"qid": 5, "term": "tble"}], k=10).collect()
+    want = run_queries(
+        idx, [{"qid": 5, "terms": ["table"], "mode": "disjunctive"}],
+        k=10, strategy="term_major",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
