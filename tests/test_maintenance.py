@@ -2,8 +2,6 @@
 semantics, blob byte-reuse outside deleted blocks, live-set stats,
 positional exactness, pruning-refusal guards."""
 
-import shutil
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,7 +12,6 @@ from terrier_ef_spark.index.maintenance import (
     compact_index,
     delete_docs,
 )
-from terrier_ef_spark.index.reader import open_index
 from terrier_ef_spark.query.engine import (
     decode_postings,
     decode_positions_df,
