@@ -202,3 +202,29 @@ def test_maintenance_composes_with_merge(spark, tmp_path):
     for r in cmp_idx.postings.collect():
         if r["block_id"] not in (3 >> BLOCK_BITS, 66 >> BLOCK_BITS):
             assert bytes(r["docids_ef"]) == src[(r["term"], r["block_id"])]
+
+
+def test_compact_random_deletes_property(spark, tmp_path_factory):
+    """Property check across random corpora + delete sets: the
+    compacted index always decodes to exactly the live posting set and
+    its stats match the live docs. (Deterministic seed grid rather than
+    Hypothesis: each example builds a real index, so examples are few
+    and must be reproducible run-to-run.)"""
+    root = tmp_path_factory.mktemp("maintprop")
+    for case, (seed, mod, res) in enumerate(
+        [(101, 3, 0), (202, 5, 2), (303, 2, 1), (404, 7, 6)]
+    ):
+        n = 50 + 13 * case
+        corpus = synthesize_corpus(spark, n, seed=seed, n_partitions=2)
+        idx = build_index(spark, corpus, str(root / f"i{case}"),
+                          block_bits=4, n_partitions=2)
+        deleted = [d for d in range(n) if d % mod == res]
+        delete_docs(idx, deleted)
+        cmp_idx = compact_index(idx, str(root / f"c{case}"), n_partitions=2)
+        live = {(r["term"], r["docid"], r["tf"])
+                for r in decode_postings(idx).collect()
+                if r["docid"] % mod != res}
+        got = {(r["term"], r["docid"], r["tf"])
+               for r in decode_postings(cmp_idx).collect()}
+        assert got == live, case
+        assert cmp_idx.stats["num_docs"] == n - len(deleted), case
