@@ -1152,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence": lambda s, sf: textstats.term_cooccurrence(_docs(s, sf)),
         "filter_pipeline": lambda s, sf: textstats.filter_pipeline(_docs(s, sf)),
         "term_stats": lambda s, sf: textstats.term_stats(_docs(s, sf)),
+        "tfidf_keywords": lambda s, sf: textstats.tfidf_keywords(_docs(s, sf)),
         "zipf_fit": lambda s, sf: textstats.zipf_fit(_docs(s, sf)),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
@@ -1499,6 +1500,7 @@ FROM events GROUP BY 1, 2
         "term_cooccurrence": textstats.term_cooccurrence_sql(),
         "filter_pipeline": textstats.filter_pipeline_sql(),
         "term_stats": textstats.term_stats_sql(),
+        "tfidf_keywords": textstats.tfidf_keywords_sql(),
         "zipf_fit": textstats.zipf_fit_sql(),
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,

@@ -650,3 +650,58 @@ SELECT count(*)::bigint AS n_ranks,
        round(covar_pop(x, y) / var_pop(x), 6) AS slope
 FROM top
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 5
+
+
+def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_PER_DOC) -> DataFrame:
+    """(doc_id, term, tfidf, rank): each document's top-k terms by
+    tf * log2(N/df) (ties on term asc) — the document-tagging op used
+    to route/cluster corpora before training. One tokenize pass; df is
+    a map-side-combined groupBy; the per-doc top-k is a window
+    partitioned by doc_id, so the ranking shuffles on the same key the
+    tf aggregation already produced."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * F.log2(F.lit(float(n)) / F.col("df")), 6)
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def tfidf_keywords_sql(k: int = KEYWORDS_PER_DOC) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_REP_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::double AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*)::double AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * log2(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC)::int AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

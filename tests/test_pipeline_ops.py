@@ -571,3 +571,24 @@ def test_term_stats_and_zipf_fit_known(spark):
     row = zipf_fit(docs, ranks=10).collect()[0]
     assert row["n_ranks"] == 4
     assert abs(row["slope"] - round(want, 6)) < 1e-9
+
+
+def test_tfidf_keywords_known(spark):
+    import math
+
+    from terrier_ef_spark.pipeline.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, "bb cc"), (2, "cc cc cc dd")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+           for r in tfidf_keywords(docs, k=2).collect()}
+    lg = math.log2
+    # df: aa=1, bb=2, cc=2, dd=1; N=3
+    assert got[(0, 1)] == ("aa", round(2 * lg(3 / 1), 6))
+    assert got[(0, 2)] == ("bb", round(1 * lg(3 / 2), 6))
+    assert got[(2, 1)] == ("cc", round(3 * lg(3 / 2), 6))
+    assert got[(2, 2)] == ("dd", round(1 * lg(3 / 1), 6))
+    # doc1: bb and cc tie at 1*log2(1.5) -> term asc breaks it
+    assert got[(1, 1)][0] == "bb" and got[(1, 2)][0] == "cc"
