@@ -1,0 +1,86 @@
+"""Sharded retrieval with global statistics: rank-identity (by docno)
+with querying the merged index — the semantics sharding must preserve —
+plus a demonstration that per-shard-stats scoring would diverge."""
+
+import numpy as np
+import pytest
+
+from terrier_ef_spark.corpus import synthesize_corpus
+from terrier_ef_spark.index.builder import build_index
+from terrier_ef_spark.index.merge import merge_many
+from terrier_ef_spark.query.engine import run_queries
+from terrier_ef_spark.query.sharded import run_queries_sharded
+
+QUERIES = [
+    {"qid": 1, "terms": ["import", "def"], "mode": "disjunctive"},
+    {"qid": 2, "terms": ["class", "self", "return"], "mode": "disjunctive"},
+    {"qid": 3, "terms": ["the", "if"], "mode": "disjunctive"},
+]
+
+
+@pytest.fixture(scope="module")
+def shard_setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sharded")
+    shards = []
+    # deliberately skewed shard sizes: per-shard avgdl/df differ, so
+    # per-shard-stats scoring would NOT match the merged index
+    for i, (n, seed) in enumerate(((120, 71), (40, 72), (80, 73))):
+        c = synthesize_corpus(spark, n, seed=seed, n_partitions=2)
+        d = str(root / f"s{i}")
+        shards.append(build_index(spark, c, d, block_bits=5, n_partitions=2))
+    merged = merge_many(
+        spark, [str(root / f"s{i}") for i in range(3)],
+        str(root / "m"), n_partitions=2,
+    )
+    return shards, merged
+
+
+def test_sharded_equals_merged_by_docno(spark, shard_setup):
+    shards, merged = shard_setup
+    res = run_queries_sharded(shards, QUERIES, k=10)
+    got = []
+    for r in res.collect():
+        docno = (
+            shards[r["shard"]].docs
+            .where(f"docid = {r['docid']}").select("docno").collect()[0][0]
+        )
+        got.append((r["qid"], r["rank"], docno, round(r["score"], 9)))
+
+    mres = run_queries(merged, QUERIES, k=10, strategy="term_major")
+    want = [
+        (r["qid"], r["rank"], r["docno"], round(r["score"], 9))
+        for r in mres.join(
+            merged.docs.select("docid", "docno"), "docid"
+        ).select("qid", "rank", "docno", "score").collect()
+    ]
+    assert sorted(got) == sorted(want) and len(got) > 0
+
+
+def test_per_shard_stats_would_diverge(spark, shard_setup):
+    """Sanity that the global-stats machinery is load-bearing: scoring
+    each shard with ITS OWN stats and fusing gives different scores for
+    the same document (the skewed shards have different avgdl/df)."""
+    shards, merged = shard_setup
+    local = {}
+    for i, s in enumerate(shards):
+        for r in run_queries(s, QUERIES[:1], k=50,
+                             strategy="term_major").collect():
+            docno = s.docs.where(f"docid = {r['docid']}") \
+                .select("docno").collect()[0][0]
+            local[docno] = round(r["score"], 6)
+    glob = {}
+    res = run_queries_sharded(shards, QUERIES[:1], k=50)
+    for r in res.collect():
+        docno = (
+            shards[r["shard"]].docs
+            .where(f"docid = {r['docid']}").select("docno").collect()[0][0]
+        )
+        glob[docno] = round(r["score"], 6)
+    common = set(local) & set(glob)
+    assert common
+    assert any(local[d] != glob[d] for d in common)
+
+
+def test_sharded_guards(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        run_queries_sharded([], QUERIES)
