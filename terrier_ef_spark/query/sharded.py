@@ -88,6 +88,12 @@ def run_queries_sharded(
             .join(s.docs.select("docid", "doclen"), "docid")
             .withColumn("shard", F.lit(i))
         )
+        # per-shard tombstones (index/maintenance.py): excluded here,
+        # with statistics staying global-pre-compaction — the same
+        # Lucene-style semantics as the single-index delete-aware path
+        tomb = s.deleted_docids()
+        if tomb is not None:
+            rows = rows.join(tomb.select("docid"), "docid", "left_anti")
         parts.append(rows.select("shard", "term", "docid", "tf", "doclen"))
     uni = parts[0]
     for p in parts[1:]:

@@ -84,3 +84,25 @@ def test_per_shard_stats_would_diverge(spark, shard_setup):
 def test_sharded_guards(spark):
     with pytest.raises(ValueError, match="at least one"):
         run_queries_sharded([], QUERIES)
+
+
+def test_sharded_respects_per_shard_tombstones(spark, shard_setup):
+    """Tombstoning a doc in one shard removes it from the sharded
+    results while every other row keeps its score (statistics stay
+    global pre-compaction, as on the single-index delete path)."""
+    from terrier_ef_spark.index.maintenance import clear_deletes, delete_docs
+
+    shards, _ = shard_setup
+    before = {(r["qid"], r["shard"], r["docid"]): r["score"]
+              for r in run_queries_sharded(shards, QUERIES, k=50).collect()}
+    victim = next((q, sh, d) for (q, sh, d) in before if sh == 1)
+    try:
+        delete_docs(shards[1], [victim[2]])
+        after = {(r["qid"], r["shard"], r["docid"]): r["score"]
+                 for r in run_queries_sharded(shards, QUERIES, k=50).collect()}
+        assert all(k[1] != 1 or k[2] != victim[2] for k in after)
+        for key, score in after.items():
+            if key in before:
+                assert abs(score - before[key]) < 1e-12
+    finally:
+        clear_deletes(shards[1])
