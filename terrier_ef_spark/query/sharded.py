@@ -48,12 +48,21 @@ def run_queries_sharded(
     queries: list[dict],
     *,
     k: int = 10,
+    skip_empty_shards: bool = True,
 ) -> DataFrame:
     """Disjunctive BM25 top-k over `shards` with GLOBAL collection
     statistics. Returns (qid, rank, shard, docid, score) — shard is the
     index into `shards`, docid is shard-local (shards have independent
     docid spaces; map via each shard's docs table docno for a global
-    identity). Tie-break (score desc, shard asc, docid asc)."""
+    identity). Tie-break (score desc, shard asc, docid asc).
+
+    skip_empty_shards: consult each shard's (tiny, term-pushed) lexicon
+    slice first and skip shards matching NO query term — losslessly: a
+    shard with df(t)=0 for every query term cannot contribute a
+    candidate, and the global statistics come from the same slices
+    (an absent term adds 0 to every sum). Segment-level partition
+    pruning: one metadata-sized job per shard replaces a postings
+    scan — the resource-selection baseline of a broker topology."""
     if not shards:
         raise ValueError("need at least one shard")
     spark = shards[0].spark
@@ -83,6 +92,8 @@ def run_queries_sharded(
 
     parts = []
     for i, s in enumerate(shards):
+        if skip_empty_shards and lex_parts[i].limit(1).count() == 0:
+            continue  # no query term exists in this shard: lossless skip
         rows = (
             decode_postings(s, terms)
             .join(s.docs.select("docid", "doclen"), "docid")
@@ -95,6 +106,8 @@ def run_queries_sharded(
         if tomb is not None:
             rows = rows.join(tomb.select("docid"), "docid", "left_anti")
         parts.append(rows.select("shard", "term", "docid", "tf", "doclen"))
+    if not parts:  # every shard skipped: no query term exists anywhere
+        return spark.createDataFrame([], SHARDED_RESULT_SCHEMA)
     uni = parts[0]
     for p in parts[1:]:
         uni = uni.unionByName(p)

@@ -106,3 +106,31 @@ def test_sharded_respects_per_shard_tombstones(spark, shard_setup):
                 assert abs(score - before[key]) < 1e-12
     finally:
         clear_deletes(shards[1])
+
+
+def test_empty_shard_skipping_is_lossless(spark, shard_setup, tmp_path):
+    """A shard whose lexicon matches no query term is skipped without
+    changing results; a query matching NOTHING anywhere returns empty."""
+    shards, _ = shard_setup
+    rows = [("r", "x0", "c0", "t", "qqqzz wwwzz qqqzz", 0),
+            ("r", "x1", "c0", "t", "wwwzz eeezz", 1)]
+    alien = build_index(
+        spark,
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string,"
+            " content string, doc_id long"),
+        str(tmp_path / "alien"), block_bits=5, n_partitions=2,
+    )
+    mixed = shards + [alien]
+    with_skip = sorted(map(tuple, run_queries_sharded(
+        mixed, QUERIES, k=10).collect()))
+    without = sorted(map(tuple, run_queries_sharded(
+        mixed, QUERIES, k=10, skip_empty_shards=False).collect()))
+    # lossless: skipping the alien shard changes nothing vs scanning it
+    # (note global stats DO include the alien shard's docs either way —
+    # num_docs/avgdl come from stats.json, not from the scans)
+    assert with_skip == without and with_skip
+    assert all(r[2] != 3 for r in with_skip)  # alien shard contributes none
+    assert run_queries_sharded(
+        mixed, [{"qid": 9, "terms": ["nonexistent_zz"]}], k=5
+    ).count() == 0
