@@ -586,17 +586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term", "docid", F.col("tf").cast("long").alias("tf")
         )
 
-    def merge_postings_decoded(spark, sf):
-        """End-to-end index MERGE under the gate: build two sub-indexes
-        over a doc_id split of the corpus, merge them (block-aligned
-        docid offset, index/merge.py), decode every posting. The twin
-        recomputes postings relationally with the same static docid
-        mapping (split at 250, block_bits=16 -> offset 65536), so the
-        gate proves the merge is lossless."""
+    def _get_merge_setup(spark, sf):
+        """Two sub-indexes over a doc_id split of the corpus (< 250 /
+        >= 250, block_bits=16) plus their merge — shared by the merge
+        and sharded-retrieval keys."""
         from terrier_ef_spark.corpus import corpus_from_documents
         from terrier_ef_spark.index.builder import build_index
         from terrier_ef_spark.index.merge import merge_indexes
-        from terrier_ef_spark.query.engine import decode_postings
 
         key = ("merge", os.path.abspath(sf))
         if key not in _INDEX_CACHE:
@@ -605,20 +601,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ".idx_cache",
                 "merge_" + (os.path.basename(sf.rstrip("/")) or "idx"),
             )
-            corpus = corpus_from_documents(spark, sf)
-            build_index(
-                spark, corpus.where(F.col("doc_id") < 250),
+            a = build_index(
+                spark, corpus_from_documents(spark, sf)
+                .where(F.col("doc_id") < 250),
                 os.path.join(out, "a"), n_partitions=8, block_bits=16,
             )
-            build_index(
-                spark, corpus.where(F.col("doc_id") >= 250),
+            b = build_index(
+                spark, corpus_from_documents(spark, sf)
+                .where(F.col("doc_id") >= 250),
                 os.path.join(out, "b"), n_partitions=8, block_bits=16,
             )
-            _INDEX_CACHE[key] = merge_indexes(
+            merged = merge_indexes(
                 spark, os.path.join(out, "a"), os.path.join(out, "b"),
                 os.path.join(out, "m"), n_partitions=8,
             )
-        return decode_postings(_INDEX_CACHE[key]).select(
+            _INDEX_CACHE[key] = (a, b, merged)
+        return _INDEX_CACHE[key]
+
+    def merge_postings_decoded(spark, sf):
+        """End-to-end index MERGE under the gate: build two sub-indexes
+        over a doc_id split of the corpus, merge them (block-aligned
+        docid offset, index/merge.py), decode every posting. The twin
+        recomputes postings relationally with the same static docid
+        mapping (split at 250, block_bits=16 -> offset 65536), so the
+        gate proves the merge is lossless."""
+        from terrier_ef_spark.query.engine import decode_postings
+
+        return decode_postings(_get_merge_setup(spark, sf)[2]).select(
             "term", "docid", F.col("tf").cast("long").alias("tf")
         )
 
@@ -697,6 +706,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _get_index(spark, sf)
         deep = run_queries_prefix(idx, PREFIX_QUERIES, k=100)
+        return _rerank_6dp(deep)
+
+    def bm25_sharded_topk(spark, sf):
+        """Sharded retrieval with GLOBAL statistics: BM25 over the two
+        doc_id-split sub-indexes WITHOUT merging (query/sharded.py).
+        Shard-local docids equal the corpus doc_ids here, so the twin
+        is the plain whole-corpus BM25 oracle — agreement proves the
+        cross-shard df/avgdl aggregation reproduces single-index
+        scoring exactly."""
+        from terrier_ef_spark.query.sharded import run_queries_sharded
+
+        a, b, _ = _get_merge_setup(spark, sf)
+        deep = run_queries_sharded([a, b], BM25_QUERIES, k=100).drop("shard")
         return _rerank_6dp(deep)
 
     def bm25_fuzzy_topk(spark, sf):
@@ -1133,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_topk": bm25_prefix_topk,
         "bm25_not_topk": bm25_not_topk,
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
+        "bm25_sharded_topk": bm25_sharded_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -1416,6 +1439,8 @@ SELECT term, doc_id AS docid FROM (
         "bm25_prefix_topk": _bm25_prefix_oracle_sql(PREFIX_QUERIES),
         "bm25_not_topk": _bm25_oracle_sql(NOT_QUERIES, conjunctive=False),
         "bm25_fuzzy_topk": _bm25_fuzzy_oracle_sql(FUZZY_QUERIES),
+        # sharded twin == the plain whole-corpus oracle: that IS the claim
+        "bm25_sharded_topk": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(
