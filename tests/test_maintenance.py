@@ -228,3 +228,19 @@ def test_compact_random_deletes_property(spark, tmp_path_factory):
                for r in decode_postings(cmp_idx).collect()}
         assert got == live, case
         assert cmp_idx.stats["num_docs"] == n - len(deleted), case
+
+
+def test_compact_refuses_foreign_format(spark, tmp_path):
+    """A params.json from a different format version must refuse to
+    compact (a silently mis-decoded blob would corrupt the rewrite)."""
+    import json
+
+    corpus = synthesize_corpus(spark, 30, seed=33, n_partitions=2)
+    d = str(tmp_path / "fmt")
+    idx = build_index(spark, corpus, d, block_bits=4, n_partitions=2)
+    delete_docs(idx, [0])
+    params = json.load(open(f"{d}/params.json"))
+    params["format"] = 999
+    json.dump(params, open(f"{d}/params.json", "w"))
+    with pytest.raises(ValueError, match="format"):
+        compact_index(idx, d + "_out")
