@@ -829,3 +829,26 @@ def test_not_terms_exclusion(spark, small_index):
         run_queries(small_index, q, k=5, algo="bmw")
     with pytest.raises(ValueError, match="not_terms"):
         run_queries(small_index, q, k=5, strategy="query_major")
+
+
+def test_term_filter_pushdown_plan_shape(spark, small_index):
+    """Plan regression guard: the term-major scorer's postings scan must
+    carry the query terms as a parquet PushedFilters In(term, ...) —
+    losing the pushdown would silently turn every query into a full
+    postings scan at scale."""
+    df = run_queries(
+        small_index,
+        [{"qid": 1, "terms": ["import", "def"], "mode": "disjunctive"}],
+        k=5, strategy="term_major",
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    pushed = [p for p in re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+              if "In(term" in p]
+    assert pushed, plan[:2000]
+    assert any("import" in p and "def" in p for p in pushed)
