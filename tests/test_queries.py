@@ -852,3 +852,25 @@ def test_term_filter_pushdown_plan_shape(spark, small_index):
               if "In(term" in p]
     assert pushed, plan[:2000]
     assert any("import" in p and "def" in p for p in pushed)
+
+
+def test_positions_column_pruned_for_scoring(spark, small_index):
+    """The lazy-decode property as a plan guard: scoring queries on a
+    POSITIONAL index must not read positions_ef — the scan's ReadSchema
+    excludes it (SURVEY.md §4 'Lazy decode')."""
+    df = run_queries(
+        small_index,
+        [{"qid": 1, "terms": ["import"], "mode": "disjunctive"}],
+        k=5, strategy="term_major",
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    schemas = [s for s in re.findall(r"ReadSchema: [^\n]*", plan)
+               if "docids_ef" in s]
+    assert schemas, plan[:2000]  # the postings scan is present
+    assert all("positions_ef" not in s for s in schemas), schemas
