@@ -504,6 +504,21 @@ def _build_index(
     stage_sec["docs"] = time.time() - t_stage
     docs_df = spark.read.parquet(paths.docs)
     num_docs = docs_df.count()
+    if block_bits is None and num_docs:
+        # unblocked blobs encode absolute docids bounded by num_docs, so
+        # doc_ids must be dense 0..n-1 (corpus.synthesize_corpus's
+        # contract); a FILTERED corpus keeps original ids and would
+        # otherwise fail deep in the EF kernel with a bound error
+        max_id = docs_df.agg(F.max("docid")).collect()[0][0]
+        if int(max_id) >= num_docs:
+            raise ValueError(
+                f"doc_ids are sparse (max {max_id} >= num_docs "
+                f"{num_docs}): an unblocked index requires dense "
+                "0..n-1 ids — pass block_bits (recommended at scale; "
+                "blocked blobs bound docids by the block width), or "
+                "renumber, e.g. by dropping doc_id so assign_dense_ids "
+                "runs"
+            )
 
     # ---- blocked EF encode -> postings parquet ----
     t_stage = time.time()

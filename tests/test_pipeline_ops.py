@@ -592,3 +592,69 @@ def test_tfidf_keywords_known(spark):
     assert got[(2, 2)] == ("dd", round(1 * lg(3 / 1), 6))
     # doc1: bb and cc tie at 1*log2(1.5) -> term asc breaks it
     assert got[(1, 1)][0] == "bb" and got[(1, 2)][0] == "cc"
+
+
+def test_clean_corpus_recipe(spark, tmp_path):
+    """End-to-end corpus prep: near-dups dropped to one canonical copy,
+    quality failures dropped with attributed reasons, benchmark-
+    contaminated docs dropped; survivors build a queryable index."""
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.pipeline.recipes import clean_corpus
+    from terrier_ef_spark.query.engine import run_queries
+
+    good = " ".join(
+        f"the item{i} has size{i} and color{i} in box{i}" for i in range(8)
+    )
+    good2 = " ".join(
+        f"a part{i} with shade{i} or weight{i} near bin{i}" for i in range(8)
+    )
+    leak = " ".join(
+        f"the riddle{i} answer{i} is secret{i} of vault{i}" for i in range(8)
+    )
+    rows = [
+        (0, good), (1, good), (2, good),       # near-dup cluster, keep 0
+        (3, good2),                            # clean survivor
+        (4, "tiny doc"),                       # quality failure
+        (5, leak),                             # contaminated vs bench
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(900, leak)], "doc_id long, text string")
+
+    survivors, ledger = clean_corpus(docs, bench=bench)
+    kept = {r["doc_id"] for r in survivors.collect()}
+    dropped = {r["doc_id"]: r["dropped_by"] for r in ledger.collect()}
+    assert kept == {0, 3}
+    assert dropped[1] == "near_duplicate" and dropped[2] == "near_duplicate"
+    assert dropped[4].startswith("quality:") and "too_few_tokens" in dropped[4]
+    assert dropped[5] == "contaminated"
+
+    corpus = survivors.select(
+        F.lit("r").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"), F.lit("t").alias("lang"),
+        F.col("text").alias("content"), "doc_id",
+    )
+    idx = build_index(spark, corpus, str(tmp_path / "clean"),
+                      block_bits=4, n_partitions=2)
+    res = run_queries(
+        idx, [{"qid": 1, "terms": ["item0", "part0"], "mode": "disjunctive"}],
+        k=5, strategy="term_major",
+    ).collect()
+    assert {r["docid"] for r in res} == {0, 3}
+
+
+def test_unblocked_build_refuses_sparse_doc_ids(spark, tmp_path):
+    from terrier_ef_spark.index.builder import build_index
+
+    corpus = spark.createDataFrame(
+        [("r", "p0", "c", "t", "alpha beta", 0),
+         ("r", "p5", "c", "t", "beta gamma", 5)],
+        "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    with pytest.raises(ValueError, match="sparse"):
+        build_index(spark, corpus, str(tmp_path / "sparse"), n_partitions=2)
+    # blocked build handles the same sparse ids fine
+    idx = build_index(spark, corpus, str(tmp_path / "sparse_b"),
+                      block_bits=2, n_partitions=2)
+    assert idx.stats["num_docs"] == 2
