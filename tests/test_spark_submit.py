@@ -38,7 +38,9 @@ def test_spark_submit_pyfiles(tmp_path):
             "--py-files", zip_path,
             os.path.join(REPO, "tools", "submit_build.py"),
             "--synth-docs", "60", "--out", str(tmp_path / "idx"),
-            "--partitions", "4",
+            "--partitions", "4", "--block-bits", "5",
+            "--delete-docids", "3", "7",
+            "--compact-out", str(tmp_path / "idx_live"),
             "--queries", "table,value", "merge",
         ],
         cwd=str(tmp_path),  # NOT the repo root: the package must come from the zip
@@ -52,7 +54,11 @@ def test_spark_submit_pyfiles(tmp_path):
     out = json.loads(line)
     assert out["num_docs"] == 60
     assert out["num_postings"] > 0
+    # lifecycle verbs ran in the same submit: tombstone + compact
+    assert out["tombstones"] == 2 and out["live_docs"] == 58
     assert out["results"], "query results missing"
+    banned = {3, 7}
+    assert not ({r["docid"] for r in out["results"]} & banned)
     # index artifacts landed with stage markers (resumability evidence)
     for stage in ("docs", "postings", "lexicon"):
         assert os.path.exists(tmp_path / "idx" / stage / "_SUCCESS")

@@ -41,6 +41,15 @@ def main() -> None:
     ap.add_argument("--direct", action="store_true",
                     help="also build the forward (direct) index")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--delete-docids", nargs="*", type=int, default=None,
+                    help="tombstone these docids after the build")
+    ap.add_argument("--compact-out", default=None,
+                    help="compact tombstones into a new index at this dir")
+    ap.add_argument("--merge-with", nargs="*", default=None,
+                    help="existing index dirs to N-way-merge with the "
+                         "built index; result replaces the query target")
+    ap.add_argument("--merge-out", default=None,
+                    help="output dir for --merge-with (required with it)")
     ap.add_argument("--queries", nargs="*", default=[],
                     help="comma-joined terms per query, e.g. 'a,b' 'c'")
     ap.add_argument("--k", type=int, default=10)
@@ -96,13 +105,40 @@ def main() -> None:
         out["direct_sec"] = round(time.time() - t0, 3)
         out["direct_docs"] = direct.count()
 
+    if args.merge_with:
+        if not args.merge_out:
+            ap.error("--merge-with requires --merge-out")
+        from terrier_ef_spark.index.merge import merge_many
+
+        t0 = time.time()
+        idx = merge_many(spark, [args.out, *args.merge_with],
+                         args.merge_out, n_partitions=args.partitions)
+        out["merge_sec"] = round(time.time() - t0, 3)
+        out["merged_docs"] = idx.stats["num_docs"]
+
+    if args.delete_docids:
+        from terrier_ef_spark.index.maintenance import delete_docs
+
+        out["tombstones"] = delete_docs(idx, args.delete_docids)
+        if args.compact_out:
+            from terrier_ef_spark.index.maintenance import compact_index
+
+            t0 = time.time()
+            idx = compact_index(idx, args.compact_out,
+                                n_partitions=args.partitions)
+            out["compact_sec"] = round(time.time() - t0, 3)
+            out["live_docs"] = idx.stats["num_docs"]
+
     if args.queries:
         batch = [
             {"qid": i + 1, "terms": q.split(","), "mode": "disjunctive"}
             for i, q in enumerate(args.queries)
         ]
         t0 = time.time()
-        res = run_queries(idx, batch, k=args.k, algo="bmw").collect()
+        # a tombstoned (uncompacted) index refuses pruning algorithms;
+        # serve it exhaustively until compaction
+        algo = "bmw" if idx.deleted_docids() is None else "naive"
+        res = run_queries(idx, batch, k=args.k, algo=algo).collect()
         out["query_sec"] = round(time.time() - t0, 3)
         out["results"] = [
             {"qid": r["qid"], "rank": r["rank"], "docid": r["docid"],
