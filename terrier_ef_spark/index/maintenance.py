@@ -97,18 +97,35 @@ def delete_docs(
             f"delete_docs: docids not in index (first few): {missing_rows}"
         )
 
+    final = deletes_path(index.paths)
+    aside = final + "_old"
+    # crash recovery from a prior interrupted swap: if the live dir is
+    # missing but the set-aside copy exists, restore it before reading
+    # (deleted_docids applies the same fallback on the read side)
+    if os.path.exists(aside) and not os.path.exists(
+        os.path.join(final, "_SUCCESS")
+    ):
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(aside, final)
+
     old = deleted_docids(index)
     merged = ids if old is None else old.unionByName(ids).distinct()
     # the new tombstone set may read the old one: write to a sidecar
-    # dir, then swap (single-writer maintenance op, like Lucene commits)
-    final = deletes_path(index.paths)
+    # dir, then swap (single-writer maintenance op, like Lucene commits).
+    # Swap order is crash-safe: the old set is RENAMED ASIDE (not
+    # deleted) before tmp moves into place, so a crash at any point
+    # leaves either the old set live, or the old set detectably parked
+    # at deletes_old — never a silently tombstone-free index.
     tmp = final + "_tmp"
     # range-partitioned on docid so a billion-row tombstone set still
     # writes (and later anti-joins) in parallel; tiny sets cost one file
     merged.repartitionByRange(8, "docid").write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(final, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
+    if os.path.exists(final):
+        os.rename(final, aside)
     os.rename(tmp, final)
+    shutil.rmtree(aside, ignore_errors=True)
     return int(n)
 
 

@@ -93,6 +93,7 @@ def merge_many(
     running = 0
     docs_parts = []
     post_parts = []
+    tomb_parts = []
     for d, p in zip(dirs, paths):
         docs_d = spark.read.parquet(p.docs)
         max_d = docs_d.agg(F.max("docid")).collect()[0][0]
@@ -117,6 +118,16 @@ def merge_many(
                 F.transform("q_last_docid", lambda x: x + offset),
             )
         )
+        # tombstones ride through relabeled, like every other docid
+        # artifact: a deleted doc must stay deleted after a merge (and
+        # after tiering.compact_segments, which is merge_many underneath)
+        tomb_src = os.path.join(p.root, "deletes")
+        if os.path.exists(os.path.join(tomb_src, "_SUCCESS")):
+            t_d = spark.read.parquet(tomb_src)
+            tomb_parts.append(
+                t_d if offset == 0
+                else t_d.withColumn("docid", F.col("docid") + offset)
+            )
 
     os.makedirs(out_dir, exist_ok=True)
     with open(po.params, "w") as fh:
@@ -139,6 +150,14 @@ def merge_many(
           .sortWithinPartitions("term", "block_id")
           .write.mode("overwrite").parquet(po.postings))
 
+    if tomb_parts:
+        tomb = tomb_parts[0]
+        for part in tomb_parts[1:]:
+            tomb = tomb.unionByName(part)
+        (tomb.repartitionByRange(8, "docid")
+             .write.mode("overwrite")
+             .parquet(os.path.join(po.root, "deletes")))
+
     finalize_index(
         spark, po,
         log2_quantum=log2_quantum, positions=positions,
@@ -146,7 +165,8 @@ def merge_many(
     )
     with open(po.manifest, "w") as fh:
         json.dump({"op": "merge", "sources": list(dirs),
-                   "offsets": offsets}, fh)
+                   "offsets": offsets,
+                   "tombstoned_sources": len(tomb_parts)}, fh)
     return EFIndex(spark, out_dir)
 
 

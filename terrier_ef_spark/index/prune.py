@@ -60,7 +60,15 @@ def prune_index(
     num_docs = int(index.stats["num_docs"])
     t0 = time.time()
 
+    # Tombstones fold in here (prune decodes everything anyway): deleted
+    # postings are dropped BEFORE the top-n window so they can't occupy
+    # kept slots, and the docs copy below filters to the live set, so
+    # the pruned index is tombstone-free with live-set statistics —
+    # prune(tombstoned idx) == prune(compact(idx)) w.r.t. what it serves.
+    tomb = index.deleted_docids()
     rows = decode_postings(index).select("term", "docid", "tf")
+    if tomb is not None:
+        rows = rows.join(tomb.select("docid"), "docid", "left_anti")
     w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("docid"))
     kept = (
         rows.withColumn("rk", F.row_number().over(w))
@@ -98,8 +106,13 @@ def prune_index(
             .write.mode("overwrite").parquet(po.postings))
     encoded.unpersist()
 
-    # docs table verbatim: doclens / avgdl / num_docs stay global
-    (spark.read.parquet(index.paths.docs)
+    # docs table verbatim (doclens / avgdl / num_docs stay global) —
+    # minus tombstoned docs, whose removal makes the stats the live-set
+    # stats, exactly as after compaction
+    docs_out = spark.read.parquet(index.paths.docs)
+    if tomb is not None:
+        docs_out = docs_out.join(tomb.select("docid"), "docid", "left_anti")
+    (docs_out
           .repartitionByRange(n_partitions, "docid")
           .sortWithinPartitions("docid")
           .write.mode("overwrite").parquet(po.docs))
@@ -114,7 +127,8 @@ def prune_index(
     with open(po.manifest, "w") as fh:
         json.dump(
             {"op": "prune", "source": index.paths.root,
-             "top_n": top_n, "stage_sec": stage_sec},
+             "top_n": top_n, "stage_sec": stage_sec,
+             "tombstones_folded": tomb is not None},
             fh,
         )
     return EFIndex(spark, out_dir)

@@ -56,6 +56,12 @@ class EFIndex:
         default (run_queries respect_deletes)."""
         p = os.path.join(self.paths.root, "deletes")
         if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            # a crash mid-swap in delete_docs leaves the previous set
+            # parked at deletes_old; read it rather than silently
+            # resurrecting deleted docs (next delete_docs restores it)
+            aside = p + "_old"
+            if os.path.exists(os.path.join(aside, "_SUCCESS")):
+                return self.spark.read.parquet(aside)
             return None
         return self.spark.read.parquet(p)
 

@@ -41,6 +41,7 @@ def run_queries_bm25f(
     weights: dict[str, float] | None = None,
     bs: dict[str, float] | None = None,
     k1: float = bm25.K1,
+    respect_deletes: bool = True,
 ) -> DataFrame:
     """fields: {field_name: EFIndex} built over the SAME docid space
     (each index's docs table must cover the same docids; per-field
@@ -107,6 +108,17 @@ def run_queries_bm25f(
         .groupBy("qid", "docid")
         .agg(F.sum("contrib").alias("score"))
     )
+    # tombstone semantics match the single-field scorer: a doc deleted
+    # in ANY field index is excluded from results, while df/idf stay
+    # global until compaction (the anti-join sits after the df window)
+    if respect_deletes:
+        tombs = [t for t in (fields[n].deleted_docids() for n in names)
+                 if t is not None]
+        if tombs:
+            tomb = tombs[0].select("docid")
+            for t in tombs[1:]:
+                tomb = tomb.unionByName(t.select("docid"))
+            scored = scored.join(tomb.distinct(), "docid", "left_anti")
     wnd = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     return (
         scored.withColumn("rank", F.row_number().over(wnd))

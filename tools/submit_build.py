@@ -120,14 +120,20 @@ def main() -> None:
         from terrier_ef_spark.index.maintenance import delete_docs
 
         out["tombstones"] = delete_docs(idx, args.delete_docids)
-        if args.compact_out:
-            from terrier_ef_spark.index.maintenance import compact_index
 
-            t0 = time.time()
-            idx = compact_index(idx, args.compact_out,
-                                n_partitions=args.partitions)
-            out["compact_sec"] = round(time.time() - t0, 3)
-            out["live_docs"] = idx.stats["num_docs"]
+    # compaction runs whenever requested — including against tombstones
+    # left by a PRIOR run, not only ones created by this invocation
+    if args.compact_out:
+        from terrier_ef_spark.index.maintenance import compact_index
+
+        if idx.deleted_docids() is None:
+            ap.error("--compact-out: index has no tombstones to compact "
+                     "(use --delete-docids or point at a tombstoned index)")
+        t0 = time.time()
+        idx = compact_index(idx, args.compact_out,
+                            n_partitions=args.partitions)
+        out["compact_sec"] = round(time.time() - t0, 3)
+        out["live_docs"] = idx.stats["num_docs"]
 
     if args.queries:
         batch = [
