@@ -594,6 +594,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _get_index(spark, sf)
         return idx.docs.select(F.col("docid"), F.col("doclen").cast("long").alias("doclen"))
 
+    def doclens_gamma(spark, sf):
+        """Round-trip of the γ-coded doc-length artifact (stored-format
+        parity with EFDocumentIndex.java:106-112): decode the segmented
+        γ blobs back to (docid, doclen) and match the tokenizer oracle."""
+        from terrier_ef_spark.index.doclens import read_doclens_gamma
+
+        idx = _get_index(spark, sf)
+        return read_doclens_gamma(spark, idx.paths)
+
     def lexicon(spark, sf):
         idx = _get_index(spark, sf)
         return idx.lexicon.select(
@@ -1154,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _gate_order({
         "doclens": doclens,
+        "doclens_gamma": doclens_gamma,
         "lexicon": lexicon,
         "postings_decoded": postings_decoded,
         "merge_postings_decoded": merge_postings_decoded,
@@ -1319,6 +1329,7 @@ SELECT vec_id, cos, rank FROM (
 """
     return _gate_order({
         "doclens": f"SELECT doc_id AS docid, len({TOK})::bigint AS doclen FROM documents",
+        "doclens_gamma": f"SELECT doc_id AS docid, len({TOK})::bigint AS doclen FROM documents",
         "lexicon": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)

@@ -824,7 +824,9 @@ def write_gamma_array(values) -> bytes:
     """Gamma-code an int array (value >= 0 -> nonZeroGamma(value+1)).
     Used for the doc-length index artifact (EFDocumentIndex.java:106-112)."""
     v = np.asarray(values, dtype=np.int64) + 1
-    if len(v) and int(v.min()) < 1:
+    if len(v) == 0:
+        return _pack_blob([])
+    if int(v.min()) < 1:
         raise ValueError("gamma code requires values >= 0")
     # exact integer msb per element (no float log)
     msbs = np.zeros(len(v), dtype=np.int64)
@@ -833,14 +835,21 @@ def write_gamma_array(values) -> bytes:
         mask = tmp >= (np.int64(1) << np.int64(shift))
         msbs[mask] += shift
         tmp[mask] >>= np.int64(shift)
-    segments = []
-    for val, b in zip(v.tolist(), msbs.tolist()):
-        unary = np.zeros(b + 1, dtype=np.uint8)
-        unary[b] = 1  # 1 << msb written in msb+1 bits, LSB-first
-        rest = _fields_to_bits(np.array([val ^ (1 << b)], dtype=np.int64), b)
-        segments.append(unary)
-        segments.append(rest)
-    return _pack_blob(segments)
+    # whole-array layout (no per-value Python loop — this codec sits on
+    # the finalize path for the doc-length artifact): each value owns
+    # 2*msb+1 bits — msb zeros, a 1 terminator, then msb rest bits of
+    # (v ^ (1 << msb)) LSB-first
+    widths = 2 * msbs + 1
+    starts = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(widths)[:-1]]
+    )
+    bits = np.zeros(int(widths.sum()), dtype=np.uint8)
+    bits[starts + msbs] = 1
+    rest = v ^ (np.int64(1) << msbs)
+    for k in range(int(msbs.max())):
+        m = msbs > k
+        bits[starts[m] + msbs[m] + 1 + k] = (rest[m] >> np.int64(k)) & 1
+    return _pack_blob([bits])
 
 
 def read_gamma_array(blob: bytes, count: int) -> np.ndarray:

@@ -365,6 +365,18 @@ def finalize_index(
         metrics.coalesce(1).write.mode("overwrite").parquet(paths.metrics)
     stage_sec["metrics"] = time.time() - t_stage
 
+    # ---- stage 4b: γ-coded doc-length artifact (stored-format parity
+    # with EFDocumentIndex.java:106-112; serving still reads Parquet) ----
+    t_stage = time.time()
+    from terrier_ef_spark.index.doclens import (
+        doclens_gamma_path,
+        write_doclens_gamma,
+    )
+
+    if not (resume and _stage_done(doclens_gamma_path(paths))):
+        write_doclens_gamma(spark, paths)
+    stage_sec["doclens_gamma"] = time.time() - t_stage
+
     lex_row = lexicon_df.agg(
         F.count(F.lit(1)).alias("nt"), F.sum("df").alias("np"),
         F.sum("bits_docids").alias("bd"), F.sum("bits_freqs").alias("bf"),
