@@ -156,25 +156,30 @@ def _read_fields_packed(
 # Core encode/decode of one EF sequence
 # ---------------------------------------------------------------------------
 
-def ef_encode(
+def ef_encode_bits(
     values,
     upper_bound: int,
     *,
     strict: bool,
     index_zeroes: bool,
     log2_quantum: int = DEFAULT_LOG2_QUANTUM,
-) -> bytes:
-    """Encode a sequence of natural numbers as one EF blob.
+) -> np.ndarray:
+    """Encode one EF sequence to its raw LSB-first bit array (uint8 0/1,
+    no word padding). ef_encode packs this into a padded blob; the
+    Terrier-layout export (index/export.py) concatenates these bit
+    arrays back-to-back into ONE continuous bitstream with per-term bit
+    offsets, exactly how the reference's global bitfiles are laid out
+    (EliasFanoWriters.java:32-48 — sequences are NOT word-aligned
+    inside the file; only the file tail is padded).
 
     `values` are the raw per-element increments exactly as fed to
     SequenceEncoder.add(): docid gaps for docid lists, tf values for
     frequency lists, (1+pos0, deltas...) for position lists.
 
-    Layout: [pointers][lower bits][upper bits], LSB-first bits in
-    little-endian 64-bit words. For non-strict indexZeroes lists a
-    sentinel element raising the prefix sum to `upper_bound` is appended
-    (SequenceEncoder.dump:212-215); skip pointers are zero-padded to the
-    expected count (dump:216-218).
+    Layout: [pointers][lower bits][upper bits]. For non-strict
+    indexZeroes lists a sentinel element raising the prefix sum to
+    `upper_bound` is appended (SequenceEncoder.dump:212-215); skip
+    pointers are zero-padded to the expected count (dump:216-218).
     """
     v = np.asarray(values, dtype=np.int64)
     n = int(len(v))
@@ -200,7 +205,7 @@ def ef_encode(
     n_ptrs = number_of_pointers(m, upper_bound, log2_quantum, strict, index_zeroes)
 
     if m == 0:
-        return _pack_blob([])
+        return np.zeros(0, dtype=np.uint8)
 
     high = cps >> np.int64(l)
     one_pos = high + np.arange(m, dtype=np.int64)
@@ -232,7 +237,25 @@ def ef_encode(
     upper_seg = np.zeros(upper_len, dtype=np.uint8)
     upper_seg[one_pos] = 1
 
-    return _pack_blob([ptr_bits, lower_seg, upper_seg])
+    return np.concatenate([ptr_bits, lower_seg, upper_seg])
+
+
+def ef_encode(
+    values,
+    upper_bound: int,
+    *,
+    strict: bool,
+    index_zeroes: bool,
+    log2_quantum: int = DEFAULT_LOG2_QUANTUM,
+) -> bytes:
+    """Encode one EF sequence as a self-contained blob: the raw bits of
+    ef_encode_bits packed LSB-first into little-endian 64-bit words."""
+    return _pack_blob([
+        ef_encode_bits(
+            values, upper_bound, strict=strict,
+            index_zeroes=index_zeroes, log2_quantum=log2_quantum,
+        )
+    ])
 
 
 def ef_decode_prefix_sums(

@@ -1,0 +1,311 @@
+"""Terrier-layout interop bridge: export the Parquet EF index to the
+reference's on-disk shape — global `.docids` / `.freqs` bitfiles with
+per-term BIT offsets in a lexicon — and import it back.
+
+Reference layout being reproduced (studied, not copied):
+- EliasFanoWriters.java:32-48 — one LongWordBitWriter per bitfile;
+  every term's EF sequence is appended to a single continuous bitstream
+  (no per-term word alignment; only the file tail pads to a 64-bit
+  word), and the lexicon entry records the sequence's bit offset.
+- CompressorReducer.java:101-109 — merging two partial indexes is file
+  concatenation plus `offset += 8 * bytes(file1)` on every second-file
+  lexicon entry. export_merge_bitfiles below reproduces exactly that
+  math, making it the on-disk inverse of index/merge.py's docid-relabel
+  merge.
+
+Scope (deliberate, see COVERAGE.md): this is an interop proof and the
+strongest available bit-level differential surface for the EF kernel —
+the product artifact at 100 TB stays the partitioned Parquet blobs.
+The export is driver-side and guarded to small indexes (a single
+continuous bitstream is single-writer by definition — the same reason
+the reference's own final reduce is sequential). The lexicon is written
+as Parquet (term, termid, df, cf, bit offsets) rather than an
+FSOMapFile: the offsets and bitstreams are the format's substance; the
+map-file container needs Terrier's serialization jars, which are
+unavailable and unverifiable in this environment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from terrier_ef_spark import ef
+from terrier_ef_spark.index.reader import EFIndex
+
+MAX_EXPORT_POSTINGS = 5_000_000
+
+LEX_SCHEMA = (
+    "term string, termid long, df long, cf long, "
+    "docid_bit_offset long, freq_bit_offset long"
+)
+
+
+def _pack_stream(bit_arrays: list[np.ndarray]) -> bytes:
+    """Concatenate per-term bit arrays into one continuous stream and
+    pack LSB-first into little-endian bytes padded to a 64-bit word —
+    the LongWordBitWriter file discipline (pad at file tail only)."""
+    bits = (
+        np.concatenate(bit_arrays)
+        if bit_arrays
+        else np.zeros(0, dtype=np.uint8)
+    )
+    packed = np.packbits(bits, bitorder="little")
+    pad = (-len(packed)) % 8
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, dtype=np.uint8)])
+    return packed.tobytes()
+
+
+def _read_lexicon(prefix: str) -> dict:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = prefix + ".lexicon.parquet"
+    files = [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pydict()
+
+
+def _write_lexicon(prefix: str, columns: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = prefix + ".lexicon.parquet"
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.table(columns), os.path.join(out_dir, "part-0.parquet"))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+
+
+def _unpack_stream(prefix: str, ext: str) -> np.ndarray:
+    with open(prefix + ext, "rb") as fh:
+        return np.unpackbits(
+            np.frombuffer(fh.read(), dtype=np.uint8), bitorder="little"
+        )
+
+
+def export_terrier_bitfiles(
+    index: EFIndex,
+    out_prefix: str,
+    *,
+    terms: list[str] | None = None,
+) -> dict:
+    """Write `<out_prefix>.docids`, `<out_prefix>.freqs`,
+    `<out_prefix>.lexicon.parquet` and `<out_prefix>.properties.json`
+    in the reference's global-bitstream layout. Returns the properties
+    dict. `terms` restricts the export to a term subset — a term
+    PARTITION in the reference's compressor sense, mergeable back with
+    export_merge_bitfiles when partitions are term-range-disjoint.
+
+    Works for blocked and unblocked indexes alike: postings are decoded
+    to absolute docids and re-encoded per term at the GLOBAL docid
+    bound — the blockwise-to-global transformation the reference never
+    needs (its blobs are global already) and our Parquet layout undoes
+    block by block."""
+    from terrier_ef_spark.query.engine import decode_postings
+
+    num_postings = int(index.stats["num_postings"])
+    if num_postings > MAX_EXPORT_POSTINGS:
+        raise ValueError(
+            f"export is a driver-side interop bridge, guarded to "
+            f"{MAX_EXPORT_POSTINGS} postings (index has {num_postings}); "
+            "export term partitions separately and combine with "
+            "export_merge_bitfiles"
+        )
+    num_docs = int(index.stats["num_docs"])
+    log2q = int(index.stats["log2_quantum"])
+
+    rows = (
+        decode_postings(index, terms=sorted(terms) if terms else None)
+        .select("term", "docid", "tf")
+        .toPandas()
+        .sort_values(["term", "docid"])
+    )
+    docid_bits: list[np.ndarray] = []
+    freq_bits: list[np.ndarray] = []
+    lex = {k: [] for k in (
+        "term", "termid", "df", "cf", "docid_bit_offset", "freq_bit_offset"
+    )}
+    docid_off = 0
+    freq_off = 0
+    for termid, (term, grp) in enumerate(rows.groupby("term", sort=True)):
+        d = grp["docid"].to_numpy(np.int64)
+        tfs = grp["tf"].to_numpy(np.int64)
+        cf = int(tfs.sum())
+        gaps = np.diff(d, prepend=np.int64(0))
+        db = ef.ef_encode_bits(
+            gaps, num_docs, strict=False, index_zeroes=True,
+            log2_quantum=log2q,
+        )
+        fb = ef.ef_encode_bits(
+            tfs, cf, strict=True, index_zeroes=False, log2_quantum=log2q
+        )
+        lex["term"].append(term)
+        lex["termid"].append(termid)
+        lex["df"].append(int(len(d)))
+        lex["cf"].append(cf)
+        lex["docid_bit_offset"].append(docid_off)
+        lex["freq_bit_offset"].append(freq_off)
+        docid_off += len(db)
+        freq_off += len(fb)
+        docid_bits.append(db)
+        freq_bits.append(fb)
+
+    with open(out_prefix + ".docids", "wb") as fh:
+        fh.write(_pack_stream(docid_bits))
+    with open(out_prefix + ".freqs", "wb") as fh:
+        fh.write(_pack_stream(freq_bits))
+    _write_lexicon(out_prefix, lex)
+    props = {
+        "num_docs": num_docs,
+        "num_terms": len(lex["term"]),
+        "num_postings": int(sum(lex["df"])),
+        "log2_quantum": log2q,
+        "docids_bits": docid_off,
+        "freqs_bits": freq_off,
+        "byte_order": "little",
+        "layout": "terrier-ef-global-bitstream",
+    }
+    with open(out_prefix + ".properties.json", "w") as fh:
+        json.dump(props, fh, indent=2)
+    return props
+
+
+def export_merge_bitfiles(prefix_a: str, prefix_b: str, out_prefix: str) -> dict:
+    """The reference's partial-index merge (CompressorReducer.java:
+    101-109) on exported bitfiles: concatenate the streams at the BYTE
+    boundary and add `8 * bytes(file_a)` (Byte.SIZE * Files.size) to
+    every b-side lexicon offset. Requires term-range-disjoint inputs in
+    sorted order (every a-side term < every b-side term) — the shape
+    the reference's term-partitioned compressor produces."""
+    props = {}
+    for p in (prefix_a, prefix_b):
+        with open(p + ".properties.json") as fh:
+            props[p] = json.load(fh)
+    if props[prefix_a]["num_docs"] != props[prefix_b]["num_docs"]:
+        raise ValueError("bitfile merge requires the same docid space")
+    if props[prefix_a]["log2_quantum"] != props[prefix_b]["log2_quantum"]:
+        raise ValueError("bitfile merge requires the same log2_quantum")
+
+    rebase_bits = {}
+    for ext in (".docids", ".freqs"):
+        with open(prefix_a + ext, "rb") as fh:
+            a_bytes = fh.read()
+        with open(prefix_b + ext, "rb") as fh:
+            b_bytes = fh.read()
+        rebase_bits[ext] = 8 * len(a_bytes)
+        with open(out_prefix + ext, "wb") as fh:
+            fh.write(a_bytes + b_bytes)
+
+    la = _read_lexicon(prefix_a)
+    lb = _read_lexicon(prefix_b)
+    if la["term"] and lb["term"] and max(la["term"]) >= min(lb["term"]):
+        raise ValueError(
+            "bitfile merge requires term-partitioned inputs "
+            "(every a-side term < every b-side term)"
+        )
+    n_a = len(la["term"])
+    merged = {
+        "term": la["term"] + lb["term"],
+        "termid": la["termid"] + [t + n_a for t in lb["termid"]],
+        "df": la["df"] + lb["df"],
+        "cf": la["cf"] + lb["cf"],
+        "docid_bit_offset": la["docid_bit_offset"]
+        + [o + rebase_bits[".docids"] for o in lb["docid_bit_offset"]],
+        "freq_bit_offset": la["freq_bit_offset"]
+        + [o + rebase_bits[".freqs"] for o in lb["freq_bit_offset"]],
+    }
+    _write_lexicon(out_prefix, merged)
+    out_props = {
+        **props[prefix_a],
+        "num_terms": len(merged["term"]),
+        "num_postings": props[prefix_a]["num_postings"]
+        + props[prefix_b]["num_postings"],
+        "docids_bits": rebase_bits[".docids"] + props[prefix_b]["docids_bits"],
+        "freqs_bits": rebase_bits[".freqs"] + props[prefix_b]["freqs_bits"],
+    }
+    with open(out_prefix + ".properties.json", "w") as fh:
+        json.dump(out_props, fh, indent=2)
+    return out_props
+
+
+def _decode_at(
+    stream: np.ndarray, off: int, n: int, ub: int,
+    *, strict: bool, index_zeroes: bool, log2q: int,
+) -> np.ndarray:
+    """Decode one EF sequence starting at bit `off` of an unpacked
+    stream (decode reads exactly the sequence's bits; trailing stream
+    content is ignored)."""
+    blob = ef._pack_blob([stream[off:]])
+    return ef.ef_decode_prefix_sums(
+        blob, n, ub, strict=strict, index_zeroes=index_zeroes,
+        log2_quantum=log2q,
+    )
+
+
+def read_term_from_bitfiles(prefix: str, term: str) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one term's (docids, tfs) straight from the exported
+    bitfiles via its lexicon bit offsets — the random-access import
+    direction, and the proof the offsets are right."""
+    lex = _read_lexicon(prefix)
+    try:
+        i = lex["term"].index(term)
+    except ValueError:
+        raise KeyError(term) from None
+    with open(prefix + ".properties.json") as fh:
+        props = json.load(fh)
+    df, cf = int(lex["df"][i]), int(lex["cf"][i])
+    log2q = int(props["log2_quantum"])
+    d_cps = _decode_at(
+        _unpack_stream(prefix, ".docids"), int(lex["docid_bit_offset"][i]),
+        df, int(props["num_docs"]), strict=False, index_zeroes=True,
+        log2q=log2q,
+    )
+    f_cps = _decode_at(
+        _unpack_stream(prefix, ".freqs"), int(lex["freq_bit_offset"][i]),
+        df, cf, strict=True, index_zeroes=False, log2q=log2q,
+    )
+    return d_cps[:-1], np.diff(f_cps, prepend=np.int64(0)) + 1
+
+
+def import_terrier_bitfiles(spark, prefix: str):
+    """Decode the full exported index back to (term, docid, tf) rows —
+    the exhaustive round-trip surface, and the migration path for a
+    user arriving WITH existing Terrier-layout bitfiles."""
+    import pandas as pd
+
+    lex = _read_lexicon(prefix)
+    with open(prefix + ".properties.json") as fh:
+        props = json.load(fh)
+    log2q = int(props["log2_quantum"])
+    d_stream = _unpack_stream(prefix, ".docids")
+    f_stream = _unpack_stream(prefix, ".freqs")
+    recs = {"term": [], "docid": [], "tf": []}
+    for i, term in enumerate(lex["term"]):
+        df, cf = int(lex["df"][i]), int(lex["cf"][i])
+        d_cps = _decode_at(
+            d_stream, int(lex["docid_bit_offset"][i]), df,
+            int(props["num_docs"]), strict=False, index_zeroes=True,
+            log2q=log2q,
+        )
+        f_cps = _decode_at(
+            f_stream, int(lex["freq_bit_offset"][i]), df, cf,
+            strict=True, index_zeroes=False, log2q=log2q,
+        )
+        recs["term"].append(np.repeat(term, df))
+        recs["docid"].append(d_cps[:-1])
+        recs["tf"].append(np.diff(f_cps, prepend=np.int64(0)) + 1)
+    pdf = pd.DataFrame(
+        {
+            "term": np.concatenate(recs["term"]) if recs["term"] else [],
+            "docid": np.concatenate(recs["docid"]) if recs["docid"] else [],
+            "tf": np.concatenate(recs["tf"]) if recs["tf"] else [],
+        }
+    )
+    return spark.createDataFrame(pdf.astype({"docid": "int64", "tf": "int64"}))

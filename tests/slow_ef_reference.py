@@ -62,7 +62,11 @@ class SlowSequenceEncoder:
         self.last_one = one_position
         self.cur_len += 1
 
-    def dump(self) -> bytes:
+    def dump_bits(self) -> list[int]:
+        """Finalize (sentinel + pointer padding) and return the RAW
+        unpadded bit list in stream order [pointers, lower, upper] —
+        the per-sequence payload the reference's global bitfiles
+        concatenate back-to-back without word alignment."""
         assert self.cur_len == self.length
         if not self.strict and self.index_zeroes:
             self.add(self.corrected_ub - self.cps)  # sentinel
@@ -71,7 +75,10 @@ class SlowSequenceEncoder:
             while actual < self.expected_pointers:
                 self._append_field(self.pointer_bits, 0, self.pointer_size)
                 actual += 1
-        bits = self.pointer_bits + self.lower_bits_list + self.upper_bits_list
+        return self.pointer_bits + self.lower_bits_list + self.upper_bits_list
+
+    def dump(self) -> bytes:
+        bits = self.dump_bits()
         # pack LSB-first into bytes, pad to 64-bit words
         nbytes = (len(bits) + 7) // 8
         nbytes += (-nbytes) % 8
@@ -87,3 +94,10 @@ def slow_encode(values, upper_bound, strict, index_zeroes, log2_quantum) -> byte
     for x in values:
         enc.add(int(x))
     return enc.dump()
+
+
+def slow_encode_bits(values, upper_bound, strict, index_zeroes, log2_quantum) -> list[int]:
+    enc = SlowSequenceEncoder(len(values), upper_bound, strict, index_zeroes, log2_quantum)
+    for x in values:
+        enc.add(int(x))
+    return enc.dump_bits()
