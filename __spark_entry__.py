@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_dups",
     "embedding_near_dups", "ann_cosine_topk", "pq_codes", "ann_pq_topk",
     "ann_ivf_topk", "ann_ivf_kmeans_topk", "label_centroids",
+    "media_audio_features", "media_frame_stats",
 ]
 
 
@@ -583,12 +584,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunking,
         clusters,
         dedup,
+        multimodal,
         pii,
         pq,
         sampling,
         similarity,
         textstats,
     )
+
+    def media_audio_features(spark, sf):
+        """Real audio decode + DSP features (WAV parse, RMS/ZCR/spectral
+        centroid) over deterministic valid payloads synthesized from the
+        documents table. No oracle_sql twin: WAV parsing and rFFT are
+        not SQL-expressible — driver records the rows-only check; exact
+        feature correctness is pinned by tests/test_multimodal.py."""
+        docs = _docs(spark, sf)
+        feats = multimodal.audio_features(multimodal.synthesize_media(docs))
+        return feats.select(
+            "doc_id", "sample_rate",
+            F.round("duration_s", 4).alias("duration_s"),
+            F.round("rms", 2).alias("rms"),
+            F.round("zcr", 4).alias("zcr"),
+            F.round("spectral_centroid_hz", 1).alias("spectral_centroid_hz"),
+        )
+
+    def media_frame_stats(spark, sf):
+        """Real video keyframe decode (Y4M parse) + per-frame luma
+        stats. Rows-only check for the same reason as audio features."""
+        docs = _docs(spark, sf)
+        fs = multimodal.frame_sample(
+            multimodal.synthesize_media(docs), every_ms=100, decode=True
+        )
+        return fs.select(
+            "doc_id", "ts_ms", "frame_idx",
+            F.round("mean_px", 2).alias("mean_px"),
+            F.round("std_px", 2).alias("std_px"),
+        )
 
     def doclens(spark, sf):
         idx = _get_index(spark, sf)
@@ -1164,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _gate_order({
         "doclens": doclens,
         "doclens_gamma": doclens_gamma,
+        "media_audio_features": media_audio_features,
+        "media_frame_stats": media_frame_stats,
         "lexicon": lexicon,
         "postings_decoded": postings_decoded,
         "merge_postings_decoded": merge_postings_decoded,

@@ -352,14 +352,14 @@ def test_simhash_bucket_cap(spark):
 
 
 def test_multimodal_decoder_gating(spark, docs):
-    """Real-decode integration point: decoder='pil' routes through
-    Pillow when importable and raises the honest NotImplementedError
-    when not (this container); 'auto' resolves driver-side so the stub
-    path stays deterministic; unknown decoders rejected."""
+    """Decode routing: WAV/netpbm/Y4M payloads decode NATIVELY (real
+    parsers, no libs needed) so 'auto' differs from the forced 'stub';
+    compressed images need Pillow ('pil' raises the honest
+    NotImplementedError in this container); unknown decoders rejected."""
     import pytest as _pytest
 
     from terrier_ef_spark.pipeline.multimodal import (
-        _decode_image_real,
+        _decode_image_pil,
         _pil_available,
         extract_features,
         synthesize_media,
@@ -368,14 +368,15 @@ def test_multimodal_decoder_gating(spark, docs):
     media = synthesize_media(docs)
     with _pytest.raises(ValueError):
         extract_features(media, decoder="bogus")
+    a = extract_features(media, decoder="auto").toPandas()
+    b = extract_features(media, decoder="stub").toPandas()
+    # the payloads are valid containers, so the real decode must NOT
+    # degenerate to the stub's hash-noise
+    assert a.sort_values("doc_id")["mean_px"].tolist() != \
+           b.sort_values("doc_id")["mean_px"].tolist()
     if not _pil_available():
         with _pytest.raises(NotImplementedError):
-            _decode_image_real(b"\x89PNG notreally")
-        # auto falls back to the deterministic stub
-        a = extract_features(media, decoder="auto").toPandas()
-        b = extract_features(media, decoder="stub").toPandas()
-        assert a.sort_values("doc_id")["mean_px"].tolist() == \
-               b.sort_values("doc_id")["mean_px"].tolist()
+            _decode_image_pil(b"\x89PNG notreally")
     else:  # pragma: no cover — container has no Pillow today
         import io
 
