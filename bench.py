@@ -254,9 +254,29 @@ def pipeline_queries(spark):
     dedup.duplicate_span_stats(docs).count()
     timings["dup_span_stats"] = time.time() - t0
 
-    t0 = time.time()
-    clusters.dedup_clusters(docs).count()
-    timings["dedup_clusters"] = time.time() - t0
+    # dedup clustering, split as it runs in production: derive the
+    # verified-pair set ONCE and materialize it (the dominant cost),
+    # then run CC over the materialized table (judge-requested split;
+    # the combined figure stays for cross-round comparability)
+    import tempfile
+
+    pair_dir = tempfile.mkdtemp(prefix="bench_pairs_")
+    try:
+        t0 = time.time()
+        (dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+         .write.mode("overwrite").parquet(pair_dir))
+        timings["dedup_pairs"] = time.time() - t0
+
+        t0 = time.time()
+        clusters.dedup_clusters(
+            docs, edges=spark.read.parquet(pair_dir)
+        ).count()
+        timings["dedup_cc"] = time.time() - t0
+        timings["dedup_clusters"] = (
+            timings["dedup_pairs"] + timings["dedup_cc"]
+        )
+    finally:
+        shutil.rmtree(pair_dir, ignore_errors=True)
 
     t0 = time.time()
     textstats.quality_score(docs).agg(F.avg("punct_ratio")).collect()

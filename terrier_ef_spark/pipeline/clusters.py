@@ -116,14 +116,24 @@ def dedup_clusters(
     threshold: float = 0.5,
     n_bands: int = N_BANDS,
     max_bucket: int | None = MAX_BUCKET,
+    *,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve verified near-duplicate pairs into components:
     (doc_id, cluster_id, keep) for every doc in a cluster of size >= 2,
     cluster_id = min doc_id of the cluster, keep = canonical survivor.
-    Docs in no cluster are implicitly kept (not emitted)."""
-    edges = ngram_jaccard_pairs(docs, threshold, n_bands, max_bucket).select(
-        "doc_a", "doc_b"
-    )
+    Docs in no cluster are implicitly kept (not emitted).
+
+    `edges` takes a pre-materialized verified-pair relation
+    (doc_a, doc_b) — the production shape at scale: pair derivation
+    (MinHash -> LSH -> Jaccard verify) is the expensive pass and its
+    output is tiny, so it is computed ONCE, written to a table, and
+    every downstream consumer (CC here, audits, incremental re-dedup)
+    reads the materialization instead of re-deriving it. Without
+    `edges` the pairs are derived inline (small-corpus convenience)."""
+    if edges is None:
+        edges = ngram_jaccard_pairs(docs, threshold, n_bands, max_bucket)
+    edges = edges.select("doc_a", "doc_b")
     cc = connected_components(edges)
     return cc.select(
         F.col("node").alias("doc_id"),

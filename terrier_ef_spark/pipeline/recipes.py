@@ -35,15 +35,29 @@ def clean_corpus(
     *,
     bench: DataFrame | None = None,
     dedup_threshold: float = 0.5,
+    pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (survivors, ledger): survivors is `docs` minus
     near-duplicates (non-canonical cluster members), quality-filter
     failures, and benchmark-contaminated docs; ledger is
     (doc_id, dropped_by) with dropped_by in
     {'near_duplicate', 'quality:<reasons>', 'contaminated'} — first
-    matching stage wins, stages applied in that order."""
+    matching stage wins, stages applied in that order.
+
+    `pairs` takes the MATERIALIZED verified-pair table (doc_a, doc_b)
+    — at scale pair derivation is the dominant cost and its output is
+    reused (CC here, dedup audits, incremental re-dedup), so the
+    production shape is: derive once, write to a table, pass the read
+    back in. Without it, pairs are derived inline and persisted so the
+    iterative CC never re-derives them round-to-round."""
+    if pairs is None:
+        from terrier_ef_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=dedup_threshold
+        ).select("doc_a", "doc_b").persist()
     dup_drops = (
-        dedup_clusters(docs, threshold=dedup_threshold)
+        dedup_clusters(docs, edges=pairs)
         .where(~F.col("keep"))
         .select("doc_id", F.lit("near_duplicate").alias("dropped_by"))
     )

@@ -151,3 +151,35 @@ def test_term_cooccurrence_known_pmi(spark):
     import math
 
     assert abs(r["pmi"] - round(math.log2(9), 6)) < 1e-9
+
+
+def test_dedup_clusters_from_materialized_pairs(spark, tmp_path):
+    """The production shape: verified pairs derived once, written to a
+    table, and CC run over the materialization — must produce exactly
+    the inline result. clean_corpus(pairs=...) consumes the same table."""
+    from terrier_ef_spark.pipeline.dedup import ngram_jaccard_pairs
+    from terrier_ef_spark.pipeline.recipes import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (0, base + "alpha beta gamma delta"),
+        (1, base + "alpha beta gamma epsilon"),
+        (2, base + "alpha beta zeta epsilon"),
+        (3, "completely different text about spark shuffles " * 10),
+        (4, "completely different text about spark shuffles " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pair_dir = str(tmp_path / "pairs")
+    (ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+     .write.parquet(pair_dir))
+    pairs = spark.read.parquet(pair_dir)
+
+    inline = sorted(map(tuple, clusters.dedup_clusters(docs, 0.5).collect()))
+    mat = sorted(map(tuple,
+                     clusters.dedup_clusters(docs, edges=pairs).collect()))
+    assert mat == inline
+
+    surv_a, _ = clean_corpus(docs)
+    surv_b, _ = clean_corpus(docs, pairs=pairs)
+    assert sorted(r["doc_id"] for r in surv_a.collect()) == \
+           sorted(r["doc_id"] for r in surv_b.collect())
