@@ -147,3 +147,63 @@ def test_incremental_extends_on_new_files(spark, tmp_path):
     assert idx2.stats["num_postings"] > idx1.stats["num_postings"]
     corpus.unpersist()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_then_delete_then_compact(spark, tmp_path):
+    """Lifecycle composition over a STREAM-built index: incremental
+    build -> tombstone -> compact must equal a batch build over the
+    live corpus, byte-for-byte outside deleted blocks and rank-
+    identically under BM25 (previously tested only separately)."""
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.index.maintenance import compact_index, delete_docs
+    from terrier_ef_spark.query.engine import decode_postings, run_queries
+    from terrier_ef_spark.streaming.incremental import incremental_build
+
+    corpus = synthesize_corpus(spark, 120, seed=17, n_partitions=4).persist()
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for lo, hi in ((0, 50), (50, 120)):
+        _land(
+            corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            str(tmp_path), landing, f"files_{lo}",
+        )
+    sidx = incremental_build(
+        spark, landing, str(tmp_path / "stream_idx"),
+        block_bits=5, n_partitions=4, max_files_per_trigger=1,
+    )
+    # tombstones spanning both micro-batches AND a straddled block
+    deleted = [3, 40, 48, 51, 100]
+    delete_docs(sidx, deleted)
+    qs = [
+        {"qid": 1, "terms": ["the", "import"], "mode": "disjunctive"},
+        {"qid": 2, "terms": ["def", "class"], "mode": "conjunctive"},
+    ]
+    live_now = run_queries(sidx, qs, k=1000).collect()
+    assert not ({r["docid"] for r in live_now} & set(deleted))
+
+    cmp_idx = compact_index(sidx, str(tmp_path / "cmp"), n_partitions=4)
+    fresh = build_index(
+        spark, corpus.where(~F.col("doc_id").isin(deleted)),
+        str(tmp_path / "fresh"), block_bits=5, n_partitions=4,
+    )
+    a = decode_postings(cmp_idx).orderBy("term", "docid").toPandas()
+    b = decode_postings(fresh).orderBy("term", "docid").toPandas()
+    assert a.equals(b)
+    # untouched blocks keep byte identity across stream-build + compact
+    del_blocks = {d >> 5 for d in deleted}
+    src = {(r["term"], r["block_id"]): bytes(r["docids_ef"])
+           for r in sidx.postings.collect()}
+    for r in cmp_idx.postings.collect():
+        if r["block_id"] not in del_blocks:
+            assert bytes(r["docids_ef"]) == src[(r["term"], r["block_id"])]
+    for k in ("num_docs", "num_postings", "num_tokens", "avgdl"):
+        assert cmp_idx.stats[k] == fresh.stats[k], k
+    ra = run_queries(cmp_idx, qs, k=10, algo="bmw").orderBy("qid", "rank").collect()
+    rb = run_queries(fresh, qs, k=10, algo="bmw").orderBy("qid", "rank").collect()
+    assert [(r.qid, r.rank, r.docid, round(r.score, 9)) for r in ra] == [
+        (r.qid, r.rank, r.docid, round(r.score, 9)) for r in rb
+    ]
+    corpus.unpersist()
