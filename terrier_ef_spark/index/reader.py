@@ -93,7 +93,12 @@ class EFIndex:
         """Dense doclen array indexed by docid (role of the reference's
         in-RAM int[] doc-length index, EFDocumentIndex.java:43-47).
         Broadcast to scoring kernels; viable to ~1e8 docs — beyond that
-        the partitioned doclen join path in query/engine.py applies."""
+        the partitioned doclen join path in query/engine.py applies.
+        Cached on the instance: the docs artifact is immutable for the
+        life of an index dir (compaction/merge produce NEW dirs, and
+        tombstones never touch doclens)."""
+        if getattr(self, "_doclen_arr", None) is not None:
+            return self._doclen_arr
         pdf = self.docs.select("docid", "doclen").toPandas()
         ids = pdf["docid"].to_numpy()
         # size by max docid: merged indexes leave a < block-width docid
@@ -102,7 +107,19 @@ class EFIndex:
         size = int(ids.max()) + 1 if len(ids) else 0
         arr = np.zeros(max(size, self.stats["num_docs"]), dtype=np.int32)
         arr[ids] = pdf["doclen"].to_numpy()
+        self._doclen_arr = arr
         return arr
+
+    def doclen_broadcast(self):
+        """The doclen array as a cached SparkContext broadcast — one
+        torrent distribution per index lifetime instead of one per
+        query call (the dominant per-call fixed cost on small batches)."""
+        if getattr(self, "_doclen_bc", None) is not None:
+            return self._doclen_bc
+        self._doclen_bc = self.spark.sparkContext.broadcast(
+            self.doclen_array()
+        )
+        return self._doclen_bc
 
 
 def open_index(spark: SparkSession, root: str) -> EFIndex:

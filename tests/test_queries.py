@@ -84,6 +84,7 @@ def test_term_major_no_doclen_broadcast(small_index, monkeypatch):
         raise AssertionError("dense doclen broadcast used in term_major path")
 
     monkeypatch.setattr(EFIndex, "doclen_array", boom)
+    monkeypatch.setattr(EFIndex, "doclen_broadcast", boom)
     spark = small_index.spark
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     try:
