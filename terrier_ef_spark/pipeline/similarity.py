@@ -136,11 +136,29 @@ def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFrame
 # assign distributed, probe nprobe clusters at query time.
 # ---------------------------------------------------------------------------
 
+def default_nlist(n_vectors: int) -> int:
+    """Scale-aware cell count: nlist ~ sqrt(n), the standard IVF sizing
+    (probed work ~ nprobe * n / nlist balances against nlist centroid
+    scans). Floors at 16 so tiny tables still partition."""
+    import math
+
+    return max(16, int(round(math.sqrt(max(n_vectors, 1)))))
+
+
+def default_nprobe(nlist: int) -> int:
+    """Scale-aware probe count: nprobe ~ sqrt(nlist), measured >=0.9
+    recall@10 on the 1M-vector clustered synthetic (BASELINE.md ANN
+    table; tools/ann_recall.py reproduces it). Floors at 4."""
+    import math
+
+    return max(4, int(round(math.sqrt(nlist))))
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     n_clusters: int = 16,
     n_iter: int = 15,
-    sample: int = 100_000,
+    sample: int | None = None,
     seed: int = 13,
 ) -> np.ndarray:
     """Spherical k-means (cosine) via Lloyd's iterations on a
@@ -148,7 +166,11 @@ def kmeans_fit(
     a fixed RNG, empty clusters reseeded to the farthest point. Returns
     L2-normalized centroids (n_clusters, dim). The sample bound keeps
     training driver-side and O(sample x dim) regardless of table size;
-    assignment stays distributed (kmeans_assign)."""
+    assignment stays distributed (kmeans_assign). The default sample
+    scales with the cell count (>=100 points per centroid, floor 100k)
+    so nlist ~ sqrt(n) configurations still train every cell."""
+    if sample is None:
+        sample = max(100_000, 100 * n_clusters)
     pdf = (
         embeddings.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -210,16 +232,29 @@ def ivf_kmeans_topk(
     qvec: list[float],
     k: int = 10,
     *,
-    n_clusters: int = 16,
-    nprobe: int = 4,
+    n_clusters: int | None = None,
+    nprobe: int | None = None,
     centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Trained-IVF ANN: probe the `nprobe` nearest k-means cells, exact
-    cosine top-k within them (scan shrinks ~ nprobe/n_clusters). Pass
-    `centroids` to reuse a trained quantizer across queries (the index
-    lifecycle; training per call is the convenience path for tests)."""
+    cosine top-k within them (scan shrinks ~ nprobe/n_clusters).
+
+    Defaults scale with the table: nlist = sqrt(n) cells, nprobe =
+    sqrt(nlist) probes (recall/latency sweep in BASELINE.md; pass
+    n_vectors to skip the count). Pass `centroids` to reuse a trained
+    quantizer and `assigned` to reuse the materialized (vec_id,
+    cluster) assignment — the production artifacts; per-call training/
+    assignment is the convenience path for tests and one-offs."""
     if centroids is None:
+        if n_clusters is None:
+            n_clusters = default_nlist(
+                n_vectors if n_vectors is not None else embeddings.count()
+            )
         centroids = kmeans_fit(embeddings, n_clusters=n_clusters)
+    if nprobe is None:
+        nprobe = default_nprobe(len(centroids))
     q = np.asarray(qvec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     # stable sort: exact centroid-score ties break by ascending cell id
@@ -227,9 +262,11 @@ def ivf_kmeans_topk(
     probes = np.argsort(-(centroids @ q), kind="stable")[:nprobe].tolist()
     # plain join on vec_id (no broadcast hint): the probed subset is
     # ~nprobe/n_clusters of the table — AQE broadcasts it when small,
-    # shuffles when not; in the index lifecycle the assignment would be
-    # a persisted artifact co-partitioned with the vectors
-    assigned = kmeans_assign(embeddings, centroids)
+    # shuffles when not; in the index lifecycle the assignment is the
+    # persisted artifact passed via `assigned`, co-partitioned with the
+    # vectors
+    if assigned is None:
+        assigned = kmeans_assign(embeddings, centroids)
     cluster = embeddings.join(
         assigned.where(F.col("cluster").isin(probes)).select("vec_id"), "vec_id"
     )
