@@ -39,7 +39,8 @@ MAX_EXPORT_POSTINGS = 5_000_000
 
 LEX_SCHEMA = (
     "term string, termid long, df long, cf long, "
-    "docid_bit_offset long, freq_bit_offset long"
+    "docid_bit_offset long, freq_bit_offset long, "
+    "pos_bit_offset long, sum_max_pos long"  # -1 when non-positional
 )
 
 
@@ -90,6 +91,36 @@ def _unpack_stream(prefix: str, ext: str) -> np.ndarray:
         )
 
 
+def _gamma_bits(value: int) -> np.ndarray:
+    """Raw bits of writeGamma(value) == nonZeroGamma(value + 1)
+    (LongWordBitWriter.java:153-169): msb zeros, a 1, then msb rest
+    bits LSB-first."""
+    v = value + 1
+    b = v.bit_length() - 1
+    bits = np.zeros(2 * b + 1, dtype=np.uint8)
+    bits[b] = 1
+    rest = v ^ (1 << b)
+    for kk in range(b):
+        bits[b + 1 + kk] = (rest >> kk) & 1
+    return bits
+
+
+def _nonzero_gamma_bits(value: int) -> np.ndarray:
+    """Raw bits of writeNonZeroGamma(value), value >= 1."""
+    return _gamma_bits(value - 1)
+
+
+def _read_gamma(stream: np.ndarray, off: int) -> tuple[int, int]:
+    """Parse one γ code at bit `off`; returns (writeGamma value, nbits)."""
+    b = 0
+    while stream[off + b] == 0:
+        b += 1
+    v = 1 << b
+    for kk in range(b):
+        v |= int(stream[off + b + 1 + kk]) << kk
+    return v - 1, 2 * b + 1
+
+
 def export_terrier_bitfiles(
     index: EFIndex,
     out_prefix: str,
@@ -121,19 +152,37 @@ def export_terrier_bitfiles(
     num_docs = int(index.stats["num_docs"])
     log2q = int(index.stats["log2_quantum"])
 
+    positions = bool(index.stats.get("has_positions"))
     rows = (
         decode_postings(index, terms=sorted(terms) if terms else None)
         .select("term", "docid", "tf")
         .toPandas()
         .sort_values(["term", "docid"])
     )
+    pos_by_term: dict = {}
+    if positions:
+        from terrier_ef_spark.query.engine import decode_positions_df
+
+        pdf = (
+            decode_positions_df(index, sorted(terms) if terms else None)
+            .toPandas()
+            .sort_values(["term", "docid", "pos"])
+        )
+        for term, g in pdf.groupby("term", sort=True):
+            pos_by_term[term] = {
+                int(docid): gg["pos"].to_numpy(np.int64)
+                for docid, gg in g.groupby("docid", sort=True)
+            }
     docid_bits: list[np.ndarray] = []
     freq_bits: list[np.ndarray] = []
+    pos_bits: list[np.ndarray] = []
     lex = {k: [] for k in (
-        "term", "termid", "df", "cf", "docid_bit_offset", "freq_bit_offset"
+        "term", "termid", "df", "cf", "docid_bit_offset", "freq_bit_offset",
+        "pos_bit_offset", "sum_max_pos",
     )}
     docid_off = 0
     freq_off = 0
+    pos_off = 0
     for termid, (term, grp) in enumerate(rows.groupby("term", sort=True)):
         d = grp["docid"].to_numpy(np.int64)
         tfs = grp["tf"].to_numpy(np.int64)
@@ -156,11 +205,45 @@ def export_terrier_bitfiles(
         freq_off += len(fb)
         docid_bits.append(db)
         freq_bits.append(fb)
+        if positions:
+            # positions list layout (EliasFanoBlockEncoders.java:75-89):
+            # a γ(lowerBits) header, then nonZeroγ(pointerSize) when the
+            # list carries forward pointers, then the strict EF payload
+            # of per-posting [1+pos0, deltas...] at ub = df + sumMaxPos
+            # — the header makes the list self-describing to a reader
+            # that knows only cf
+            plists = [pos_by_term[term][int(docid)] for docid in d]
+            smp = int(sum(int(p[-1]) for p in plists))
+            ub = int(len(d)) + smp
+            vals = np.concatenate([
+                np.diff(p, prepend=np.int64(-1)) for p in plists
+            ])
+            l = ef.lower_bits(cf, ub, True)
+            psize = ef.pointer_size(cf, ub, True, False)
+            n_ptrs = ef.number_of_pointers(cf, ub, log2q, True, False)
+            seg = [_gamma_bits(l)]
+            if n_ptrs > 0:
+                seg.append(_nonzero_gamma_bits(psize))
+            seg.append(ef.ef_encode_bits(
+                vals, ub, strict=True, index_zeroes=False,
+                log2_quantum=log2q,
+            ))
+            pb = np.concatenate(seg)
+            lex["pos_bit_offset"].append(pos_off)
+            lex["sum_max_pos"].append(smp)
+            pos_off += len(pb)
+            pos_bits.append(pb)
+        else:
+            lex["pos_bit_offset"].append(-1)
+            lex["sum_max_pos"].append(-1)
 
     with open(out_prefix + ".docids", "wb") as fh:
         fh.write(_pack_stream(docid_bits))
     with open(out_prefix + ".freqs", "wb") as fh:
         fh.write(_pack_stream(freq_bits))
+    if positions:
+        with open(out_prefix + ".positions", "wb") as fh:
+            fh.write(_pack_stream(pos_bits))
     _write_lexicon(out_prefix, lex)
     props = {
         "num_docs": num_docs,
@@ -169,6 +252,8 @@ def export_terrier_bitfiles(
         "log2_quantum": log2q,
         "docids_bits": docid_off,
         "freqs_bits": freq_off,
+        "positions": positions,
+        "positions_bits": pos_off if positions else 0,
         "byte_order": "little",
         "layout": "terrier-ef-global-bitstream",
     }
@@ -193,8 +278,12 @@ def export_merge_bitfiles(prefix_a: str, prefix_b: str, out_prefix: str) -> dict
     if props[prefix_a]["log2_quantum"] != props[prefix_b]["log2_quantum"]:
         raise ValueError("bitfile merge requires the same log2_quantum")
 
+    positional = bool(props[prefix_a].get("positions"))
+    if positional != bool(props[prefix_b].get("positions")):
+        raise ValueError("bitfile merge requires both or neither positional")
+    exts = (".docids", ".freqs") + ((".positions",) if positional else ())
     rebase_bits = {}
-    for ext in (".docids", ".freqs"):
+    for ext in exts:
         with open(prefix_a + ext, "rb") as fh:
             a_bytes = fh.read()
         with open(prefix_b + ext, "rb") as fh:
@@ -220,6 +309,13 @@ def export_merge_bitfiles(prefix_a: str, prefix_b: str, out_prefix: str) -> dict
         + [o + rebase_bits[".docids"] for o in lb["docid_bit_offset"]],
         "freq_bit_offset": la["freq_bit_offset"]
         + [o + rebase_bits[".freqs"] for o in lb["freq_bit_offset"]],
+        "pos_bit_offset": (
+            la["pos_bit_offset"]
+            + [o + rebase_bits[".positions"] for o in lb["pos_bit_offset"]]
+            if positional
+            else la["pos_bit_offset"] + lb["pos_bit_offset"]
+        ),
+        "sum_max_pos": la["sum_max_pos"] + lb["sum_max_pos"],
     }
     _write_lexicon(out_prefix, merged)
     out_props = {
@@ -229,6 +325,10 @@ def export_merge_bitfiles(prefix_a: str, prefix_b: str, out_prefix: str) -> dict
         + props[prefix_b]["num_postings"],
         "docids_bits": rebase_bits[".docids"] + props[prefix_b]["docids_bits"],
         "freqs_bits": rebase_bits[".freqs"] + props[prefix_b]["freqs_bits"],
+        "positions_bits": (
+            rebase_bits[".positions"] + props[prefix_b]["positions_bits"]
+            if positional else 0
+        ),
     }
     with open(out_prefix + ".properties.json", "w") as fh:
         json.dump(out_props, fh, indent=2)
@@ -249,10 +349,15 @@ def _decode_at(
     )
 
 
-def read_term_from_bitfiles(prefix: str, term: str) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one term's (docids, tfs) straight from the exported
-    bitfiles via its lexicon bit offsets — the random-access import
-    direction, and the proof the offsets are right."""
+def read_term_from_bitfiles(
+    prefix: str, term: str, *, with_positions: bool = False
+):
+    """Decode one term's (docids, tfs[, positions]) straight from the
+    exported bitfiles via its lexicon bit offsets — the random-access
+    import direction, and the proof the offsets are right. Positions
+    parse the reference's self-describing list header (γ lowerBits,
+    nonZeroγ pointerSize) and ASSERT it against the values derived from
+    the stored sum_max_pos — a per-read fidelity check of the layout."""
     lex = _read_lexicon(prefix)
     try:
         i = lex["term"].index(term)
@@ -271,7 +376,29 @@ def read_term_from_bitfiles(prefix: str, term: str) -> tuple[np.ndarray, np.ndar
         _unpack_stream(prefix, ".freqs"), int(lex["freq_bit_offset"][i]),
         df, cf, strict=True, index_zeroes=False, log2q=log2q,
     )
-    return d_cps[:-1], np.diff(f_cps, prepend=np.int64(0)) + 1
+    docids = d_cps[:-1]
+    tfs = np.diff(f_cps, prepend=np.int64(0)) + 1
+    if not with_positions:
+        return docids, tfs
+    if not props.get("positions"):
+        raise ValueError("export carries no positions stream")
+    stream = _unpack_stream(prefix, ".positions")
+    off = int(lex["pos_bit_offset"][i])
+    smp = int(lex["sum_max_pos"][i])
+    ub = df + smp
+    l, nb = _read_gamma(stream, off)
+    off += nb
+    assert l == ef.lower_bits(cf, ub, True), "positions header l mismatch"
+    if ef.number_of_pointers(cf, ub, log2q, True, False) > 0:
+        psize, nb = _read_gamma(stream, off)
+        psize += 1  # nonZeroGamma
+        off += nb
+        assert psize == ef.pointer_size(cf, ub, True, False), (
+            "positions header pointerSize mismatch"
+        )
+    blob = ef._pack_blob([stream[off:]])
+    plists = ef.decode_positions(blob, tfs, df, smp, log2q)
+    return docids, tfs, plists
 
 
 def import_terrier_bitfiles(spark, prefix: str):

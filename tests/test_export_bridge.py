@@ -153,3 +153,107 @@ def test_merge_guards(export_setup):
     # overlapping term ranges must refuse (offsets would be wrong)
     with pytest.raises(ValueError, match="term-partitioned"):
         export_merge_bitfiles(prefix, prefix, str(root / "bad"))
+
+
+@pytest.fixture(scope="module")
+def pos_export_setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pos_export")
+    corpus = synthesize_corpus(spark, 40, seed=82, n_partitions=2)
+    idx = build_index(spark, corpus, str(root / "idx"),
+                      log2_quantum=LOG2Q, block_bits=5, positions=True,
+                      n_partitions=2)
+    prefix = str(root / "ef")
+    props = export_terrier_bitfiles(idx, prefix)
+    return idx, prefix, props, root
+
+
+def _test_gamma_bits(value):
+    """Independent gamma writer for the differential (LSB-first,
+    writeGamma(v) == nonZeroGamma(v+1))."""
+    v = value + 1
+    b = v.bit_length() - 1
+    bits = [0] * b + [1]
+    for kk in range(b):
+        bits.append((v ^ (1 << b)) >> kk & 1)
+    return bits
+
+
+def test_positions_stream_byte_match_slow_layout(spark, pos_export_setup):
+    """The .positions stream: per term a gamma(lowerBits) header,
+    nonZeroGamma(pointerSize) when pointered, then the strict EF
+    payload — laid out back-to-back (EliasFanoBlockEncoders.java:75-89),
+    byte-compared against the slow coder + an independent gamma writer."""
+    from terrier_ef_spark import ef
+    from terrier_ef_spark.query.engine import decode_positions_df
+
+    idx, prefix, props, _ = pos_export_setup
+    assert props["positions"]
+    pdf = decode_positions_df(idx).toPandas().sort_values(
+        ["term", "docid", "pos"])
+    all_bits = []
+    offsets = {}
+    for term, g in pdf.groupby("term", sort=True):
+        plists = [gg["pos"].to_list()
+                  for _, gg in g.groupby("docid", sort=True)]
+        df_t = len(plists)
+        cf = sum(len(p) for p in plists)
+        smp = sum(p[-1] for p in plists)
+        ub = df_t + smp
+        vals = []
+        for p in plists:
+            vals.append(1 + p[0])
+            vals.extend(b - a for a, b in zip(p, p[1:]))
+        offsets[term] = len(all_bits)
+        all_bits += _test_gamma_bits(ef.lower_bits(cf, ub, True))
+        if ef.number_of_pointers(cf, ub, LOG2Q, True, False) > 0:
+            all_bits += _test_gamma_bits(
+                ef.pointer_size(cf, ub, True, False) - 1)
+        all_bits += slow_encode_bits(vals, ub, True, False, LOG2Q)
+    with open(prefix + ".positions", "rb") as fh:
+        assert fh.read() == _pack(all_bits)
+    assert props["positions_bits"] == len(all_bits)
+    from terrier_ef_spark.index.export import _read_lexicon
+
+    lex = _read_lexicon(prefix)
+    for i, term in enumerate(lex["term"]):
+        assert lex["pos_bit_offset"][i] == offsets[term], term
+
+
+def test_positions_random_access(spark, pos_export_setup):
+    from terrier_ef_spark.query.engine import decode_positions_df
+
+    idx, prefix, _, _ = pos_export_setup
+    pdf = decode_positions_df(idx).toPandas()
+    terms = sorted(pdf["term"].unique())
+    for term in (terms[0], terms[len(terms) // 2], terms[-1]):
+        docids, tfs, plists = read_term_from_bitfiles(
+            prefix, term, with_positions=True)
+        g = pdf[pdf["term"] == term].sort_values(["docid", "pos"])
+        want = {int(d): gg["pos"].to_list()
+                for d, gg in g.groupby("docid", sort=True)}
+        got = {int(d): p.tolist() for d, p in zip(docids, plists)}
+        assert got == want, term
+
+
+def test_positional_partition_merge(spark, pos_export_setup):
+    """Byte-append + offset-rebase merge over all three streams; b-side
+    positions random access goes through the rebased pos offsets."""
+    from terrier_ef_spark.query.engine import decode_positions_df
+
+    idx, _, _, root = pos_export_setup
+    pdf = decode_positions_df(idx).toPandas()
+    terms = sorted(pdf["term"].unique())
+    cut = len(terms) // 2
+    pa_, pb = str(root / "pa"), str(root / "pb")
+    export_terrier_bitfiles(idx, pa_, terms=terms[:cut])
+    export_terrier_bitfiles(idx, pb, terms=terms[cut:])
+    out = str(root / "pm")
+    props = export_merge_bitfiles(pa_, pb, out)
+    assert props["positions_bits"] > 0
+    probe = terms[-1]
+    docids, tfs, plists = read_term_from_bitfiles(
+        out, probe, with_positions=True)
+    g = pdf[pdf["term"] == probe].sort_values(["docid", "pos"])
+    want = {int(d): gg["pos"].to_list()
+            for d, gg in g.groupby("docid", sort=True)}
+    assert {int(d): p.tolist() for d, p in zip(docids, plists)} == want

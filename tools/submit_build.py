@@ -50,6 +50,9 @@ def main() -> None:
                          "built index; result replaces the query target")
     ap.add_argument("--merge-out", default=None,
                     help="output dir for --merge-with (required with it)")
+    ap.add_argument("--export-prefix", default=None,
+                    help="also export the final index to the reference's "
+                         "Terrier-layout bitfiles at this path prefix")
     ap.add_argument("--queries", nargs="*", default=[],
                     help="comma-joined terms per query, e.g. 'a,b' 'c'")
     ap.add_argument("--k", type=int, default=10)
@@ -134,6 +137,17 @@ def main() -> None:
                             n_partitions=args.partitions)
         out["compact_sec"] = round(time.time() - t0, 3)
         out["live_docs"] = idx.stats["num_docs"]
+
+    if args.export_prefix:
+        from terrier_ef_spark.index.export import export_terrier_bitfiles
+
+        t0 = time.time()
+        eprops = export_terrier_bitfiles(idx, args.export_prefix)
+        out["export_sec"] = round(time.time() - t0, 3)
+        out["export_bits"] = {
+            "docids": eprops["docids_bits"], "freqs": eprops["freqs_bits"],
+            "positions": eprops.get("positions_bits", 0),
+        }
 
     if args.queries:
         batch = [
