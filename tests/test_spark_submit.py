@@ -41,6 +41,7 @@ def test_spark_submit_pyfiles(tmp_path):
             "--partitions", "4", "--block-bits", "5",
             "--delete-docids", "3", "7",
             "--compact-out", str(tmp_path / "idx_live"),
+            "--export-prefix", str(tmp_path / "terrier_ef"),
             "--queries", "table,value", "merge",
         ],
         cwd=str(tmp_path),  # NOT the repo root: the package must come from the zip
@@ -62,3 +63,7 @@ def test_spark_submit_pyfiles(tmp_path):
     # index artifacts landed with stage markers (resumability evidence)
     for stage in ("docs", "postings", "lexicon"):
         assert os.path.exists(tmp_path / "idx" / stage / "_SUCCESS")
+    # Terrier-layout export rode the same submit (post-compact index)
+    assert out["export_bits"]["docids"] > 0
+    for ext in (".docids", ".freqs"):
+        assert os.path.exists(str(tmp_path / "terrier_ef") + ext)
