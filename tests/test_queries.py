@@ -875,3 +875,31 @@ def test_positions_column_pruned_for_scoring(spark, small_index):
                if "docids_ef" in s]
     assert schemas, plan[:2000]  # the postings scan is present
     assert all("positions_ef" not in s for s in schemas), schemas
+
+
+def test_query_major_small_batch_single_exchange(spark, small_index):
+    """Plan regression guard for the small-batch fast path: the
+    query-major fanout must be a literal map explode folded into the
+    scan (no broadcast-join exchanges, no LocalTableScan from a
+    driver-built qterms relation) — exactly ONE shuffle exchange, the
+    groupBy(qid) feeding the kernel. Losing this re-adds ~0.6s of
+    per-call fixed cost on interactive batches."""
+    df = run_queries(
+        small_index,
+        [{"qid": 1, "terms": ["import", "def"], "mode": "disjunctive"},
+         {"qid": 2, "terms": ["class"], "mode": "disjunctive"}],
+        k=5, strategy="query_major",
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re as _re
+
+    assert "BroadcastExchange" not in plan, plan[:3000]
+    assert "LocalTableScan" not in plan, plan[:3000]
+    # exactly one exchange NODE (formatted mode lists each node twice:
+    # once in the tree, once in the detail section)
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+    assert "Generate" in plan  # the explode fanout
