@@ -303,6 +303,8 @@ def finalize_index(
     n_partitions: int,
     resume: bool = True,
     stage_sec: dict | None = None,
+    k1: float = K1,
+    b: float = B,
 ) -> dict:
     """Stages 3-4: lexicon + per-bucket lineage metrics + stats.json
     from the committed docs/postings parquet (the Generator finalize
@@ -394,8 +396,8 @@ def finalize_index(
         "byte_order": "little",
         "bits_per_posting": (int(lex_row["bd"] or 0) + int(lex_row["bf"] or 0))
         / max(1, int(lex_row["np"] or 0)),
-        "k1": K1,
-        "b": B,
+        "k1": k1,
+        "b": b,
     }
     with open(paths.stats, "w") as fh:
         json.dump(stats, fh, indent=2)
@@ -428,6 +430,8 @@ def _build_index(
     max_term_length: int | None = None,
     direct: bool = False,
     resume: bool = True,
+    k1: float = K1,
+    b: float = B,
 ) -> "EFIndex":
     """Build the full EF index from a corpus DataFrame.
 
@@ -553,6 +557,7 @@ def _build_index(
         spark, paths,
         log2_quantum=log2_quantum, positions=positions, block_bits=block_bits,
         n_partitions=n_partitions, resume=resume, stage_sec=stage_sec,
+        k1=k1, b=b,
     )
     with open(paths.manifest, "w") as fh:
         json.dump(

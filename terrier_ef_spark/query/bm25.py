@@ -40,9 +40,12 @@ def idf(num_docs: int, df: int) -> float:
     return float(np.log2((num_docs - df + 0.5) / (df + 0.5)))
 
 
-def tfn(tfs: np.ndarray, doclens: np.ndarray, avgdl: float) -> np.ndarray:
+def tfn(
+    tfs: np.ndarray, doclens: np.ndarray, avgdl: float,
+    k1: float = K1, b: float = B,
+) -> np.ndarray:
     tfs = tfs.astype(np.float64)
-    return tfs * (K1 + 1) / (K1 * (1 - B + B * doclens / avgdl) + tfs)
+    return tfs * (k1 + 1) / (k1 * (1 - b + b * doclens / avgdl) + tfs)
 
 
 @dataclass
@@ -57,8 +60,14 @@ class TermPostings:
     q_max_tf: np.ndarray | None = None       # block max tf (BMW)
     q_min_dl: np.ndarray | None = None       # block min doclen (BMW)
 
-    def contribs(self, doclen_arr: np.ndarray, avgdl: float) -> np.ndarray:
-        return self.idf * tfn(self.tfs, doclen_arr[self.docids].astype(np.float64), avgdl)
+    def contribs(
+        self, doclen_arr: np.ndarray, avgdl: float,
+        k1: float = K1, b: float = B,
+    ) -> np.ndarray:
+        return self.idf * tfn(
+            self.tfs, doclen_arr[self.docids].astype(np.float64), avgdl,
+            k1, b,
+        )
 
 
 def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
@@ -70,7 +79,8 @@ def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def topk_disjunctive(
-    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int
+    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int,
+    *, k1: float = K1, b: float = B,
 ):
     """Exhaustive union scoring: concat (docid, contrib) from each term,
     aggregate with unique+bincount (the vectorized equivalent of the
@@ -78,14 +88,15 @@ def topk_disjunctive(
     if not terms:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     all_d = np.concatenate([t.docids for t in terms])
-    all_c = np.concatenate([t.contribs(doclen_arr, avgdl) for t in terms])
+    all_c = np.concatenate([t.contribs(doclen_arr, avgdl, k1, b) for t in terms])
     uniq, inv = np.unique(all_d, return_inverse=True)
     scores = np.bincount(inv, weights=all_c)
     return _topk(uniq, scores, k)
 
 
 def topk_conjunctive(
-    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int
+    terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int,
+    *, k1: float = K1, b: float = B,
 ):
     """Intersection scoring, smallest-df list first (mirrors the
     skipping cascade Q2 in SURVEY.md §2.2)."""
@@ -104,13 +115,13 @@ def topk_conjunctive(
     scores = np.zeros(len(cand))
     for t in terms:
         pos = np.searchsorted(t.docids, cand)
-        scores += t.contribs(doclen_arr, avgdl)[pos]
+        scores += t.contribs(doclen_arr, avgdl, k1, b)[pos]
     return _topk(cand, scores, k)
 
 
 def topk_bmw(
     terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int,
-    stats_out: dict | None = None,
+    stats_out: dict | None = None, *, k1: float = K1, b: float = B,
 ):
     """Safe-to-k block-max pruned disjunctive top-k; rank-identical to
     topk_disjunctive by construction (prunes only docs whose per-block
@@ -124,7 +135,7 @@ def topk_bmw(
     if not live:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
 
-    contribs = {t.term: t.contribs(doclen_arr, avgdl) for t in live}
+    contribs = {t.term: t.contribs(doclen_arr, avgdl, k1, b) for t in live}
 
     def exact_scores(cand: np.ndarray) -> np.ndarray:
         s = np.zeros(len(cand))
@@ -159,7 +170,7 @@ def topk_bmw(
     ubs = []
     for t in live:
         if t.q_last_docid is None or t.q_max_tf is None:
-            ub_t = np.full(len(t.docids), max(t.idf, 0.0) * (K1 + 1))
+            ub_t = np.full(len(t.docids), max(t.idf, 0.0) * (k1 + 1))
         else:
             # per-block max tf-norm bound from stored (max tf, min dl):
             # tfn is increasing in tf and decreasing in dl, so this
@@ -168,7 +179,7 @@ def topk_bmw(
             max_tfn = tfn(
                 np.asarray(t.q_max_tf, dtype=np.float64),
                 np.asarray(t.q_min_dl, dtype=np.float64),
-                avgdl,
+                avgdl, k1, b,
             )
             block_ub = t.idf * max_tfn
             ub_t = np.maximum(block_ub, 0.0)[blk] if t.idf < 0 else block_ub[blk]
@@ -188,7 +199,7 @@ def topk_bmw(
 
 def topk_maxscore(
     terms: list[TermPostings], doclen_arr: np.ndarray, avgdl: float, k: int,
-    stats_out: dict | None = None,
+    stats_out: dict | None = None, *, k1: float = K1, b: float = B,
 ):
     """Safe-to-k MaxScore pruned disjunctive top-k (Turtle & Flood,
     IP&M 1995 — the other classic dynamic-pruning algorithm beside
@@ -214,7 +225,7 @@ def topk_maxscore(
     if not live:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
 
-    contribs = {t.term: t.contribs(doclen_arr, avgdl) for t in live}
+    contribs = {t.term: t.contribs(doclen_arr, avgdl, k1, b) for t in live}
 
     def exact_scores(cand: np.ndarray) -> np.ndarray:
         s = np.zeros(len(cand))
@@ -246,12 +257,12 @@ def topk_maxscore(
     ubs = []
     for t in live:
         if t.q_last_docid is None or t.q_max_tf is None:
-            ub = max(t.idf, 0.0) * (K1 + 1)
+            ub = max(t.idf, 0.0) * (k1 + 1)
         else:
             max_tfn = tfn(
                 np.asarray(t.q_max_tf, dtype=np.float64),
                 np.asarray(t.q_min_dl, dtype=np.float64),
-                avgdl,
+                avgdl, k1, b,
             )
             ub = float(np.max(np.maximum(t.idf * max_tfn, 0.0)))
         ubs.append(max(ub, 0.0))

@@ -82,6 +82,8 @@ def run_queries(
     model: str = "bm25",
     doc_filter: DataFrame | None = None,
     respect_deletes: bool = True,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """queries: [{'qid': int, 'terms': [str], 'mode':
     'disjunctive'|'conjunctive'[, 'not_terms': [str]]}]. not_terms are
@@ -190,26 +192,36 @@ def run_queries(
             strategy = "term_major"
         else:
             strategy = "query_major"
+    # BM25 parameters: explicit args win, else the values recorded at
+    # build time in stats.json, else the module defaults — so a
+    # k1/b-tuned build scores consistently with zero caller changes
+    if k1 is None:
+        k1 = float(index.stats.get("k1", bm25.K1))
+    if b is None:
+        b = float(index.stats.get("b", bm25.B))
     if strategy == "term_major":
         if algo in ("bmw", "maxscore"):
             # both are safe-to-k; the relational pruned path is BMW
-            return _run_queries_term_major_bmw(index, queries, k=k)
+            return _run_queries_term_major_bmw(index, queries, k=k,
+                                               k1=k1, b=b)
         return _run_queries_term_major(
             index, queries, k=k, model=model, doc_filter=doc_filter,
-            exclude_docs=tombstones,
+            exclude_docs=tombstones, k1=k1, b=b,
         )
-    return _run_queries_query_major(index, queries, k=k, algo=algo)
+    return _run_queries_query_major(index, queries, k=k, algo=algo,
+                                    k1=k1, b=b)
 
 
-def _bm25_contrib_expr(num_docs: float, avgdl: float, tf, dl):
+def _bm25_contrib_expr(num_docs: float, avgdl: float, tf, dl,
+                       k1: float = bm25.K1, b: float = bm25.B):
     """Catalyst BM25 contribution (Robertson idf x tf-normalization) for
     a posting row joined to (global_df, doclen) — shared by the
     exhaustive term-major scorer and the relational BMW path."""
     idf = F.log2(
         (F.lit(num_docs) - F.col("global_df") + 0.5) / (F.col("global_df") + 0.5)
     )
-    tfn = (tf * (bm25.K1 + 1)) / (
-        bm25.K1 * (1 - bm25.B + bm25.B * dl / F.lit(avgdl)) + tf
+    tfn = (tf * (k1 + 1)) / (
+        k1 * (1 - b + b * dl / F.lit(avgdl)) + tf
     )
     return idf * tfn
 
@@ -222,6 +234,8 @@ def _run_queries_term_major(
     model: str = "bm25",
     doc_filter: DataFrame | None = None,
     exclude_docs: DataFrame | None = None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
@@ -260,7 +274,7 @@ def _run_queries_term_major(
             .select("qid", "docid")
         )
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model,
-                       exclude_pairs=exclude_pairs)
+                       exclude_pairs=exclude_pairs, k1=k1, b=b)
 
 
 def _score_rows(
@@ -271,6 +285,8 @@ def _score_rows(
     n_query_terms: dict,
     model: str = "bm25",
     exclude_pairs: DataFrame | None = None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
 ) -> DataFrame:
     """Scoring tail of the term-major strategy: (term, docid, tf) rows
     -> lexicon + partitioned doclen joins -> Catalyst model contribution
@@ -309,7 +325,7 @@ def _score_rows(
     tf = F.col("tf").cast("double")
     dl = F.col("doclen").cast("double")
     if model == "bm25":
-        contrib = _bm25_contrib_expr(num_docs, avgdl, tf, dl)
+        contrib = _bm25_contrib_expr(num_docs, avgdl, tf, dl, k1, b)
     elif model == "dph":
         # DFR DPH (Amati; parameter-free): f = tf/dl,
         # norm = (1-f)^2/(tf+1),
@@ -508,7 +524,8 @@ BMW_TERM_MAJOR_MIN_POSTINGS = 10_000_000
 
 
 def _run_queries_term_major_bmw(
-    index: EFIndex, queries: list[dict], *, k: int
+    index: EFIndex, queries: list[dict], *, k: int,
+    k1: float = bm25.K1, b: float = bm25.B,
 ) -> DataFrame:
     """Distributed block-max WAND on the term-major strategy — the
     pruned-top-k path with NO dense doclen broadcast and NO per-query
@@ -523,9 +540,10 @@ def _run_queries_term_major_bmw(
     disj = [q for q in queries if qmeta[int(q["qid"])][0] != "conjunctive"]
     parts = []
     if conj:
-        parts.append(_run_queries_term_major(index, conj, k=k))
+        parts.append(_run_queries_term_major(index, conj, k=k, k1=k1, b=b))
     if disj:
-        parts.append(_bmw_disjunctive_relational(index, disj, k=k))
+        parts.append(_bmw_disjunctive_relational(index, disj, k=k,
+                                                 k1=k1, b=b))
     if not parts:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
     out = parts[0]
@@ -535,7 +553,8 @@ def _run_queries_term_major_bmw(
 
 
 def _bmw_disjunctive_relational(
-    index: EFIndex, queries: list[dict], *, k: int
+    index: EFIndex, queries: list[dict], *, k: int,
+    k1: float = bm25.K1, b: float = bm25.B,
 ) -> DataFrame:
     """Safe-to-k relational BMW (Ding & Suel SIGIR'11, re-expressed as
     DataFrame stages):
@@ -580,7 +599,7 @@ def _bmw_disjunctive_relational(
     }
     present = sorted(df_by_term)
     if sum(df_by_term.values()) < BMW_TERM_MAJOR_MIN_POSTINGS:
-        return _run_queries_term_major(index, queries, k=k)
+        return _run_queries_term_major(index, queries, k=k, k1=k1, b=b)
 
     # ---- stage 1: per-quantum upper bounds (metadata only) ----
     # each quantum also carries its docid interval (q_lo_excl, q_hi]:
@@ -609,8 +628,8 @@ def _bmw_disjunctive_relational(
         [(t, bm25.idf(num_docs, df_by_term[t])) for t in present],
         "term string, idf double",
     )
-    tfn_ub = (F.col("qtf") * (bm25.K1 + 1)) / (
-        bm25.K1 * (1 - bm25.B + bm25.B * F.col("qdl") / F.lit(avgdl)) + F.col("qtf")
+    tfn_ub = (F.col("qtf") * (k1 + 1)) / (
+        k1 * (1 - b + b * F.col("qdl") / F.lit(avgdl)) + F.col("qtf")
     )
     meta = (
         meta.join(F.broadcast(idf_df), "term")
@@ -678,7 +697,7 @@ def _bmw_disjunctive_relational(
         .join(index.docs.select("docid", "doclen"), "docid")
         .select(
             "term", "docid",
-            _bm25_contrib_expr(num_docs, avgdl, tf, dl).alias("contrib"),
+            _bm25_contrib_expr(num_docs, avgdl, tf, dl, k1, b).alias("contrib"),
         )
         .join(F.broadcast(pq_df), "term")
         .join(seed_docs, ["qid", "docid"])  # exact scores for seeds only
@@ -767,7 +786,8 @@ def _bmw_disjunctive_relational(
     )
     meta.unpersist()
     rows = decode_postings_by_quanta(index, surv_picks).select("term", "docid", "tf")
-    return _score_rows(index, rows, qterm_rows, qmeta, n_query_terms, "bm25")
+    return _score_rows(index, rows, qterm_rows, qmeta, n_query_terms, "bm25",
+                       k1=k1, b=b)
 
 
 def _overlap_range_max(
@@ -857,6 +877,8 @@ def _conjunctive_selective(
     block_bits: int | None,
     log2q: int,
     stats: dict | None = None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
 ):
     """Conjunctive top-k with block-selective decode: the rarest term's
     list is decoded fully (it defines the candidates); every other term
@@ -890,7 +912,7 @@ def _conjunctive_selective(
     for idf_t, d_t, f_t in decoded:
         pos = np.searchsorted(d_t, cand)  # every survivor is present
         scores += idf_t * bm25.tfn(
-            f_t[pos], doclen_arr[cand].astype(np.float64), avgdl
+            f_t[pos], doclen_arr[cand].astype(np.float64), avgdl, k1, b
         )
     return bm25._topk(cand, scores, kq)
 
@@ -950,6 +972,7 @@ def _decode_term_quanta_mask(
 def _exact_scores_from(
     live: list, arrays: dict, cand: np.ndarray,
     doclen_arr: np.ndarray, avgdl: float,
+    k1: float = bm25.K1, b: float = bm25.B,
 ) -> np.ndarray:
     """Exact BM25 scores for `cand` given each term's decoded
     (docids, tfs) in `arrays` (which must cover every candidate's
@@ -962,13 +985,15 @@ def _exact_scores_from(
         pos = np.minimum(np.searchsorted(d_t, cand), len(d_t) - 1)
         hit = d_t[pos] == cand
         c = idf_t * bm25.tfn(
-            f_t[pos], doclen_arr[d_t[pos]].astype(np.float64), avgdl
+            f_t[pos], doclen_arr[d_t[pos]].astype(np.float64), avgdl, k1, b
         )
         s += np.where(hit, c, 0.0)
     return s
 
 
-def _metadata_bounds(live: list, avgdl: float) -> list:
+def _metadata_bounds(
+    live: list, avgdl: float, k1: float = bm25.K1, b: float = bm25.B
+) -> list:
     """Per-term per-quantum upper bounds from metadata only (no
     decode): [(idf, [per-row (q_last_abs, ub_arr)], U_t)]."""
     metas = []
@@ -980,7 +1005,7 @@ def _metadata_bounds(live: list, avgdl: float) -> list:
             max_tfn = bm25.tfn(
                 np.asarray(r.q_max_tf, dtype=np.float64),
                 np.asarray(r.q_min_dl, dtype=np.float64),
-                avgdl,
+                avgdl, k1, b,
             )
             ub = idf_t * max_tfn
             if idf_t < 0:
@@ -996,6 +1021,7 @@ def _seed_theta(
     live: list, metas: list, kq: int, num_docs: int,
     block_bits: int | None, log2q: int,
     doclen_arr: np.ndarray, avgdl: float,
+    k1: float = bm25.K1, b: float = bm25.B,
 ):
     """Provisional threshold from a metadata-guided seed: pick the
     highest-UPPER-BOUND quanta of the highest-idf terms until they
@@ -1033,7 +1059,7 @@ def _seed_theta(
         i: decode_term_selective(grp, seed_union, num_docs, block_bits, log2q)
         for i, (_, _, grp) in enumerate(live)
     }
-    seed_scores = _exact_scores_from(live, seed_arrays, seed_union, doclen_arr, avgdl)
+    seed_scores = _exact_scores_from(live, seed_arrays, seed_union, doclen_arr, avgdl, k1, b)
     theta = (
         np.partition(seed_scores, -kq)[-kq] if len(seed_scores) >= kq else -np.inf
     )
@@ -1049,6 +1075,8 @@ def _bmw_selective(
     block_bits: int | None,
     log2q: int,
     stats: dict | None = None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
 ):
     """Block-max WAND with DECODE pruning (VERDICT r01 wrong #6): the
     per-quantum (max tf, min dl) metadata bounds each quantum's best
@@ -1066,10 +1094,11 @@ def _bmw_selective(
     if not live:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
 
-    metas = _metadata_bounds(live, avgdl)
+    metas = _metadata_bounds(live, avgdl, k1, b)
     sum_u = sum(u for _, _, u in metas)
     theta, _ = _seed_theta(
-        live, metas, kq, num_docs, block_bits, log2q, doclen_arr, avgdl
+        live, metas, kq, num_docs, block_bits, log2q, doclen_arr, avgdl,
+        k1, b,
     )
 
     # quantum survival: ub_t(j) + sum_{t'!=t} U_t' >= theta
@@ -1102,7 +1131,7 @@ def _bmw_selective(
     uniq, inv = np.unique(np.concatenate(all_d), return_inverse=True)
     doc_ub = np.bincount(inv, weights=np.concatenate(all_ub))
     survivors = uniq[doc_ub >= theta] if np.isfinite(theta) else uniq
-    scores = _exact_scores_from(live, full_arrays, survivors, doclen_arr, avgdl)
+    scores = _exact_scores_from(live, full_arrays, survivors, doclen_arr, avgdl, k1, b)
     return bm25._topk(survivors, scores, kq)
 
 
@@ -1115,6 +1144,8 @@ def _maxscore_selective(
     block_bits: int | None,
     log2q: int,
     stats: dict | None = None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
 ):
     """MaxScore with DECODE pruning: essential lists (term-level upper
     bound can still reach theta) decode fully; non-essential lists
@@ -1130,9 +1161,10 @@ def _maxscore_selective(
     if not live:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
 
-    metas = _metadata_bounds(live, avgdl)
+    metas = _metadata_bounds(live, avgdl, k1, b)
     theta, seed_union = _seed_theta(
-        live, metas, kq, num_docs, block_bits, log2q, doclen_arr, avgdl
+        live, metas, kq, num_docs, block_bits, log2q, doclen_arr, avgdl,
+        k1, b,
     )
 
     # maximal ascending-UB prefix with cumulative UB strictly below
@@ -1166,12 +1198,13 @@ def _maxscore_selective(
             arrays[i] = decode_term_selective(
                 live[i][2], cand, num_docs, block_bits, log2q, stats
             )
-    scores = _exact_scores_from(live, arrays, cand, doclen_arr, avgdl)
+    scores = _exact_scores_from(live, arrays, cand, doclen_arr, avgdl, k1, b)
     return bm25._topk(cand, scores, kq)
 
 
 def _run_queries_query_major(
-    index: EFIndex, queries: list[dict], *, k: int, algo: str
+    index: EFIndex, queries: list[dict], *, k: int, algo: str,
+    k1: float = bm25.K1, b: float = bm25.B,
 ) -> DataFrame:
     spark = index.spark
     stats = index.stats
@@ -1268,17 +1301,17 @@ def _run_queries_query_major(
                 else:
                     docids, scores = _conjunctive_selective(
                         tgroups, doclen_arr, avgdl, kq,
-                        num_docs, block_bits, log2q,
+                        num_docs, block_bits, log2q, k1=k1, b=b,
                     )
             elif algo == "maxscore":
                 docids, scores = _maxscore_selective(
                     tgroups, doclen_arr, avgdl, kq,
-                    num_docs, block_bits, log2q,
+                    num_docs, block_bits, log2q, k1=k1, b=b,
                 )
             else:
                 docids, scores = _bmw_selective(
                     tgroups, doclen_arr, avgdl, kq,
-                    num_docs, block_bits, log2q,
+                    num_docs, block_bits, log2q, k1=k1, b=b,
                 )
             return pd.DataFrame(
                 {
@@ -1321,9 +1354,13 @@ def _run_queries_query_major(
             if len(terms) < nqt_bc.value[qid]:
                 docids, scores = np.zeros(0, dtype=np.int64), np.zeros(0)
             else:
-                docids, scores = bm25.topk_conjunctive(terms, doclen_arr, avgdl, kq)
+                docids, scores = bm25.topk_conjunctive(
+                    terms, doclen_arr, avgdl, kq, k1=k1, b=b
+                )
         else:
-            docids, scores = bm25.ALGOS[algo](terms, doclen_arr, avgdl, kq)
+            docids, scores = bm25.ALGOS[algo](
+                terms, doclen_arr, avgdl, kq, k1=k1, b=b
+            )
         return pd.DataFrame(
             {
                 "qid": qid,
