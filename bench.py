@@ -52,12 +52,55 @@ def _spin_once(_):
 PROBE_QUIET_REF_SEC = 0.37
 
 
+def _stream_once(_):
+    """Streaming-memory kernel: sum over a 256 MB array, 4 passes.
+    Cache-defeating by size, so concurrent copies contend on DRAM
+    bandwidth — the resource the cache-resident spin probe cannot see."""
+    import time as _time
+
+    import numpy as np
+
+    x = np.zeros(32_000_000, dtype=np.float64)
+    x[::4096] = 1.0  # fault the pages in before timing
+    t0 = _time.time()
+    s = 0.0
+    for _ in range(4):
+        s += float(x.sum())
+    dt = _time.time() - t0
+    return (4 * x.nbytes) / dt / 1e9  # GB/s seen by this process
+
+
+# best aggregate observed on this VM to date (r4; provisional — raised
+# whenever a higher reading appears): the box-level DRAM ceiling the
+# 32-core build shares
+BW_QUIET_REF_GBPS = 93.0
+
+
+def bandwidth_probe(n: int = 8) -> dict:
+    """Aggregate streaming-read bandwidth of n concurrent processes.
+    Round-4 finding (BASELINE.md): the spin probe alone is NECESSARY
+    but not SUFFICIENT — hypervisor co-tenants can steal DRAM bandwidth
+    while leaving single-thread cache-resident speed intact, halving
+    the 32-core build throughput at spin-factor ~1.0. Both probes ride
+    every bench run; a rep is 'quiet' only when BOTH are near 1.0."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n) as pool:
+        rates = pool.map(_stream_once, range(n))
+    agg = sum(rates)
+    return {
+        "bandwidth_gbps": round(agg, 1),
+        "bandwidth_factor": round(BW_QUIET_REF_GBPS / max(agg, 1e-9), 2),
+    }
+
+
 def contention_probe(n: int = 8) -> dict:
-    """Mean per-process time of n concurrent copies of the spin kernel.
-    This VM's deliverable capacity swings ~2x with hypervisor load
-    (BASELINE.md); reporting the factor alongside every bench run makes
-    the numbers interpretable: factor ~1.0 = quiet machine, >1.3 = the
-    timed numbers under-state capacity by roughly that factor."""
+    """Mean per-process time of n concurrent copies of the spin kernel,
+    plus the aggregate streaming-bandwidth probe. This VM's deliverable
+    capacity swings ~2x with hypervisor load (BASELINE.md); reporting
+    both factors alongside every bench run makes the numbers
+    interpretable: spin factor ~1.0 AND bandwidth factor ~1.0 = quiet
+    machine; either >1.3 = the timed numbers under-state capacity."""
     import multiprocessing as mp
 
     with mp.get_context("spawn").Pool(n) as pool:
@@ -66,6 +109,7 @@ def contention_probe(n: int = 8) -> dict:
     return {
         "probe_sec": round(mean, 3),
         "contention_factor": round(mean / PROBE_QUIET_REF_SEC, 2),
+        **bandwidth_probe(n),
     }
 
 
