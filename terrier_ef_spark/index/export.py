@@ -31,6 +31,7 @@ import json
 import os
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from terrier_ef_spark import ef
 from terrier_ef_spark.index.reader import EFIndex
@@ -436,3 +437,82 @@ def import_terrier_bitfiles(spark, prefix: str):
         }
     )
     return spark.createDataFrame(pdf.astype({"docid": "int64", "tf": "int64"}))
+
+
+def index_from_bitfiles(
+    spark,
+    prefix: str,
+    out_dir: str,
+    *,
+    block_bits: int | None = 16,
+    n_partitions: int = 8,
+) -> "EFIndex":
+    """The full migration path for a user arriving WITH Terrier-layout
+    bitfiles: decode the exported streams back to posting rows and
+    rebuild a complete queryable Parquet EF index (postings, lexicon,
+    docs, stats, doclens_gamma) via the standard encode + finalize
+    pipeline. Doc lengths are reconstructed exactly as sum(tf) over a
+    doc's terms — the identity the source index's doclens satisfy by
+    construction (every surviving token is indexed once). docno is
+    synthesized (`imported:<docid>`) and sha256 left empty: the
+    bitfiles carry neither, which is a property of the source format,
+    not of this bridge."""
+    from terrier_ef_spark.index.builder import (
+        FORMAT_VERSION,
+        IndexPaths,
+        encode_rows,
+        finalize_index,
+    )
+    from terrier_ef_spark.index.reader import EFIndex
+
+    with open(prefix + ".properties.json") as fh:
+        props = json.load(fh)
+    num_docs = int(props["num_docs"])
+    log2q = int(props["log2_quantum"])
+
+    rows = import_terrier_bitfiles(spark, prefix)
+    doclens = rows.groupBy("docid").agg(F.sum("tf").alias("doclen"))
+    kept = rows.join(doclens, "docid")
+
+    po = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(po.params, "w") as fh:
+        json.dump(
+            {
+                "format": FORMAT_VERSION,
+                "log2_quantum": log2q,
+                "positions": False,
+                "block_bits": block_bits,
+                "n_partitions": n_partitions,
+                "tokenizer": "imported",
+                "stopwords": None,
+                "max_term_length": None,
+                "imported_from": prefix,
+            },
+            fh,
+        )
+    encoded = encode_rows(
+        kept.select("term", "docid", "tf", "doclen"),
+        num_docs, log2q, block_bits, positions=False,
+    )
+    (encoded.repartitionByRange(n_partitions, "term", "block_id")
+            .sortWithinPartitions("term", "block_id")
+            .write.mode("overwrite").parquet(po.postings))
+    (doclens.select(
+        "docid",
+        F.concat(F.lit("imported:"), F.col("docid").cast("string"))
+        .alias("docno"),
+        F.col("doclen").cast("long").alias("doclen"),
+        F.lit("").alias("sha256"),
+     )
+     .repartitionByRange(n_partitions, "docid")
+     .sortWithinPartitions("docid")
+     .write.mode("overwrite").parquet(po.docs))
+    finalize_index(
+        spark, po,
+        log2_quantum=log2q, positions=False, block_bits=block_bits,
+        n_partitions=n_partitions, resume=False,
+    )
+    with open(po.manifest, "w") as fh:
+        json.dump({"op": "import_bitfiles", "source": prefix}, fh)
+    return EFIndex(spark, out_dir)

@@ -257,3 +257,31 @@ def test_positional_partition_merge(spark, pos_export_setup):
     want = {int(d): gg["pos"].to_list()
             for d, gg in g.groupby("docid", sort=True)}
     assert {int(d): p.tolist() for d, p in zip(docids, plists)} == want
+
+
+def test_index_from_bitfiles_migration(spark, export_setup, tmp_path):
+    """The full migration: exported bitfiles -> rebuilt Parquet index.
+    Postings round-trip exactly, reconstructed doclens equal the source
+    (sum-of-tf identity), and BM25 answers are rank+score identical."""
+    from terrier_ef_spark.index.export import index_from_bitfiles
+    from terrier_ef_spark.query.engine import run_queries
+
+    src_idx, prefix, _, rows, _ = export_setup
+    re_idx = index_from_bitfiles(spark, prefix, str(tmp_path / "reidx"),
+                                 block_bits=5, n_partitions=2)
+    got = sorted(
+        (r["term"], r["docid"], r["tf"])
+        for r in decode_postings(re_idx).collect()
+    )
+    assert got == rows
+    src_dl = {(r["docid"], r["doclen"]) for r in src_idx.docs.collect()}
+    new_dl = {(r["docid"], r["doclen"]) for r in re_idx.docs.collect()}
+    assert new_dl == src_dl
+    for k in ("num_docs", "num_terms", "num_postings", "num_tokens", "avgdl"):
+        assert re_idx.stats[k] == src_idx.stats[k], k
+    qs = [{"qid": 1, "terms": ["import", "def"], "mode": "disjunctive"},
+          {"qid": 2, "terms": ["class", "return"], "mode": "conjunctive"}]
+    ra = run_queries(src_idx, qs, k=10).orderBy("qid", "rank").collect()
+    rb = run_queries(re_idx, qs, k=10).orderBy("qid", "rank").collect()
+    assert [(r.qid, r.rank, r.docid, round(r.score, 9)) for r in ra] == \
+           [(r.qid, r.rank, r.docid, round(r.score, 9)) for r in rb]

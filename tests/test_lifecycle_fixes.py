@@ -141,3 +141,33 @@ def test_delete_swap_crash_recovery(spark, two_segments):
     finally:
         shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
+
+
+def test_tiering_carries_tombstones(spark, tmp_path_factory):
+    """compact_segments is merge_many underneath: a doc tombstoned in
+    any input segment must stay deleted through the whole merge tree
+    (multi-level, so tombstones relabel through intermediate merges)."""
+    from terrier_ef_spark.index.tiering import compact_segments
+
+    root = tmp_path_factory.mktemp("tier_tomb")
+    idxs = []
+    for i in range(4):
+        c = synthesize_corpus(spark, 20 + 3 * i, seed=90 + i, n_partitions=2)
+        idxs.append(build_index(spark, c, str(root / f"s{i}"),
+                                block_bits=5, n_partitions=2))
+    delete_docs(idxs[0], [2])
+    delete_docs(idxs[3], [5, 7])
+    final = compact_segments(
+        spark, [i.paths.root for i in idxs], str(root / "out"),
+        fan_in=2, n_partitions=2,
+    )
+    tomb = {r["docid"] for r in final.deleted_docids().collect()}
+    assert len(tomb) == 3
+    # relabeled ids resolve back to the source docs via sha256 identity
+    src_sha = {r["sha256"] for i, ids in ((0, [2]), (3, [5, 7]))
+               for r in idxs[i].docs.where(F.col("docid").isin(ids)).collect()}
+    got_sha = {r["sha256"]
+               for r in final.docs.where(F.col("docid").isin(list(tomb))).collect()}
+    assert got_sha == src_sha
+    got = {r["docid"] for r in run_queries(final, QUERIES, k=10_000).collect()}
+    assert not (got & tomb)
