@@ -73,7 +73,7 @@ def _stream_once(_):
 # best aggregate observed on this VM to date (r4; provisional — raised
 # whenever a higher reading appears): the box-level DRAM ceiling the
 # 32-core build shares
-BW_QUIET_REF_GBPS = 93.0
+BW_QUIET_REF_GBPS = 96.7
 
 
 def bandwidth_probe(n: int = 8) -> dict:

@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--stopwords", nargs="*", default=None,
                     help="terms removed by the term pipeline")
     ap.add_argument("--max-term-length", type=int, default=None)
+    ap.add_argument("--k1", type=float, default=None,
+                    help="BM25 k1 recorded in the index (query default)")
+    ap.add_argument("--b", type=float, default=None,
+                    help="BM25 b recorded in the index (query default)")
     ap.add_argument("--direct", action="store_true",
                     help="also build the forward (direct) index")
     ap.add_argument("--no-resume", action="store_true")
@@ -88,6 +92,8 @@ def main() -> None:
         stopwords=args.stopwords,
         max_term_length=args.max_term_length,
         resume=not args.no_resume,
+        **{k: v for k, v in (("k1", args.k1), ("b", args.b))
+           if v is not None},
     )
     build_sec = time.time() - t0
 
