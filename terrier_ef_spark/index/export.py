@@ -160,6 +160,15 @@ def export_terrier_bitfiles(
         .toPandas()
         .sort_values(["term", "docid"])
     )
+    # docid-sequence upper bound: compacted/merged indexes keep their
+    # original docids (gaps are free in the Parquet layout), so the max
+    # docid can EXCEED num_docs — the dense-docid assumption the
+    # reference gets for free. The bound is recorded in properties and
+    # used symmetrically by every decode path. Derived from the whole
+    # docs table (not the exported rows) so term-partition exports of
+    # the same index share one bound and stay byte-merge-compatible.
+    max_docid = index.docs.agg(F.max("docid")).collect()[0][0]
+    docid_bound = max(num_docs, int(max_docid) + 1 if max_docid is not None else 0)
     pos_by_term: dict = {}
     if positions:
         from terrier_ef_spark.query.engine import decode_positions_df
@@ -190,7 +199,7 @@ def export_terrier_bitfiles(
         cf = int(tfs.sum())
         gaps = np.diff(d, prepend=np.int64(0))
         db = ef.ef_encode_bits(
-            gaps, num_docs, strict=False, index_zeroes=True,
+            gaps, docid_bound, strict=False, index_zeroes=True,
             log2_quantum=log2q,
         )
         fb = ef.ef_encode_bits(
@@ -248,6 +257,7 @@ def export_terrier_bitfiles(
     _write_lexicon(out_prefix, lex)
     props = {
         "num_docs": num_docs,
+        "docid_bound": docid_bound,
         "num_terms": len(lex["term"]),
         "num_postings": int(sum(lex["df"])),
         "log2_quantum": log2q,
@@ -276,6 +286,11 @@ def export_merge_bitfiles(prefix_a: str, prefix_b: str, out_prefix: str) -> dict
             props[p] = json.load(fh)
     if props[prefix_a]["num_docs"] != props[prefix_b]["num_docs"]:
         raise ValueError("bitfile merge requires the same docid space")
+    if props[prefix_a].get("docid_bound") != props[prefix_b].get("docid_bound"):
+        raise ValueError(
+            "bitfile merge requires the same docid encode bound "
+            "(partitions must be exported from the same index)"
+        )
     if props[prefix_a]["log2_quantum"] != props[prefix_b]["log2_quantum"]:
         raise ValueError("bitfile merge requires the same log2_quantum")
 
@@ -370,8 +385,8 @@ def read_term_from_bitfiles(
     log2q = int(props["log2_quantum"])
     d_cps = _decode_at(
         _unpack_stream(prefix, ".docids"), int(lex["docid_bit_offset"][i]),
-        df, int(props["num_docs"]), strict=False, index_zeroes=True,
-        log2q=log2q,
+        df, int(props.get("docid_bound", props["num_docs"])),
+        strict=False, index_zeroes=True, log2q=log2q,
     )
     f_cps = _decode_at(
         _unpack_stream(prefix, ".freqs"), int(lex["freq_bit_offset"][i]),
@@ -419,8 +434,8 @@ def import_terrier_bitfiles(spark, prefix: str):
         df, cf = int(lex["df"][i]), int(lex["cf"][i])
         d_cps = _decode_at(
             d_stream, int(lex["docid_bit_offset"][i]), df,
-            int(props["num_docs"]), strict=False, index_zeroes=True,
-            log2q=log2q,
+            int(props.get("docid_bound", props["num_docs"])),
+            strict=False, index_zeroes=True, log2q=log2q,
         )
         f_cps = _decode_at(
             f_stream, int(lex["freq_bit_offset"][i]), df, cf,
@@ -467,7 +482,7 @@ def index_from_bitfiles(
 
     with open(prefix + ".properties.json") as fh:
         props = json.load(fh)
-    num_docs = int(props["num_docs"])
+    num_docs = int(props.get("docid_bound", props["num_docs"]))
     log2q = int(props["log2_quantum"])
 
     rows = import_terrier_bitfiles(spark, prefix)

@@ -1226,7 +1226,14 @@ def _run_queries_query_major(
         "term", "block_id", "df", "cf", "first_docid", "last_docid",
         "docids_ef", "freqs_ef", "q_last_docid", "q_max_tf", "q_min_dl",
     ).where(F.col("term").isin(distinct_terms))
-    if len(qterm_rows) <= 2048:
+    # literal-map fanout requires terms that embed safely in a sql
+    # string (tokenizer output always does); exotic terms fall back to
+    # the broadcast-join path rather than risking the expr parser
+    _safe = all(
+        t.isprintable() and "\n" not in t and "\r" not in t
+        for _, t, _ in qterm_rows
+    )
+    if _safe and len(qterm_rows) <= 2048:
         # small-batch fanout as a LITERAL term->[(qid, w)] map folded
         # into the scan project: no createDataFrame round-trip, no
         # broadcast-join exchange. Built as ONE sql expr string — a

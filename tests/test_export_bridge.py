@@ -285,3 +285,29 @@ def test_index_from_bitfiles_migration(spark, export_setup, tmp_path):
     rb = run_queries(re_idx, qs, k=10).orderBy("qid", "rank").collect()
     assert [(r.qid, r.rank, r.docid, round(r.score, 9)) for r in ra] == \
            [(r.qid, r.rank, r.docid, round(r.score, 9)) for r in rb]
+
+
+def test_export_of_compacted_index_with_docid_gaps(spark, tmp_path):
+    """Compaction leaves docid holes (max docid > num_docs) — the
+    export must encode at the recorded docid bound, not the doc count,
+    and round-trip exactly (regression: 'prefix sum exceeds bound')."""
+    from terrier_ef_spark.index.maintenance import compact_index, delete_docs
+
+    corpus = synthesize_corpus(spark, 40, seed=83, n_partitions=2)
+    idx = build_index(spark, corpus, str(tmp_path / "i"),
+                      log2_quantum=LOG2Q, block_bits=5, n_partitions=2)
+    delete_docs(idx, [0, 1, 2])  # low ids -> max docid 39 > 37 live docs
+    cmp_idx = compact_index(idx, str(tmp_path / "c"), n_partitions=2)
+    assert cmp_idx.stats["num_docs"] == 37
+    prefix = str(tmp_path / "ef")
+    props = export_terrier_bitfiles(cmp_idx, prefix)
+    assert props["docid_bound"] == 40 and props["num_docs"] == 37
+    rows = sorted(
+        (r["term"], r["docid"], r["tf"])
+        for r in decode_postings(cmp_idx).collect()
+    )
+    got = sorted(
+        (r["term"], r["docid"], r["tf"])
+        for r in import_terrier_bitfiles(spark, prefix).collect()
+    )
+    assert got == rows and max(r[1] for r in got) == 39
