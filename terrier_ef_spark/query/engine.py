@@ -112,6 +112,12 @@ def run_queries(
     Jelinek-Mercer LM after Hiemstra; like Terrier's pluggable
     weighting models).
 
+    k1/b: BM25 parameters. Default to the values recorded at build
+    time in stats.json (build_index(k1=, b=)), else the module
+    constants (1.2/0.75); explicit args override per call. Threaded
+    through every kernel including the BMW/MaxScore pruning bounds,
+    so pruning stays safe-to-k at any setting.
+
     doc_filter: optional (docid) DataFrame restricting results to a
     candidate set (metadata-filtered search, e.g. lang='en' docs).
     Collection statistics (df/cf/avgdl) stay corpus-global — standard
