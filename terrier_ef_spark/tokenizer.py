@@ -105,3 +105,47 @@ TOKENIZERS = {
     "simple": tokenize_expr,
     "code": lambda col: tokenize_code_udf(col),
 }
+
+
+def tokenize_query(index, text: str) -> list[str]:
+    """Apply an index's RECORDED term pipeline (params.json: tokenizer,
+    stopwords, max_term_length) to one raw query string, driver-side —
+    so raw queries match what was indexed (Terrier's rule that queries
+    and documents share the termpipeline). Scalar mirror of
+    make_tokenizer for the serving entry points; per-query cost is a
+    few string ops, never a Spark job."""
+    import json
+    import os
+    import re
+
+    with open(os.path.join(index.paths.root, "params.json")) as fh:
+        params = json.load(fh)
+    base = params.get("tokenizer", "simple")
+    stopwords = params.get("stopwords")
+    max_len = params.get("max_term_length")
+    stemmer = None
+    if base == "terrier":
+        if stopwords is None:
+            from terrier_ef_spark.stopwords import TERRIER_STOPWORDS
+
+            stopwords = list(TERRIER_STOPWORDS)
+        stemmer = "porter"
+    if base == "code":
+        text = re.sub(_CAMEL_RE, " ", text)
+    elif base == "pruned":
+        # pruned/imported indexes record a synthetic pipeline name;
+        # the simple tokenizer is the right default for raw queries
+        pass
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    if max_len is not None:
+        toks = [t[:max_len] for t in toks]
+    if stopwords:
+        sw = set(stopwords)
+        toks = [t for t in toks if t not in sw]
+    if stemmer == "porter":
+        from terrier_ef_spark.stemmer import porter_stem
+
+        toks = [porter_stem(t) for t in toks]
+    # preserve order, drop duplicates (run_queries treats repeated terms
+    # via per-term weights; plain queries dedup like Terrier's matching)
+    return list(dict.fromkeys(toks))

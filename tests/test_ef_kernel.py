@@ -358,3 +358,41 @@ def test_quanta_multi_out_of_range_quanta_decode_nothing():
     q_last = docids[np.minimum(np.arange(1, 2) * 8 - 1, 4)]
     assert len(ef.decode_docids_quanta_multi(blob, 5, 100, q_last, [20, 25], 3)) == 0
     assert len(ef.decode_freqs_quanta_multi(fblob, 5, int(tfs.sum()), [20, 25], 3)) == 0
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=300),
+                 min_size=1, max_size=40, unique=True),
+        min_size=1, max_size=6,
+    ),
+    st.sampled_from([2, 3, 8]),
+)
+@settings(max_examples=60, deadline=None)
+def test_unaligned_concat_decode_property(seqs, log2q):
+    """The export-bridge core invariant: raw bit arrays of many EF
+    sequences concatenated back-to-back WITHOUT word alignment decode
+    correctly from their cumulative bit offsets (sequences are
+    self-terminating; trailing stream content is ignored)."""
+    streams = []
+    offsets = []
+    metas = []
+    off = 0
+    ub = 400
+    for vals in seqs:
+        docids = np.sort(np.asarray(vals, dtype=np.int64))
+        gaps = np.diff(docids, prepend=np.int64(0))
+        bits = ef.ef_encode_bits(gaps, ub, strict=False, index_zeroes=True,
+                                 log2_quantum=log2q)
+        offsets.append(off)
+        metas.append(docids)
+        streams.append(bits)
+        off += len(bits)
+    stream = np.concatenate(streams)
+    for o, want in zip(offsets, metas):
+        blob = ef._pack_blob([stream[o:]])
+        cps = ef.ef_decode_prefix_sums(
+            blob, len(want), ub, strict=False, index_zeroes=True,
+            log2_quantum=log2q,
+        )
+        assert np.array_equal(cps[:-1], want)

@@ -67,3 +67,61 @@ def test_spark_submit_pyfiles(tmp_path):
     assert out["export_bits"]["docids"] > 0
     for ext in (".docids", ".freqs"):
         assert os.path.exists(str(tmp_path / "terrier_ef") + ext)
+
+
+@pytest.mark.slow
+def test_spark_submit_query_tool(tmp_path):
+    """Serving-side ship path: build once, then answer queries from a
+    separate spark-submit via tools/submit_query.py, TREC run output
+    resolving docnos, raw query strings going through the index's
+    recorded term pipeline."""
+    spark_home = os.path.dirname(os.path.abspath(__import__("pyspark").__file__))
+    spark_submit = os.path.join(spark_home, "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = shutil.which("spark-submit")
+    if not spark_submit:
+        pytest.skip("spark-submit not available")
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_pyfiles import make_zip
+
+    zip_path = make_zip(str(tmp_path / "terrier_ef_spark.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    common = [spark_submit, "--master", "local[4]",
+              "--conf", "spark.sql.shuffle.partitions=8",
+              "--py-files", zip_path]
+    build = subprocess.run(
+        common + [os.path.join(REPO, "tools", "submit_build.py"),
+                  "--synth-docs", "60", "--out", str(tmp_path / "idx"),
+                  "--partitions", "4", "--block-bits", "5"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert build.returncode == 0, build.stderr[-2000:]
+
+    qfile = tmp_path / "topics.tsv"
+    # qid 3's term is absent from the corpus: it must yield no run
+    # lines rather than an error (standard topics behavior)
+    qfile.write_text("1\tTable, VALUE!\n2\tvalue\n3\tzzzmissing\n")
+    query = subprocess.run(
+        common + [os.path.join(REPO, "tools", "submit_query.py"),
+                  "--index", str(tmp_path / "idx"),
+                  "--queries-file", str(qfile), "--k", "5",
+                  "--format", "trec", "--tag", "shiptest"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert query.returncode == 0, query.stderr[-2000:]
+    lines = [ln.split() for ln in query.stdout.splitlines()
+             if ln.endswith("shiptest")]
+    assert lines, query.stdout[-1000:]
+    by_qid: dict = {}
+    for qid, q0, docno, rank, score, tag in lines:
+        assert q0 == "Q0" and ":" in docno  # docno = repo:path@commit8
+        by_qid.setdefault(qid, []).append((int(rank), float(score)))
+    assert set(by_qid) == {"1", "2"}  # qid 3 (absent term) yields none
+    for ranks in by_qid.values():
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        scores = [s for _, s in ranks]
+        assert scores == sorted(scores, reverse=True)
