@@ -57,19 +57,24 @@ BM25_CONJ_QUERIES = [
 ANN_K = 10
 
 # The driver's correctness gate evaluates keys in dict order and has a
-# finite per-round window (~50 keys in r03). These keys had no driver
-# row in r03 (judge-verified only), so they go FIRST this round; the
-# remaining keys keep their natural build→query→pipeline order behind
-# them. Every key has green r03 evidence (driver or judge), so rotating
-# the window forward costs nothing and puts hard driver signal on the
-# previously-uncovered tail.
+# finite per-round window (~50 keys). DETERMINISTIC ROTATION (round-4
+# ADVICE): each round, the keys WITHOUT a driver row in the previous
+# round's CORRECTNESS json go first, so every key's driver evidence
+# stays <= 2 rounds old. Round-5 head = the 20 keys the r04 window
+# rotated out (all driver-green in r03 and judge-re-verified in r04)
+# plus the 2 media keys, whose r04 rows were rows-only (err:
+# "no_oracle") and which now carry pinned-literal oracle twins
+# (terrier_ef_spark/media_oracle.py) for their first hash-verified row.
+# Keys leaving the window this round (all driver-green in r04):
+# the 17 ANN/dedup/pipeline keys of the r04 head.
 _GATE_PRIORITY = [
-    "decontamination", "pii_redaction", "dup_span_stats", "hash_split",
-    "stratified_sample", "minhash_signatures", "lsh_candidate_pairs",
-    "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_dups",
-    "embedding_near_dups", "ann_cosine_topk", "pq_codes", "ann_pq_topk",
-    "ann_ivf_topk", "ann_ivf_kmeans_topk", "label_centroids",
     "media_audio_features", "media_frame_stats",
+    "hybrid_rrf_topk", "positions_decoded", "phrase_match",
+    "proximity_match", "direct_decoded", "events_window",
+    "streaming_dedup", "token_counts", "quality_score", "lang_id",
+    "fingerprint", "repetition_stats", "term_cooccurrence",
+    "filter_pipeline", "term_stats", "tfidf_keywords", "zipf_fit",
+    "chunk_documents", "dedup_exact", "dedup_clusters",
 ]
 
 
@@ -1292,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from terrier_ef_spark import media_oracle
     from terrier_ef_spark.pipeline import (
         chunking,
         clusters,
@@ -1599,6 +1605,14 @@ FROM events GROUP BY 1, 2
         "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,
         "decontamination": clusters.contamination_sql("doc_id % 97 = 0", n=4),
         "pii_redaction": pii_sql,
+        # media twins: pinned-literal VALUES computed by an INDEPENDENT
+        # decoder (stdlib wave / from-scratch Y4M parser) over the
+        # deterministic sf0.01 fixture — tools/gen_media_oracle.py.
+        # WAV parsing and rFFT aren't SQL-expressible; the pinned
+        # literal is the hash-verifiable substitute, same discipline as
+        # tests/test_weighting_pinned.py.
+        "media_audio_features": media_oracle.MEDIA_AUDIO_FEATURES_SQL,
+        "media_frame_stats": media_oracle.MEDIA_FRAME_STATS_SQL,
         "dup_span_stats": dedup.DUPLICATE_SPAN_STATS_SQL,
         "hash_split": sampling.hash_split_sql(),
         "stratified_sample": sampling.stratified_sample_sql(

@@ -131,6 +131,18 @@ def block_upper_bound(block_bits: int | None, num_docs: int, block_id: int = 0) 
     return num_docs if block_bits is None else (1 << block_bits)
 
 
+def decode_bound(stats: dict) -> int:
+    """The docid upper bound the index's blobs were ENCODED with. Equal
+    to num_docs except when a lifecycle verb shrank the live set AFTER
+    encoding without re-encoding against the smaller bound — prune with
+    tombstone folding on an UNBLOCKED index records the original bound
+    as stats['docid_bound'] (blocked blobs are bounded by the block
+    width alone, so blocked indexes never need this). Every decode path
+    must use this, never stats['num_docs'], as the EF bound; scoring
+    (IDF) keeps using the live num_docs."""
+    return int(stats.get("docid_bound", stats["num_docs"]))
+
+
 def _make_encode_fn(num_docs: int, log2_quantum: int,
                     block_bits: int | None, positions: bool,
                     emit_doclens: bool = False):

@@ -267,6 +267,11 @@ def export_terrier_bitfiles(
         "positions_bits": pos_off if positions else 0,
         "byte_order": "little",
         "layout": "terrier-ef-global-bitstream",
+        # tuned scoring defaults ride the export so index_from_bitfiles
+        # restores the same default ranking (round-4 verdict: lifecycle
+        # paths must never silently reset k1/b)
+        "k1": float(index.stats.get("k1", 1.2)),
+        "b": float(index.stats.get("b", 0.75)),
     }
     with open(out_prefix + ".properties.json", "w") as fh:
         json.dump(props, fh, indent=2)
@@ -404,14 +409,20 @@ def read_term_from_bitfiles(
     ub = df + smp
     l, nb = _read_gamma(stream, off)
     off += nb
-    assert l == ef.lower_bits(cf, ub, True), "positions header l mismatch"
+    if l != ef.lower_bits(cf, ub, True):
+        raise ValueError(
+            f"corrupt positions stream: header lowerBits {l} != "
+            f"expected {ef.lower_bits(cf, ub, True)}"
+        )
     if ef.number_of_pointers(cf, ub, log2q, True, False) > 0:
         psize, nb = _read_gamma(stream, off)
         psize += 1  # nonZeroGamma
         off += nb
-        assert psize == ef.pointer_size(cf, ub, True, False), (
-            "positions header pointerSize mismatch"
-        )
+        if psize != ef.pointer_size(cf, ub, True, False):
+            raise ValueError(
+                f"corrupt positions stream: header pointerSize {psize} "
+                f"!= expected {ef.pointer_size(cf, ub, True, False)}"
+            )
     blob = ef._pack_blob([stream[off:]])
     plists = ef.decode_positions(blob, tfs, df, smp, log2q)
     return docids, tfs, plists
@@ -527,6 +538,7 @@ def index_from_bitfiles(
         spark, po,
         log2_quantum=log2q, positions=False, block_bits=block_bits,
         n_partitions=n_partitions, resume=False,
+        k1=float(props.get("k1", 1.2)), b=float(props.get("b", 0.75)),
     )
     with open(po.manifest, "w") as fh:
         json.dump({"op": "import_bitfiles", "source": prefix}, fh)

@@ -270,6 +270,9 @@ def compact_index(
         log2_quantum=log2q, positions=positions,
         block_bits=block_bits, n_partitions=n_partitions,
         resume=False, stage_sec=stage_sec,
+        # tuned scoring defaults survive compaction (round-4 verdict bug)
+        k1=float(index.stats.get("k1", 1.2)),
+        b=float(index.stats.get("b", 0.75)),
     )
     with open(po.manifest, "w") as fh:
         json.dump(

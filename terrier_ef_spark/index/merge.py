@@ -86,6 +86,25 @@ def merge_many(
     log2_quantum = int(params[0]["log2_quantum"])
     positions = bool(params[0]["positions"])
 
+    # scoring params live in stats.json (finalize writes them): segments
+    # tuned differently must not merge silently — the merged index has
+    # ONE default ranking, so k1/b are as must-match as the encoding
+    # params above (round-4 verdict: lifecycle verbs were resetting them)
+    seg_stats = []
+    for p in paths:
+        with open(p.stats) as fh:
+            seg_stats.append(json.load(fh))
+    k1 = float(seg_stats[0].get("k1", 1.2))
+    b = float(seg_stats[0].get("b", 0.75))
+    for i, st in enumerate(seg_stats[1:], start=1):
+        if (float(st.get("k1", 1.2)), float(st.get("b", 0.75))) != (k1, b):
+            raise ValueError(
+                f"cannot merge: BM25 params mismatch: k1/b "
+                f"{k1}/{b} != {st.get('k1', 1.2)}/{st.get('b', 0.75)} "
+                f"({dirs[0]} vs {dirs[i]}) — rebuild or re-finalize one "
+                "side with matching params"
+            )
+
     # per-segment max docid: one tiny agg per segment (segment counts
     # are tens-to-hundreds; the docs scans are metadata-cheap and the
     # offsets must be known before the single union job is planned)
@@ -120,9 +139,19 @@ def merge_many(
         )
         # tombstones ride through relabeled, like every other docid
         # artifact: a deleted doc must stay deleted after a merge (and
-        # after tiering.compact_segments, which is merge_many underneath)
+        # after tiering.compact_segments, which is merge_many underneath).
+        # Mirror EFIndex.deleted_docids()'s crash-fallback: a crash
+        # mid-swap in delete_docs leaves the live set parked at
+        # deletes_old — reading only deletes/ would resurrect those docs
+        # in the merged index (round-4 ADVICE finding).
         tomb_src = os.path.join(p.root, "deletes")
-        if os.path.exists(os.path.join(tomb_src, "_SUCCESS")):
+        if not os.path.exists(os.path.join(tomb_src, "_SUCCESS")):
+            aside = tomb_src + "_old"
+            tomb_src = (
+                aside if os.path.exists(os.path.join(aside, "_SUCCESS"))
+                else None
+            )
+        if tomb_src is not None:
             t_d = spark.read.parquet(tomb_src)
             tomb_parts.append(
                 t_d if offset == 0
@@ -162,6 +191,7 @@ def merge_many(
         spark, po,
         log2_quantum=log2_quantum, positions=positions,
         block_bits=block_bits, n_partitions=n_partitions, resume=False,
+        k1=k1, b=b,
     )
     with open(po.manifest, "w") as fh:
         json.dump({"op": "merge", "sources": list(dirs),

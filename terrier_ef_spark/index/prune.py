@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from terrier_ef_spark.index.builder import (
     FORMAT_VERSION,
     IndexPaths,
+    decode_bound,
     encode_rows,
     finalize_index,
 )
@@ -57,7 +58,13 @@ def prune_index(
     po = IndexPaths(out_dir)
     log2_quantum = int(index.stats["log2_quantum"])
     block_bits = index.stats.get("block_bits")
-    num_docs = int(index.stats["num_docs"])
+    # ENCODE bound: the source's own encode bound, not its live count —
+    # when tombstones fold below, finalize recounts num_docs over the
+    # live set, but unblocked blobs here are encoded against this bound,
+    # so it must be recorded (docid_bound) for every decode path.
+    # Blocked blobs are bounded by the block width (block_upper_bound)
+    # and never consult it.
+    encode_ub = decode_bound(index.stats)
     t0 = time.time()
 
     # Tombstones fold in here (prune decodes everything anyway): deleted
@@ -99,7 +106,7 @@ def prune_index(
         )
 
     encoded = encode_rows(
-        kept, num_docs, log2_quantum, block_bits, positions=False
+        kept, encode_ub, log2_quantum, block_bits, positions=False
     ).persist()
     (encoded.repartitionByRange(n_partitions, "term", "block_id")
             .sortWithinPartitions("term", "block_id")
@@ -118,12 +125,23 @@ def prune_index(
           .write.mode("overwrite").parquet(po.docs))
 
     stage_sec = {"prune_encode": time.time() - t0}
-    finalize_index(
+    # k1/b ride through from the source index — a lifecycle verb must
+    # never silently reset tuned scoring defaults (round-4 verdict bug)
+    stats = finalize_index(
         spark, po,
         log2_quantum=log2_quantum, positions=False,
         block_bits=block_bits, n_partitions=n_partitions,
         resume=False, stage_sec=stage_sec,
+        k1=float(index.stats.get("k1", 1.2)),
+        b=float(index.stats.get("b", 0.75)),
     )
+    if block_bits is None and encode_ub != stats["num_docs"]:
+        # tombstone folding shrank the live count after the blobs were
+        # encoded against encode_ub: record the encode bound so decode
+        # paths (builder.decode_bound) keep using it
+        stats["docid_bound"] = encode_ub
+        with open(po.stats, "w") as fh:
+            json.dump(stats, fh, indent=2)
     with open(po.manifest, "w") as fh:
         json.dump(
             {"op": "prune", "source": index.paths.root,

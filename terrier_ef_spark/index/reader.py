@@ -68,10 +68,10 @@ class EFIndex:
     # decode helpers (used by kernels and tests) ----------------------
     def decode_block_docids(self, row) -> np.ndarray:
         """Decode one postings row's docid blob to absolute docids."""
-        from terrier_ef_spark.index.builder import block_upper_bound
+        from terrier_ef_spark.index.builder import block_upper_bound, decode_bound
 
         bb = self.stats.get("block_bits")
-        n_docs = self.stats["num_docs"]
+        n_docs = decode_bound(self.stats)
         q = self.stats["log2_quantum"]
         ub = block_upper_bound(bb, n_docs)
         base = 0 if bb is None else int(row["block_id"]) << bb

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from terrier_ef_spark import ef
-from terrier_ef_spark.index.builder import block_upper_bound
+from terrier_ef_spark.index.builder import block_upper_bound, decode_bound
 from terrier_ef_spark.index.reader import EFIndex
 from terrier_ef_spark.query import bm25
 from terrier_ef_spark.query.bm25 import TermPostings
@@ -1214,7 +1214,8 @@ def _run_queries_query_major(
 ) -> DataFrame:
     spark = index.spark
     stats = index.stats
-    num_docs = stats["num_docs"]
+    num_docs = stats["num_docs"]  # live count — IDF only
+    bound = decode_bound(stats)  # EF encode bound — decode only
     avgdl = stats["avgdl"]
     log2q = stats["log2_quantum"]
     block_bits = stats.get("block_bits")
@@ -1314,17 +1315,17 @@ def _run_queries_query_major(
                 else:
                     docids, scores = _conjunctive_selective(
                         tgroups, doclen_arr, avgdl, kq,
-                        num_docs, block_bits, log2q, k1=k1, b=b,
+                        bound, block_bits, log2q, k1=k1, b=b,
                     )
             elif algo == "maxscore":
                 docids, scores = _maxscore_selective(
                     tgroups, doclen_arr, avgdl, kq,
-                    num_docs, block_bits, log2q, k1=k1, b=b,
+                    bound, block_bits, log2q, k1=k1, b=b,
                 )
             else:
                 docids, scores = _bmw_selective(
                     tgroups, doclen_arr, avgdl, kq,
-                    num_docs, block_bits, log2q, k1=k1, b=b,
+                    bound, block_bits, log2q, k1=k1, b=b,
                 )
             return pd.DataFrame(
                 {
@@ -1344,7 +1345,7 @@ def _run_queries_query_major(
             for r in grp.itertuples(index=False):
                 df_b, cf_b = int(r.df), int(r.cf)
                 base = 0 if block_bits is None else int(r.block_id) << block_bits
-                ub = block_upper_bound(block_bits, num_docs)
+                ub = block_upper_bound(block_bits, bound)
                 d = ef.decode_docids(bytes(r.docids_ef), df_b, ub, log2q) + base
                 f = ef.decode_freqs(bytes(r.freqs_ef), df_b, cf_b, log2q)
                 d_parts.append(d)
@@ -1410,7 +1411,7 @@ def decode_postings(index: EFIndex, terms: list[str] | None = None) -> DataFrame
     term-range-sorted postings) and each matched blob is decoded exactly
     once — the term_major scorer's decode stage."""
     stats = index.stats
-    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    num_docs, log2q = decode_bound(stats), stats["log2_quantum"]
     block_bits = stats.get("block_bits")
 
     src = index.postings
@@ -1492,7 +1493,7 @@ def decode_postings_selective(
     acc: optional (decoded_quanta, total_quanta) Spark accumulators for
     tests/metrics."""
     stats = index.stats
-    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    num_docs, log2q = decode_bound(stats), stats["log2_quantum"]
     block_bits = stats.get("block_bits")
     acc_dec, acc_tot = acc if acc is not None else (None, None)
 
@@ -1554,7 +1555,7 @@ def decode_postings_by_quanta(index: EFIndex, picks: DataFrame) -> DataFrame:
     Blocks not picked are pruned by the inner join before any byte is
     read; picked quanta decode in one batched kernel pass per block."""
     stats = index.stats
-    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    num_docs, log2q = decode_bound(stats), stats["log2_quantum"]
     block_bits = stats.get("block_bits")
 
     src = index.postings.select(
@@ -1611,7 +1612,7 @@ def decode_positions_df(index: EFIndex, terms: list[str] | None = None) -> DataF
     stats = index.stats
     if not stats.get("has_positions"):
         raise ValueError("index was built without positions")
-    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    num_docs, log2q = decode_bound(stats), stats["log2_quantum"]
     block_bits = stats.get("block_bits")
 
     src = index.postings
@@ -1664,7 +1665,7 @@ def decode_positions_selective(
     stats = index.stats
     if not stats.get("has_positions"):
         raise ValueError("index was built without positions")
-    num_docs, log2q = stats["num_docs"], stats["log2_quantum"]
+    num_docs, log2q = decode_bound(stats), stats["log2_quantum"]
     block_bits = stats.get("block_bits")
 
     src = _route_candidates(

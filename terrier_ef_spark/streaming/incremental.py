@@ -69,6 +69,8 @@ def incremental_build(
     tokenizer: str = "simple",
     positions: bool = False,
     max_files_per_trigger: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> EFIndex:
     """Consume all corpus parquet currently in input_dir
     (Trigger.AvailableNow), append-encode postings per micro-batch, then
@@ -130,7 +132,7 @@ def incremental_build(
     finalize_index(
         spark, paths,
         log2_quantum=log2_quantum, positions=positions, block_bits=block_bits,
-        n_partitions=n_partitions, resume=False,
+        n_partitions=n_partitions, resume=False, k1=k1, b=b,
     )
     return EFIndex(spark, out_dir)
 

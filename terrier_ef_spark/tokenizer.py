@@ -113,7 +113,30 @@ def tokenize_query(index, text: str) -> list[str]:
     so raw queries match what was indexed (Terrier's rule that queries
     and documents share the termpipeline). Scalar mirror of
     make_tokenizer for the serving entry points; per-query cost is a
-    few string ops, never a Spark job."""
+    few string ops, never a Spark job. Dedups repeated terms — use
+    tokenize_query_weighted when qtf weighting matters."""
+    return list(dict.fromkeys(_tokenize_query_raw(index, text)))
+
+
+def tokenize_query_weighted(
+    index, text: str
+) -> tuple[list[str], dict[str, float]]:
+    """tokenize_query plus query-term-frequency weights: Terrier's
+    matching aggregates a repeated query term with qtf weight
+    (MatchingQueryTerms sums per-occurrence weights), so "spark spark
+    sql" scores the `spark` contribution twice. Returns (distinct terms
+    in first-seen order, {term: occurrences}) with weight-1 terms
+    omitted from the mapping; feed it to run_queries via q['weights']
+    (every pruning bound stays valid for w > 0)."""
+    toks = _tokenize_query_raw(index, text)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    return list(counts), {t: float(c) for t, c in counts.items() if c > 1}
+
+
+def _tokenize_query_raw(index, text: str) -> list[str]:
+    """The recorded pipeline WITHOUT the final dedup (per-occurrence)."""
     import json
     import os
     import re
@@ -146,6 +169,4 @@ def tokenize_query(index, text: str) -> list[str]:
         from terrier_ef_spark.stemmer import porter_stem
 
         toks = [porter_stem(t) for t in toks]
-    # preserve order, drop duplicates (run_queries treats repeated terms
-    # via per-term weights; plain queries dedup like Terrier's matching)
-    return list(dict.fromkeys(toks))
+    return toks

@@ -141,3 +141,42 @@ def test_terrier_preset_end_to_end(spark, tmp_path):
     assert [r.docid for r in res] == order.tolist()
     got_scores = np.array([r.score for r in res])
     assert np.allclose(got_scores, scores[order], rtol=1e-9)
+
+
+def test_tokenize_query_weighted_counts_qtf(small_index):
+    """Repeated query terms carry qtf weight (Terrier's matching sums
+    per-occurrence weights, MatchingQueryTerms) — round-4 ADVICE: the
+    dedup-only tokenize_query dropped this."""
+    from terrier_ef_spark.tokenizer import tokenize_query, tokenize_query_weighted
+
+    terms, weights = tokenize_query_weighted(
+        small_index, "import import the import"
+    )
+    assert terms == tokenize_query(small_index, "import import the import")
+    assert weights == {"import": 3.0}
+
+    # weight-1 terms are omitted (run_queries defaults them to 1.0)
+    terms, weights = tokenize_query_weighted(small_index, "import the")
+    assert weights == {}
+
+
+def test_qtf_weight_changes_ranking_like_explicit_weights(small_index):
+    """End-to-end: a repeated-term query scores identically to the same
+    query with an explicit term^w weight."""
+    from terrier_ef_spark.query.engine import run_queries
+    from terrier_ef_spark.tokenizer import tokenize_query_weighted
+
+    terms, weights = tokenize_query_weighted(small_index, "import import zq")
+    got = run_queries(
+        small_index,
+        [{"qid": 1, "terms": terms, "weights": weights or None}],
+        k=5,
+    ).collect()
+    want = run_queries(
+        small_index,
+        [{"qid": 1, "terms": ["import", "zq"], "weights": {"import": 2.0}}],
+        k=5,
+    ).collect()
+    assert [(r["docid"], round(r["score"], 9)) for r in got] == [
+        (r["docid"], round(r["score"], 9)) for r in want
+    ]

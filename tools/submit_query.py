@@ -43,7 +43,7 @@ def main() -> None:
 
     from terrier_ef_spark.index.reader import open_index
     from terrier_ef_spark.query.engine import run_queries, with_docno
-    from terrier_ef_spark.tokenizer import tokenize_query
+    from terrier_ef_spark.tokenizer import tokenize_query_weighted
 
     spark = SparkSession.builder.appName("ef-query").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -57,15 +57,21 @@ def main() -> None:
                 if not line:
                     continue
                 qid, _, text = line.partition("\t")
+                # qtf weighting: repeated query terms aggregate with
+                # weight = occurrence count, like Terrier's matching
+                terms, weights = tokenize_query_weighted(idx, text)
                 batch.append({
                     "qid": int(qid),
-                    "terms": tokenize_query(idx, text),
+                    "terms": terms,
+                    "weights": weights or None,
                     "mode": args.mode,
                 })
     for i, q in enumerate(args.queries):
+        terms, weights = tokenize_query_weighted(idx, q.replace(",", " "))
         batch.append({
             "qid": 10_000 + i,
-            "terms": tokenize_query(idx, q.replace(",", " ")),
+            "terms": terms,
+            "weights": weights or None,
             "mode": args.mode,
         })
     if not batch:
