@@ -19,10 +19,10 @@ the product artifact at 100 TB stays the partitioned Parquet blobs.
 The export is driver-side and guarded to small indexes (a single
 continuous bitstream is single-writer by definition — the same reason
 the reference's own final reduce is sequential). The lexicon is written
-as Parquet (term, termid, df, cf, bit offsets) rather than an
-FSOMapFile: the offsets and bitstreams are the format's substance; the
-map-file container needs Terrier's serialization jars, which are
-unavailable and unverifiable in this environment.
+as Parquet (term, termid, df, cf, maxtf, bit offsets) — the queryable
+twin — and ALSO as Terrier's binary FSOMapFile container together with
+the γ `.sizes` stream, the direct-index files, and a java Properties
+file, via export_container.py (struct.pack, no Terrier jars needed).
 """
 
 from __future__ import annotations
@@ -187,7 +187,8 @@ def export_terrier_bitfiles(
     freq_bits: list[np.ndarray] = []
     pos_bits: list[np.ndarray] = []
     lex = {k: [] for k in (
-        "term", "termid", "df", "cf", "docid_bit_offset", "freq_bit_offset",
+        "term", "termid", "df", "cf", "maxtf",
+        "docid_bit_offset", "freq_bit_offset",
         "pos_bit_offset", "sum_max_pos",
     )}
     docid_off = 0
@@ -209,6 +210,7 @@ def export_terrier_bitfiles(
         lex["termid"].append(termid)
         lex["df"].append(int(len(d)))
         lex["cf"].append(cf)
+        lex["maxtf"].append(int(tfs.max()))
         lex["docid_bit_offset"].append(docid_off)
         lex["freq_bit_offset"].append(freq_off)
         docid_off += len(db)
@@ -326,6 +328,10 @@ def export_merge_bitfiles(prefix_a: str, prefix_b: str, out_prefix: str) -> dict
         "termid": la["termid"] + [t + n_a for t in lb["termid"]],
         "df": la["df"] + lb["df"],
         "cf": la["cf"] + lb["cf"],
+        "maxtf": (
+            (la.get("maxtf") or [2**31 - 1] * n_a)
+            + (lb.get("maxtf") or [2**31 - 1] * len(lb["term"]))
+        ),
         "docid_bit_offset": la["docid_bit_offset"]
         + [o + rebase_bits[".docids"] for o in lb["docid_bit_offset"]],
         "freq_bit_offset": la["freq_bit_offset"]
@@ -353,6 +359,39 @@ def export_merge_bitfiles(prefix_a: str, prefix_b: str, out_prefix: str) -> dict
     }
     with open(out_prefix + ".properties.json", "w") as fh:
         json.dump(out_props, fh, indent=2)
+    # container artifacts ride the merge when the inputs carry them:
+    # both partitions share one docid space (asserted above), so either
+    # side's .sizes stream IS the merged one; the binary lexicon and
+    # java properties re-derive from the merged parquet lexicon
+    if os.path.exists(prefix_a + ".sizes"):
+        from terrier_ef_spark.index import export_container as _ec
+
+        with open(prefix_a + ".sizes", "rb") as fh:
+            sizes = fh.read()
+        with open(out_prefix + ".sizes", "wb") as fh:
+            fh.write(sizes)
+        mtl = max(
+            int(props[prefix_a].get("max_term_length") or 0),
+            int(props[prefix_b].get("max_term_length") or 0),
+            max((len(t) for t in merged["term"]), default=0),
+            _ec.DEFAULT_MAX_TERM_LENGTH,
+        )
+        _ec.export_fsomapfile_lexicon(out_prefix, max_term_length=mtl)
+        _ec.write_java_properties(
+            out_prefix,
+            num_docs=int(out_props.get(
+                "docid_bound", out_props["num_docs"]
+            )),
+            num_terms=len(merged["term"]),
+            num_pointers=int(out_props["num_postings"]),
+            num_tokens=int(sum(merged["cf"])),
+            log2_quantum=int(out_props["log2_quantum"]),
+            positions=positional,
+            max_term_length=mtl,
+        )
+        out_props["max_term_length"] = mtl
+        with open(out_prefix + ".properties.json", "w") as fh:
+            json.dump(out_props, fh, indent=2)
     return out_props
 
 
@@ -497,7 +536,23 @@ def index_from_bitfiles(
     log2q = int(props["log2_quantum"])
 
     rows = import_terrier_bitfiles(spark, prefix)
-    doclens = rows.groupBy("docid").agg(F.sum("tf").alias("doclen"))
+    if os.path.exists(prefix + ".sizes"):
+        # the container export carries the exact doc lengths
+        # (EFDocumentIndex .sizes stream) — authoritative over the
+        # sum-of-tf identity, which understates doclen for term-pruned
+        # sources (prune keeps the original lengths for scoring)
+        import pandas as pd
+
+        from terrier_ef_spark.index.export_container import read_sizes
+
+        lens = read_sizes(prefix, num_docs)
+        nz = np.flatnonzero(lens)
+        doclens = spark.createDataFrame(
+            pd.DataFrame({"docid": nz.astype("int64"),
+                          "doclen": lens[nz].astype("int64")})
+        )
+    else:
+        doclens = rows.groupBy("docid").agg(F.sum("tf").alias("doclen"))
     kept = rows.join(doclens, "docid")
 
     po = IndexPaths(out_dir)
