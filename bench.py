@@ -276,6 +276,27 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
         out[f"{name}_qps"] = len(batch) / dt
         out[f"{name}_rows"] = n
 
+    # warm single-query serving latency: one topic at a time against
+    # the already-warm index (the submit_query --server operating
+    # point — per-index doclen broadcast and lexicon caches are hot).
+    # Median of 9 sequential queries of 1-4 terms.
+    singles = [
+        {"qid": 9000 + i,
+         "terms": [_VOCAB[(3 * i + j) % len(_VOCAB)]
+                   for j in range(1 + i % 4)],
+         "mode": "disjunctive"}
+        for i in range(9)
+    ]
+    run_queries(idx, [singles[0]], k=10).count()  # warm the path
+    lat = []
+    for q in singles:
+        t0 = time.time()
+        run_queries(idx, [q], k=10).count()
+        lat.append(time.time() - t0)
+    lat.sort()
+    out["bm25_single_warm_sec"] = lat[len(lat) // 2]
+    out["bm25_single_warm_best_sec"] = lat[0]
+
     spark.stop()
     return out
 
@@ -404,6 +425,12 @@ def main():
                 "bm25_bmw_qps": round(result["bm25_bmw_qps"], 2),
                 "bm25_batch256_qps": round(result["bm25_batch256_qps"], 2),
                 "bm25_bmw_batch256_qps": round(result["bm25_bmw_batch256_qps"], 2),
+                "bm25_single_warm_sec": round(
+                    result["bm25_single_warm_sec"], 4
+                ),
+                "bm25_single_warm_best_sec": round(
+                    result["bm25_single_warm_best_sec"], 4
+                ),
                 **probe,
                 **extra,
             }

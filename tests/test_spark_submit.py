@@ -125,3 +125,51 @@ def test_spark_submit_query_tool(tmp_path):
         assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
         scores = [s for _, s in ranks]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_submit_query_server_mode(small_index):
+    """--server answers stdin topics in a loop with an end-of-results
+    frame per topic, reusing one session; results match a direct
+    run_queries call with qtf weights, and the serving cache + docno
+    LRU don't change values."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", small_index.paths.root, "--server", "--k", "5",
+         "--format", "json"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
+    )
+    try:
+        answers = []
+        for topic in ("1\timport import zq", "2\tthe import", "3\timport"):
+            p.stdin.write(topic + "\n")
+            p.stdin.flush()
+            block = []
+            while True:
+                line = p.stdout.readline()
+                if line == "" or line == "\n":
+                    break
+                block.append(line)
+            assert len(block) == 1, block
+            answers.append(json.loads(block[0]))
+    finally:
+        p.stdin.close()
+        p.wait(timeout=120)
+
+    from terrier_ef_spark.query.engine import run_queries
+    from terrier_ef_spark.tokenizer import tokenize_query_weighted
+
+    for qid, text, got in zip(
+        (1, 2, 3), ("import import zq", "the import", "import"), answers
+    ):
+        terms, weights = tokenize_query_weighted(small_index, text)
+        want = run_queries(
+            small_index,
+            [{"qid": qid, "terms": terms, "weights": weights or None}],
+            k=5, algo="bmw",
+        ).orderBy("rank").collect()
+        assert [(r["docid"], round(r["score"], 5)) for r in want] == [
+            (g["docid"], round(g["score"], 5)) for g in got
+        ]

@@ -11,7 +11,15 @@ classic topics shape). --format trec prints the standard 6-column run
 format (`qid Q0 docno rank score tag`) resolving docids to docnos via
 the docs table; --format json prints one JSON line. Terms are passed
 through the index's recorded term pipeline (tokenizer/stopwords), so
-raw query strings match what was indexed.
+raw query strings match what was indexed; repeated terms carry qtf
+weights like Terrier's matching.
+
+--server keeps the session alive and answers topics from stdin
+(`qid<TAB>query` per line, EOF ends); each topic's results are
+followed by one blank line (the end-of-results frame) and flushed
+immediately. The first query pays the per-index warm-up
+(doclen broadcast, lexicon cache); every later query reuses it —
+that's the warm serving latency bench.py's serving probe records.
 """
 
 from __future__ import annotations
@@ -21,6 +29,85 @@ import json
 import sys
 
 
+def _parse_topic(idx, qid: int, text: str, mode: str) -> dict:
+    from terrier_ef_spark.tokenizer import tokenize_query_weighted
+
+    # qtf weighting: repeated query terms aggregate with
+    # weight = occurrence count, like Terrier's matching
+    terms, weights = tokenize_query_weighted(idx, text)
+    return {
+        "qid": qid,
+        "terms": terms,
+        "weights": weights or None,
+        "mode": mode,
+    }
+
+
+def _pick_algo(idx, algo: str) -> str:
+    # a tombstoned (uncompacted) index refuses pruning algorithms;
+    # serve it exhaustively until compaction (same rule as submit_build)
+    if algo == "auto":
+        return "bmw" if idx.deleted_docids() is None else "naive"
+    return algo
+
+
+DOCNO_CACHE_CAP = 200_000  # bounded docid->docno LRU for --server
+
+
+def _resolve_docnos(idx, rows, cache: dict) -> list:
+    """Attach docnos driver-side through a bounded cache; misses are
+    fetched with one docid-isin scan (row-group pruned, and in-memory
+    under the serving cache). Top documents repeat heavily across
+    topics, so steady-state serving skips the per-topic join job."""
+    from pyspark.sql import functions as F
+
+    missing = sorted({int(r["docid"]) for r in rows} - cache.keys())
+    if missing:
+        fetched = (
+            idx.docs.where(F.col("docid").isin(missing))
+            .select("docid", "docno").collect()
+        )
+        for fr in fetched:
+            cache[int(fr["docid"])] = fr["docno"]
+        while len(cache) > DOCNO_CACHE_CAP:
+            cache.pop(next(iter(cache)))
+    return [
+        {"qid": r["qid"], "rank": r["rank"], "docid": r["docid"],
+         "docno": cache.get(int(r["docid"]), f"docid:{r['docid']}"),
+         "score": r["score"]}
+        for r in rows
+    ]
+
+
+def _answer(idx, batch, args, out, *, terminator: bool = False,
+            docno_cache: dict | None = None) -> None:
+    from terrier_ef_spark.query.engine import run_queries, with_docno
+
+    res = run_queries(idx, batch, k=args.k, algo=_pick_algo(idx, args.algo),
+                      k1=args.k1, b=args.b)
+    if docno_cache is not None:
+        rows = _resolve_docnos(
+            idx, res.orderBy("qid", "rank").collect(), docno_cache
+        )
+    else:
+        rows = with_docno(idx, res).orderBy("qid", "rank").collect()
+    if args.format == "trec":
+        for r in rows:
+            out.write(
+                f"{r['qid']} Q0 {r['docno']} {r['rank']} "
+                f"{r['score']:.6f} {args.tag}\n"
+            )
+    else:
+        out.write(json.dumps([
+            {"qid": r["qid"], "rank": r["rank"], "docid": r["docid"],
+             "docno": r["docno"], "score": round(r["score"], 6)}
+            for r in rows
+        ]) + "\n")
+    if terminator:
+        out.write("\n")  # end-of-results frame for --server clients
+    out.flush()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
@@ -28,6 +115,9 @@ def main() -> None:
                     help="TSV file: qid<TAB>query terms")
     ap.add_argument("--queries", nargs="*", default=[],
                     help="inline comma-joined terms per query")
+    ap.add_argument("--server", action="store_true",
+                    help="answer qid<TAB>query topics from stdin in a "
+                    "loop against the cached index (warm serving)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--algo", default="auto",
                     choices=["auto", "naive", "bmw", "maxscore"])
@@ -42,8 +132,6 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from terrier_ef_spark.index.reader import open_index
-    from terrier_ef_spark.query.engine import run_queries, with_docno
-    from terrier_ef_spark.tokenizer import tokenize_query_weighted
 
     spark = SparkSession.builder.appName("ef-query").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -57,47 +145,37 @@ def main() -> None:
                 if not line:
                     continue
                 qid, _, text = line.partition("\t")
-                # qtf weighting: repeated query terms aggregate with
-                # weight = occurrence count, like Terrier's matching
-                terms, weights = tokenize_query_weighted(idx, text)
-                batch.append({
-                    "qid": int(qid),
-                    "terms": terms,
-                    "weights": weights or None,
-                    "mode": args.mode,
-                })
+                batch.append(_parse_topic(idx, int(qid), text, args.mode))
     for i, q in enumerate(args.queries):
-        terms, weights = tokenize_query_weighted(idx, q.replace(",", " "))
-        batch.append({
-            "qid": 10_000 + i,
-            "terms": terms,
-            "weights": weights or None,
-            "mode": args.mode,
-        })
-    if not batch:
-        ap.error("no queries given (--queries-file or --queries)")
+        batch.append(
+            _parse_topic(idx, 10_000 + i, q.replace(",", " "), args.mode)
+        )
 
-    # a tombstoned (uncompacted) index refuses pruning algorithms;
-    # serve it exhaustively until compaction (same rule as submit_build)
-    algo = args.algo
-    if algo == "auto":
-        algo = "bmw" if idx.deleted_docids() is None else "naive"
-    res = run_queries(idx, batch, k=args.k, algo=algo,
-                      k1=args.k1, b=args.b)
-    rows = with_docno(idx, res).orderBy("qid", "rank").collect()
+    if batch:
+        _answer(idx, batch, args, sys.stdout)
+    elif not args.server:
+        ap.error("no queries given (--queries-file, --queries, --server)")
 
-    if args.format == "trec":
-        for r in rows:
-            sys.stdout.write(
-                f"{r['qid']} Q0 {r['docno']} {r['rank']} "
-                f"{r['score']:.6f} {args.tag}\n"
-            )
-    else:
-        print(json.dumps([
-            {"qid": r["qid"], "rank": r["rank"], "docid": r["docid"],
-             "docno": r["docno"], "score": round(r["score"], 6)}
-            for r in rows
-        ]))
+    if args.server:
+        # one topic per stdin line, answered immediately. Serving
+        # session: pin the relations in Spark's in-memory cache (the
+        # per-topic cost is otherwise parquet job overhead, not decode)
+        # — plus the per-index doclen broadcast warmed by query one.
+        idx.enable_serving_cache()
+        docno_cache: dict = {}
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            qid, _, text = line.partition("\t")
+            try:
+                topic = _parse_topic(idx, int(qid), text, args.mode)
+            except ValueError as exc:
+                sys.stderr.write(f"bad topic line ({exc}): {line!r}\n")
+                continue
+            _answer(idx, [topic], args, sys.stdout, terminator=True,
+                    docno_cache=docno_cache)
+
     spark.stop()
 
 
