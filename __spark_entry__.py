@@ -49,6 +49,16 @@ BM25_QUERIES = [
     {"qid": 4, "terms": ["vector", "zzzmissing"], "mode": "disjunctive"},
     {"qid": 5, "terms": ["slow", "fast", "query", "scan", "row"], "mode": "disjunctive"},
 ]
+# Terrier-style query-language topics (query/parser.py): boosts, qtf,
+# '+' requirement, '-' prohibition, and a quoted-phrase constraint —
+# one topic per operator family, answered in one run_queries_ql call
+QL_TOPICS = [
+    {"qid": 1, "query": "table^2 spark merge"},
+    {"qid": 2, "query": "window window query"},
+    {"qid": 3, "query": "+table spark"},
+    {"qid": 4, "query": "table spark -merge"},
+    {"qid": 5, "query": '"table value" spark'},
+]
 BM25_CONJ_QUERIES = [
     {"qid": 1, "terms": ["table", "spark"], "mode": "conjunctive"},
     {"qid": 2, "terms": ["window", "merge"], "mode": "conjunctive"},
@@ -68,6 +78,7 @@ ANN_K = 10
 # Keys leaving the window this round (all driver-green in r04):
 # the 17 ANN/dedup/pipeline keys of the r04 head.
 _GATE_PRIORITY = [
+    "bm25_ql_mixed",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -430,6 +441,80 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _bm25_ql_oracle_sql() -> str:
+    """Twin of run_queries_ql over QL_TOPICS, with each operator's
+    INTENDED semantics spelled out relationally (hand-compiled from the
+    topic strings, independent of the parser): per-(qid, term) weights
+    w (boost / qtf aggregation), a required-term filter for qid 3, a
+    MUST_NOT exclusion for qid 4, and an adjacency-phrase candidate
+    restriction for qid 5 — all over the same corpus-global BM25."""
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), q(qid, term, w) AS (VALUES
+  (1, 'table', 2.0), (1, 'spark', 1.0), (1, 'merge', 1.0),
+  (2, 'window', 2.0), (2, 'query', 1.0),
+  (3, 'table', 1.0), (3, 'spark', 1.0),
+  (4, 'table', 1.0), (4, 'spark', 1.0),
+  (5, 'table', 1.0), (5, 'value', 1.0), (5, 'spark', 1.0)
+),
+req(qid, term) AS (VALUES (3, 'table')),
+rn(qid, n_req) AS (VALUES (3, 1)),
+nq(qid, term) AS (VALUES (4, 'merge')),
+arr AS (SELECT doc_id, {TOK} AS a FROM documents),
+tokpos AS (
+  SELECT doc_id, i AS pos, a[i + 1] AS term
+  FROM arr, unnest(range(len(a))) AS t(i)
+),
+ph(term, idx) AS (VALUES ('table', 0), ('value', 1)),
+phdocs AS (
+  SELECT DISTINCT doc_id AS docid FROM (
+    SELECT doc_id, pos - idx AS anchor, count(DISTINCT idx) AS nidx
+    FROM tokpos JOIN ph USING (term) GROUP BY 1, 2
+  ) WHERE nidx = 2
+),
+sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum(({contrib}) * q.w) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+         JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+),
+excl AS (SELECT DISTINCT nq.qid, p.doc_id AS docid
+         FROM nq JOIN post p USING (term)),
+reqok AS (
+  SELECT req.qid, p.doc_id AS docid
+  FROM req JOIN post p USING (term) JOIN rn ON rn.qid = req.qid
+  GROUP BY 1, 2, rn.n_req HAVING count(DISTINCT p.term) = rn.n_req
+),
+ok AS (
+  SELECT sc.* FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM excl
+                    WHERE excl.qid = sc.qid AND excl.docid = sc.docid)
+    AND (sc.qid <> 3 OR EXISTS (SELECT 1 FROM reqok
+                                WHERE reqok.qid = sc.qid
+                                  AND reqok.docid = sc.docid))
+    AND (sc.qid <> 5 OR sc.docid IN (SELECT docid FROM phdocs))
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM ok
+) WHERE rank <= 10
+"""
+
+
 def _hybrid_rrf_oracle_sql(
     terms: list[str], depth: int = 50, k_rrf: int = 60, k: int = 10
 ) -> str:
@@ -774,6 +859,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _get_index(spark, sf)
         deep = run_queries_prefix(idx, PREFIX_QUERIES, k=100)
+        return _rerank_6dp(deep)
+
+    def bm25_ql_mixed(spark, sf):
+        """Terrier-style query language (query/parser.py): one topic
+        batch exercising boosts (^w), qtf aggregation, '+' requirement,
+        '-' prohibition, and a quoted-phrase candidate constraint, all
+        compiled onto the engine primitives and answered by
+        run_queries_ql."""
+        from terrier_ef_spark.query.parser import run_queries_ql
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_ql(idx, QL_TOPICS, k=100)
         return _rerank_6dp(deep)
 
     def bm25_sharded_topk(spark, sf):
@@ -1224,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": bm25f_topk,
         "bm25_prox_topk": bm25_prox_topk,
         "bm25_prefix_topk": bm25_prefix_topk,
+        "bm25_ql_mixed": bm25_ql_mixed,
         "bm25_not_topk": bm25_not_topk,
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_sharded_topk": bm25_sharded_topk,
@@ -1510,6 +1608,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25f_topk": _bm25f_oracle_sql(BM25_QUERIES),
         "bm25_prox_topk": _bm25_prox_oracle_sql(BM25_QUERIES),
         "bm25_prefix_topk": _bm25_prefix_oracle_sql(PREFIX_QUERIES),
+        "bm25_ql_mixed": _bm25_ql_oracle_sql(),
         "bm25_not_topk": _bm25_oracle_sql(NOT_QUERIES, conjunctive=False),
         "bm25_fuzzy_topk": _bm25_fuzzy_oracle_sql(FUZZY_QUERIES),
         # sharded twin == the plain whole-corpus oracle: that IS the claim

@@ -1,0 +1,359 @@
+"""Terrier-style query language over the EF engine.
+
+The reference's ecosystem exposes retrieval through Terrier's query
+language (documented at terrier.org, "Querying Terrier"; the operators
+live in Terrier core's matchop/ql parsers — terrier-ef itself ships only
+the index, reference README "use it like any Terrier index"). This
+module gives the Spark engine the same user-facing surface, compiled
+onto the primitives the engine already has rather than a new matcher:
+
+    spark sql^2.5        weighted terms (^w multiplies the term's
+                         contribution; repeated occurrences aggregate
+                         additively, generalizing qtf weighting)
+    +spark sql           '+' requirement: doc must contain the term
+                         (the term also scores)
+    -java spark          '-' prohibition: doc must not contain the term
+                         (compiled to the engine's not_terms)
+    "hello world"        exact phrase: terms score, docs are restricted
+                         to phrase matches (phrase.phrase_hits)
+    "hello world"~4      unordered window: all terms within a span of
+                         <= 4 positions (phrase.window_hits)
+    -"hello world"       negated phrase/window: matching docs excluded,
+                         terms do not score
+    tab*                 prefix expansion (expansion.expand_prefix:
+                         df-ordered, capped — Lucene's PrefixQuery
+                         rewrite discipline)
+    tabel~               fuzzy expansion, edit distance <= 1
+                         (expansion.expand_fuzzy, SymSpell candidates)
+
+Raw words pass through the index's RECORDED term pipeline
+(tokenizer/stopwords/stemming from params.json) exactly like document
+content — Terrier's rule that queries and documents share the
+termpipeline. A word the pipeline drops (stopword) silently leaves the
+query, including its +/- constraint, which is Terrier's behavior; a
+word the pipeline splits (camelCase under the code tokenizer) becomes
+that many terms, each carrying the clause's operator and boost.
+
+Scale shape (100 TB design notes):
+- scoring runs through engine.run_queries (decode-once term-major path);
+  unconstrained topics in a batch share ONE run_queries call;
+- '+' / phrase constraints compile to a per-topic candidate relation
+  (docid) fed to run_queries(doc_filter=...) — a left-semi join on the
+  decoded posting rows, never a collected id list;
+- negated phrases subtract via a left-anti join on the docs table
+  (lazy relational plan, no driver materialization);
+- prefix/fuzzy expansion collects are bounded by max_expansions, the
+  same driver-side discipline as PRF term selection.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from terrier_ef_spark.index.reader import EFIndex
+
+_PHRASE_RE = re.compile(
+    r'([+-]?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
+)
+_WORD_RE = re.compile(
+    r'([+-]?)([^\s"^~*]+)([*~]?)(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
+)
+
+
+@dataclass(frozen=True)
+class QLClause:
+    """One parsed clause, pre-pipeline (raw words)."""
+
+    kind: str  # 'term' | 'phrase'
+    words: tuple[str, ...]
+    op: str = ""  # '' | '+' | '-'
+    boost: float = 1.0
+    window: int | None = None  # phrases: None = exact adjacency
+    expand: str = ""  # terms: '' | 'prefix' | 'fuzzy'
+
+
+def parse_query(text: str) -> list[QLClause]:
+    """Tokenize one query-language string into clauses. Raises
+    ValueError on malformed syntax (unbalanced quote, empty phrase,
+    non-positive boost, boost/expansion on a prohibited term where the
+    combination is meaningless)."""
+    clauses: list[QLClause] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        ch = text[pos]
+        if ch.isspace():
+            pos += 1
+            continue
+        m = _PHRASE_RE.match(text, pos)
+        if m is None and (
+            ch == '"' or (ch in "+-" and text[pos + 1 : pos + 2] == '"')
+        ):
+            raise ValueError(f"unbalanced or malformed quote at: {text[pos:]!r}")
+        if m:
+            op, body, win, boost = m.groups()
+            words = tuple(body.split())
+            if not words:
+                raise ValueError("empty phrase")
+            bv = float(boost) if boost else 1.0
+            if bv <= 0:
+                raise ValueError(f"boost must be > 0, got {boost}")
+            if op == "-" and boost:
+                raise ValueError(
+                    "a boost on a prohibited phrase has no effect — "
+                    "prohibited clauses do not score"
+                )
+            wv = int(win) if win else None
+            if wv is not None and wv < 1:
+                raise ValueError(f"window must be >= 1, got {win}")
+            if len(words) == 1 and wv is None:
+                # one-word "phrase" degenerates to a plain term
+                clauses.append(QLClause("term", words, op, bv))
+            else:
+                clauses.append(QLClause("phrase", words, op, bv, wv))
+            pos = m.end()
+            continue
+        m = _WORD_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"cannot parse query at: {text[pos:]!r}")
+        op, word, suffix, boost = m.groups()
+        bv = float(boost) if boost else 1.0
+        if bv <= 0:
+            raise ValueError(f"boost must be > 0, got {boost}")
+        if op == "-" and boost:
+            raise ValueError(
+                "a boost on a prohibited term has no effect — "
+                "prohibited clauses do not score"
+            )
+        expand = {"*": "prefix", "~": "fuzzy", "": ""}[suffix]
+        if op == "+" and expand:
+            raise ValueError(
+                f"'+' cannot combine with {suffix!r} expansion: a "
+                "requirement over an unbounded rewrite set is ambiguous"
+            )
+        clauses.append(QLClause("term", (word,), op, bv, None, expand))
+        pos = m.end()
+    if not clauses:
+        raise ValueError("empty query")
+    return clauses
+
+
+@dataclass
+class CompiledQuery:
+    """One topic compiled to engine primitives (post-pipeline terms)."""
+
+    qid: int
+    terms: list[str]
+    weights: dict[str, float]
+    not_terms: list[str]
+    require_terms: list[str]
+    phrases: list[tuple[tuple[str, ...], int | None, bool]]  # (terms, window, negated)
+
+    @property
+    def constrained(self) -> bool:
+        return bool(self.require_terms or self.phrases)
+
+    def engine_query(self) -> dict:
+        q = {"qid": self.qid, "terms": self.terms, "mode": "disjunctive"}
+        w = {t: v for t, v in self.weights.items() if v != 1.0}
+        if w:
+            q["weights"] = w
+        if self.not_terms:
+            q["not_terms"] = self.not_terms
+        return q
+
+
+def compile_query(
+    index: EFIndex,
+    qid: int,
+    text: str,
+    *,
+    max_prefix_expansions: int = 50,
+    max_fuzzy_expansions: int = 10,
+) -> CompiledQuery:
+    """Parse + resolve one topic against an index: every raw word runs
+    through the index's recorded term pipeline; prefix/fuzzy clauses
+    expand against the lexicon (bounded). Terms that the pipeline drops
+    vanish, together with their operator — Terrier termpipeline
+    semantics."""
+    from terrier_ef_spark.query.expansion import expand_fuzzy, expand_prefix
+    from terrier_ef_spark.tokenizer import tokenize_query
+
+    clauses = parse_query(text)
+    terms: list[str] = []
+    weights: dict[str, float] = {}
+    not_terms: list[str] = []
+    require: list[str] = []
+    phrases: list[tuple[tuple[str, ...], int | None, bool]] = []
+
+    def add_scored(term: str, w: float) -> None:
+        if term not in weights:
+            terms.append(term)
+            weights[term] = w
+        else:
+            # per-occurrence additive aggregation (Terrier's
+            # MatchingQueryTerms sums occurrence weights — qtf
+            # generalized to boosts)
+            weights[term] += w
+
+    for c in clauses:
+        if c.kind == "phrase":
+            resolved = tuple(
+                t for word in c.words for t in tokenize_query(index, word)
+            )
+            if len(resolved) < 2:
+                # pipeline collapsed the phrase below two terms: an
+                # empty constraint matches everything; a single term
+                # degrades to that term (scored unless prohibited)
+                if resolved and c.op != "-":
+                    add_scored(resolved[0], c.boost)
+                continue
+            if c.window is not None and len(set(resolved)) != len(resolved):
+                raise ValueError(
+                    f"windowed phrase has duplicate terms after the term "
+                    f"pipeline: {resolved}"
+                )
+            phrases.append((resolved, c.window, c.op == "-"))
+            if c.op != "-":
+                for t in dict.fromkeys(resolved):
+                    add_scored(t, c.boost)
+            continue
+        # term clause (possibly multi-term after the pipeline)
+        resolved_t = [t for w in c.words for t in tokenize_query(index, w)]
+        if c.expand:
+            seeds, resolved_t = resolved_t, []
+            for s in seeds:
+                if c.expand == "prefix":
+                    resolved_t.extend(
+                        expand_prefix(index, s, max_prefix_expansions)
+                    )
+                else:
+                    resolved_t.extend(
+                        expand_fuzzy(index, s, max_fuzzy_expansions)
+                    )
+        for t in resolved_t:
+            if c.op == "-":
+                if t not in not_terms:
+                    not_terms.append(t)
+            else:
+                add_scored(t, c.boost)
+                if c.op == "+" and t not in require:
+                    require.append(t)
+    return CompiledQuery(int(qid), terms, weights, not_terms, require, phrases)
+
+
+def _candidate_filter(index: EFIndex, cq: CompiledQuery) -> DataFrame | None:
+    """The (docid) candidate relation for a constrained topic: docs
+    containing every required term AND every positive phrase/window,
+    minus docs matching any negated phrase/window. Pure relational —
+    semi/anti joins over decoded posting/position rows, no collects."""
+    from terrier_ef_spark.query.engine import decode_postings
+    from terrier_ef_spark.query.phrase import phrase_hits, window_hits
+
+    positive: list[DataFrame] = []
+    if cq.require_terms:
+        req = decode_postings(index, cq.require_terms)
+        positive.append(
+            req.groupBy("docid")
+            .agg(F.count_distinct("term").alias("nt"))
+            .where(F.col("nt") == len(set(cq.require_terms)))
+            .select("docid")
+        )
+    negative: list[DataFrame] = []
+    for p_terms, win, negated in cq.phrases:
+        hits = (
+            phrase_hits(index, list(p_terms))
+            if win is None
+            else window_hits(index, list(p_terms), win)
+        ).select("docid")
+        (negative if negated else positive).append(hits)
+    if not positive and not negative:
+        return None
+    if positive:
+        flt = reduce(lambda a, b: a.join(b, "docid", "left_semi"), positive)
+    else:
+        # negations only: start from the full docs relation (lazy — the
+        # anti join below is what executes, scan-pruned to docid)
+        flt = index.docs.select("docid")
+    for neg in negative:
+        flt = flt.join(neg, "docid", "left_anti")
+    return flt
+
+
+def run_queries_ql(
+    index: EFIndex,
+    topics: list[dict],
+    *,
+    k: int = 10,
+    algo: str = "naive",
+    k1: float | None = None,
+    b: float | None = None,
+    max_prefix_expansions: int = 50,
+    max_fuzzy_expansions: int = 10,
+) -> DataFrame:
+    """Answer query-language topics: [{'qid': int, 'query': str}] ->
+    (qid, rank, docid, score), the engine's result contract.
+
+    Execution plan: topics without +/phrase constraints share ONE
+    term-major run_queries call (decode-once across the whole batch;
+    `algo` applies there, degraded to 'naive' when any topic carries
+    not_terms — the engine's exclusion rule); each constrained topic
+    runs with its own candidate doc_filter, which forces the exhaustive
+    scorer (pruning thresholds seeded pre-filter would over-prune,
+    engine.run_queries's rule). Topics whose scoring terms all vanish
+    in the pipeline return no rows, like an out-of-vocabulary Terrier
+    query. k1/b pass straight through to run_queries (None = the
+    index's recorded build-time defaults)."""
+    from terrier_ef_spark.query.engine import RESULT_SCHEMA, run_queries
+
+    compiled = [
+        compile_query(
+            index, t["qid"], t["query"],
+            max_prefix_expansions=max_prefix_expansions,
+            max_fuzzy_expansions=max_fuzzy_expansions,
+        )
+        for t in topics
+    ]
+    qids = [c.qid for c in compiled]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate qids in topic batch")
+    simple = [c for c in compiled if not c.constrained and c.terms]
+    constrained = [c for c in compiled if c.constrained and c.terms]
+
+    parts: list[DataFrame] = []
+    if simple:
+        batch_algo = (
+            "naive" if any(c.not_terms for c in simple) else algo
+        )
+        parts.append(
+            run_queries(
+                index, [c.engine_query() for c in simple], k=k,
+                algo=batch_algo, strategy="term_major", k1=k1, b=b,
+            )
+        )
+    for c in constrained:
+        # all scored terms required and no phrases: the engine's
+        # conjunctive mode expresses the constraint without a filter
+        # relation (and stays eligible for the skip-driven decode)
+        if not c.phrases and set(c.require_terms) == set(c.terms):
+            q = c.engine_query()
+            q["mode"] = "conjunctive"
+            parts.append(
+                run_queries(index, [q], k=k, strategy="term_major",
+                            k1=k1, b=b)
+            )
+            continue
+        flt = _candidate_filter(index, c)
+        parts.append(
+            run_queries(
+                index, [c.engine_query()], k=k, strategy="term_major",
+                doc_filter=flt, k1=k1, b=b,
+            )
+        )
+    if not parts:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    return reduce(lambda a, b: a.unionByName(b), parts)

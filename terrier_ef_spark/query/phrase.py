@@ -94,15 +94,16 @@ def _positions_for(index: EFIndex, terms: list[str], selective: bool | None) -> 
     return pos_rows
 
 
-def phrase_match(
-    index: EFIndex, phrase: list[str], k: int = 20, selective: bool | None = None
+def phrase_hits(
+    index: EFIndex, phrase: list[str], selective: bool | None = None
 ) -> DataFrame:
-    """Top-k docs by exact-phrase occurrence count.
-
-    Returns (docid, n_occurrences, rank); tie-break (count desc, docid
-    asc). Duplicate terms in the phrase are handled via the distinct
-    phrase-index count (a doc position must anchor ALL indices).
-    selective: None = auto per-term cutover, True/False = force."""
+    """All docs containing the exact phrase, unranked: (docid,
+    n_occurrences) — the constraint relation the query language's
+    quoted-phrase operator filters candidates with (parser.py), and the
+    body phrase_match ranks. Duplicate terms are handled via the
+    distinct phrase-index count (a doc position must anchor ALL
+    indices). selective: None = auto per-term cutover, True/False =
+    force."""
     spark = index.spark
     n = len(phrase)
     phrase_df = spark.createDataFrame(
@@ -115,8 +116,54 @@ def phrase_match(
         .agg(F.count_distinct("idx").alias("nidx"))
         .where(F.col("nidx") == n)
     )
-    hits = occ.groupBy("docid").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    return _rank_hits(hits, k)
+    return occ.groupBy("docid").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+def window_hits(
+    index: EFIndex,
+    terms: list[str],
+    window: int,
+    selective: bool | None = None,
+) -> DataFrame:
+    """All docs where some position window of span <= `window` contains
+    ALL the (distinct) terms — the unordered-window constraint behind
+    the query language's `"a b"~N` operator, generalizing
+    proximity_match's two-term predicate (for two terms, span <= N is
+    exactly |pos_a - pos_b| <= N). Returns (docid, n_occurrences) where
+    n_occurrences counts anchor positions opening a qualifying window.
+
+    Relational shape: one positional decode of only the query terms'
+    rows, then a per-doc RANGE window [pos, pos + window] checking
+    distinct-term coverage — a single partitionBy(docid) sort, no
+    self-join fan-out (the pairwise join is quadratic in per-doc tf;
+    this is linear in the terms' position rows)."""
+    terms = list(terms)
+    if len(set(terms)) != len(terms):
+        raise ValueError("window_hits requires distinct terms")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    pos_rows = _positions_for(index, terms, selective)
+    w = (
+        Window.partitionBy("docid")
+        .orderBy(F.col("pos").cast("long"))
+        .rangeBetween(0, int(window))
+    )
+    anchors = pos_rows.withColumn(
+        "ncover", F.size(F.collect_set("term").over(w))
+    ).where(F.col("ncover") == len(terms))
+    return anchors.groupBy("docid").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+
+
+def phrase_match(
+    index: EFIndex, phrase: list[str], k: int = 20, selective: bool | None = None
+) -> DataFrame:
+    """Top-k docs by exact-phrase occurrence count.
+
+    Returns (docid, n_occurrences, rank); tie-break (count desc, docid
+    asc). See phrase_hits for the matching semantics."""
+    return _rank_hits(phrase_hits(index, phrase, selective), k)
 
 
 def _rank_hits(hits: DataFrame, k: int) -> DataFrame:

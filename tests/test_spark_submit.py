@@ -173,3 +173,55 @@ def test_submit_query_server_mode(small_index):
         assert [(r["docid"], round(r["score"], 5)) for r in want] == [
             (g["docid"], round(g["score"], 5)) for g in got
         ]
+
+
+def test_submit_query_server_ql_mode(small_index):
+    """--server --ql parses stdin topics as the query language: one
+    constrained topic (+require), one with a prohibition, one bad topic
+    line (rejected without aborting the loop); values match a direct
+    run_queries_ql call."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", small_index.paths.root, "--server", "--ql", "--k", "5",
+         "--format", "json"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
+    )
+    topics = ("1\t+val def^2", "2\tdef import -val")
+    try:
+        answers = []
+        # a malformed topic first: must be rejected, loop must survive
+        p.stdin.write('9\t"unbalanced\n')
+        p.stdin.flush()
+        for topic in topics:
+            p.stdin.write(topic + "\n")
+            p.stdin.flush()
+            block = []
+            while True:
+                line = p.stdout.readline()
+                if line == "" or line == "\n":
+                    break
+                block.append(line)
+            assert len(block) == 1, block
+            answers.append(json.loads(block[0]))
+    finally:
+        p.stdin.close()
+        p.wait(timeout=120)
+
+    from terrier_ef_spark.query.parser import run_queries_ql
+
+    for (qid, text), got in zip(((1, "+val def^2"), (2, "def import -val")),
+                                answers):
+        want = (
+            run_queries_ql(small_index, [{"qid": qid, "query": text}], k=5)
+            .orderBy("rank").collect()
+        )
+        assert [r["docid"] for r in want] == [g["docid"] for g in got]
+        # the tool emits scores rounded to 6dp — compare with tolerance
+        # (re-rounding a .5-boundary value would double-round)
+        assert all(
+            abs(r["score"] - g["score"]) < 2e-6
+            for r, g in zip(want, got)
+        )

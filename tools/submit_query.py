@@ -14,6 +14,11 @@ through the index's recorded term pipeline (tokenizer/stopwords), so
 raw query strings match what was indexed; repeated terms carry qtf
 weights like Terrier's matching.
 
+--ql parses each topic as the Terrier-style query language instead of a
+bag of words: `term^w +require -prohibit "exact phrase" "a b"~N tab*
+term~` (operators documented in query/parser.py), compiled onto the
+same engine.
+
 --server keeps the session alive and answers topics from stdin
 (`qid<TAB>query` per line, EOF ends); each topic's results are
 followed by one blank line (the end-of-results frame) and flushed
@@ -29,7 +34,18 @@ import json
 import sys
 
 
-def _parse_topic(idx, qid: int, text: str, mode: str) -> dict:
+def _parse_topic(idx, qid: int, text: str, mode: str,
+                 ql: bool = False) -> dict:
+    if ql:
+        # Terrier-style query language: operators compile onto the
+        # engine in query/parser.py; the pipeline/qtf handling below is
+        # subsumed by the parser's per-word resolution. Parse errors
+        # surface here (before any Spark work) so --server can reject
+        # a bad topic line without aborting the loop.
+        from terrier_ef_spark.query.parser import parse_query
+
+        parse_query(text)
+        return {"qid": qid, "query": text}
     from terrier_ef_spark.tokenizer import tokenize_query_weighted
 
     # qtf weighting: repeated query terms aggregate with
@@ -83,8 +99,18 @@ def _answer(idx, batch, args, out, *, terminator: bool = False,
             docno_cache: dict | None = None) -> None:
     from terrier_ef_spark.query.engine import run_queries, with_docno
 
-    res = run_queries(idx, batch, k=args.k, algo=_pick_algo(idx, args.algo),
-                      k1=args.k1, b=args.b)
+    if getattr(args, "ql", False):
+        from terrier_ef_spark.query.parser import run_queries_ql
+
+        # constrained topics force the exhaustive scorer inside; the
+        # shared unconstrained batch honors the requested algo
+        res = run_queries_ql(idx, batch, k=args.k,
+                             algo=_pick_algo(idx, args.algo),
+                             k1=args.k1, b=args.b)
+    else:
+        res = run_queries(idx, batch, k=args.k,
+                          algo=_pick_algo(idx, args.algo),
+                          k1=args.k1, b=args.b)
     if docno_cache is not None:
         rows = _resolve_docnos(
             idx, res.orderBy("qid", "rank").collect(), docno_cache
@@ -123,6 +149,10 @@ def main() -> None:
                     choices=["auto", "naive", "bmw", "maxscore"])
     ap.add_argument("--mode", default="disjunctive",
                     choices=["disjunctive", "conjunctive"])
+    ap.add_argument("--ql", action="store_true",
+                    help="parse topics as Terrier-style query language "
+                    "(+req -not term^w \"phrase\" \"a b\"~N tab* term~; "
+                    "see query/parser.py) instead of bags of words")
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
     ap.add_argument("--format", default="trec", choices=["trec", "json"])
@@ -145,10 +175,20 @@ def main() -> None:
                 if not line:
                     continue
                 qid, _, text = line.partition("\t")
-                batch.append(_parse_topic(idx, int(qid), text, args.mode))
+                try:
+                    batch.append(
+                        _parse_topic(idx, int(qid), text, args.mode,
+                                     ql=args.ql)
+                    )
+                except ValueError as exc:
+                    # fail fast with the offending line, not a traceback
+                    # (batch mode answers all-or-nothing; --server
+                    # rejects per line instead)
+                    ap.error(f"bad topic line {line!r}: {exc}")
     for i, q in enumerate(args.queries):
         batch.append(
-            _parse_topic(idx, 10_000 + i, q.replace(",", " "), args.mode)
+            _parse_topic(idx, 10_000 + i, q.replace(",", " "), args.mode,
+                         ql=args.ql)
         )
 
     if batch:
@@ -169,7 +209,8 @@ def main() -> None:
                 continue
             qid, _, text = line.partition("\t")
             try:
-                topic = _parse_topic(idx, int(qid), text, args.mode)
+                topic = _parse_topic(idx, int(qid), text, args.mode,
+                                     ql=args.ql)
             except ValueError as exc:
                 sys.stderr.write(f"bad topic line ({exc}): {line!r}\n")
                 continue
