@@ -59,6 +59,15 @@ QL_TOPICS = [
     {"qid": 4, "query": "table spark -merge"},
     {"qid": 5, "query": '"table value" spark'},
 ]
+# Synonym-group QL topics ({a b} = Terrier's {} / matchop #syn): each
+# group scores as ONE BM25 unit over the merged posting list (tf summed
+# per doc, df = |docs containing any member|); '+' requires >=1 member,
+# '-' prohibits all members
+QL_SYN_TOPICS = [
+    {"qid": 1, "query": "{table value}^2 spark"},
+    {"qid": 2, "query": "+{merge window} query"},
+    {"qid": 3, "query": "{table value} -{merge window}"},
+]
 BM25_CONJ_QUERIES = [
     {"qid": 1, "terms": ["table", "spark"], "mode": "conjunctive"},
     {"qid": 2, "terms": ["window", "merge"], "mode": "conjunctive"},
@@ -78,7 +87,7 @@ ANN_K = 10
 # Keys leaving the window this round (all driver-green in r04):
 # the 17 ANN/dedup/pipeline keys of the r04 head.
 _GATE_PRIORITY = [
-    "bm25_ql_mixed",
+    "bm25_ql_mixed", "bm25_ql_synonyms",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -515,6 +524,81 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _bm25_ql_syn_oracle_sql() -> str:
+    """Twin of run_queries_ql over QL_SYN_TOPICS, hand-compiled from
+    the topic strings (independent of the parser): each synonym group
+    is ONE scoring unit — gpost merges member postings (tf summed per
+    doc), gdf counts the merged list's docs, and the BM25 idf +
+    saturation apply once to the merged unit, exactly the semantics of
+    parser._score_topic_groups. qid 2's '+' group filters to docs with
+    >=1 member; qid 3's '-' group excludes docs with any member."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), q(qid, term, w) AS (VALUES
+  (1, 'spark', 1.0), (2, 'query', 1.0)
+),
+g(qid, gid, term) AS (VALUES
+  (1, 1, 'table'), (1, 1, 'value'),
+  (2, 1, 'merge'), (2, 1, 'window'),
+  (3, 1, 'table'), (3, 1, 'value')
+),
+gw(qid, gid, w) AS (VALUES (1, 1, 2.0), (2, 1, 1.0), (3, 1, 1.0)),
+gpost AS (
+  SELECT g.qid, g.gid, p.doc_id, sum(p.tf)::double AS tf
+  FROM g JOIN post p USING (term) GROUP BY 1, 2, 3
+),
+gdf AS (
+  SELECT qid, gid, count(*)::double AS df FROM gpost GROUP BY 1, 2
+),
+tsc AS (
+  SELECT q.qid, p.doc_id AS docid,
+         (log2((st.n - l.df + 0.5) / (l.df + 0.5))
+          * p.tf * 2.2 / (1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl) + p.tf)
+         ) * q.w AS c
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+         JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+),
+gsc AS (
+  SELECT gp.qid, gp.doc_id AS docid,
+         (log2((st.n - gd.df + 0.5) / (gd.df + 0.5))
+          * gp.tf * 2.2 / (1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl) + gp.tf)
+         ) * gw.w AS c
+  FROM gpost gp JOIN gdf gd USING (qid, gid) JOIN gw USING (qid, gid)
+         JOIN dl ON dl.doc_id = gp.doc_id CROSS JOIN st
+),
+sc AS (
+  SELECT qid, docid, sum(c) AS score
+  FROM (SELECT * FROM tsc UNION ALL SELECT * FROM gsc) GROUP BY 1, 2
+),
+reqany AS (
+  SELECT DISTINCT p.doc_id AS docid FROM post p
+  WHERE p.term IN ('merge', 'window')
+),
+ok AS (
+  SELECT sc.* FROM sc
+  WHERE (sc.qid <> 2 OR sc.docid IN (SELECT docid FROM reqany))
+    AND (sc.qid <> 3 OR sc.docid NOT IN (SELECT docid FROM reqany))
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM ok
+) WHERE rank <= 10
+"""
+
+
 def _hybrid_rrf_oracle_sql(
     terms: list[str], depth: int = 50, k_rrf: int = 60, k: int = 10
 ) -> str:
@@ -871,6 +955,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _get_index(spark, sf)
         deep = run_queries_ql(idx, QL_TOPICS, k=100)
+        return _rerank_6dp(deep)
+
+    def bm25_ql_synonyms(spark, sf):
+        """Synonym-group query language ({a b}, query/parser.py): each
+        group scores as one BM25 unit over the merged posting list
+        (summed tf, merged df), with '^' boost, '+' any-member
+        requirement, and '-' all-member prohibition — answered by
+        run_queries_ql via _score_topic_groups."""
+        from terrier_ef_spark.query.parser import run_queries_ql
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_ql(idx, QL_SYN_TOPICS, k=100)
         return _rerank_6dp(deep)
 
     def bm25_sharded_topk(spark, sf):
@@ -1322,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prox_topk": bm25_prox_topk,
         "bm25_prefix_topk": bm25_prefix_topk,
         "bm25_ql_mixed": bm25_ql_mixed,
+        "bm25_ql_synonyms": bm25_ql_synonyms,
         "bm25_not_topk": bm25_not_topk,
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_sharded_topk": bm25_sharded_topk,
@@ -1609,6 +1706,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_prox_topk": _bm25_prox_oracle_sql(BM25_QUERIES),
         "bm25_prefix_topk": _bm25_prefix_oracle_sql(PREFIX_QUERIES),
         "bm25_ql_mixed": _bm25_ql_oracle_sql(),
+        "bm25_ql_synonyms": _bm25_ql_syn_oracle_sql(),
         "bm25_not_topk": _bm25_oracle_sql(NOT_QUERIES, conjunctive=False),
         "bm25_fuzzy_topk": _bm25_fuzzy_oracle_sql(FUZZY_QUERIES),
         # sharded twin == the plain whole-corpus oracle: that IS the claim

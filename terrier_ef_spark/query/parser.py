@@ -34,6 +34,22 @@ query, including its +/- constraint, which is Terrier's behavior; a
 word the pipeline splits (camelCase under the code tokenizer) becomes
 that many terms, each carrying the clause's operator and boost.
 
+    {taxi cab}           synonym group (Terrier's {} / matchop #syn,
+                         Lucene's SynonymQuery): members share ONE
+                         merged posting list — tf = sum of member tfs
+                         per doc, df = |docs containing any member| —
+                         scored as a single BM25 unit (one saturation,
+                         one idf), NOT as independent terms summed
+    +{taxi cab}          requirement: doc must contain some member
+    -{taxi cab}          prohibition: doc must contain no member
+
+Not supported (documented boundary): Terrier's `field:term` operator —
+field-restricted matching needs the fielded (BM25F) index layout and a
+per-field scoring contract (query/bm25f.py is the fielded scorer; a
+fielded QL mode would sit on top of it). A colon inside a word is NOT
+an operator here: it falls through to the index's term pipeline like
+any other character (the simple/code tokenizers split on it).
+
 Scale shape (100 TB design notes):
 - scoring runs through engine.run_queries (decode-once term-major path);
   unconstrained topics in a batch share ONE run_queries call;
@@ -60,8 +76,11 @@ from terrier_ef_spark.index.reader import EFIndex
 _PHRASE_RE = re.compile(
     r'([+-]?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
 )
+_GROUP_RE = re.compile(
+    r'([+-]?)\{([^}]*)\}(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
+)
 _WORD_RE = re.compile(
-    r'([+-]?)([^\s"^~*]+)([*~]?)(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
+    r'([+-]?)([^\s"^~*{}]+)([*~]?)(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
 )
 
 
@@ -69,7 +88,7 @@ _WORD_RE = re.compile(
 class QLClause:
     """One parsed clause, pre-pipeline (raw words)."""
 
-    kind: str  # 'term' | 'phrase'
+    kind: str  # 'term' | 'phrase' | 'group'
     words: tuple[str, ...]
     op: str = ""  # '' | '+' | '-'
     boost: float = 1.0
@@ -117,6 +136,31 @@ def parse_query(text: str) -> list[QLClause]:
                 clauses.append(QLClause("phrase", words, op, bv, wv))
             pos = m.end()
             continue
+        m = _GROUP_RE.match(text, pos)
+        if m is None and (
+            ch == "{" or (ch in "+-" and text[pos + 1 : pos + 2] == "{")
+        ):
+            raise ValueError(f"unbalanced or malformed brace at: {text[pos:]!r}")
+        if m:
+            op, body, boost = m.groups()
+            words = tuple(dict.fromkeys(body.split()))
+            if not words:
+                raise ValueError("empty synonym group")
+            bv = float(boost) if boost else 1.0
+            if bv <= 0:
+                raise ValueError(f"boost must be > 0, got {boost}")
+            if op == "-" and boost:
+                raise ValueError(
+                    "a boost on a prohibited group has no effect — "
+                    "prohibited clauses do not score"
+                )
+            if len(words) == 1:
+                # one-member group degenerates to a plain term
+                clauses.append(QLClause("term", words, op, bv))
+            else:
+                clauses.append(QLClause("group", words, op, bv))
+            pos = m.end()
+            continue
         m = _WORD_RE.match(text, pos)
         if not m:
             raise ValueError(f"cannot parse query at: {text[pos:]!r}")
@@ -152,10 +196,20 @@ class CompiledQuery:
     not_terms: list[str]
     require_terms: list[str]
     phrases: list[tuple[tuple[str, ...], int | None, bool]]  # (terms, window, negated)
+    groups: list[tuple[tuple[str, ...], float]] = None  # (members, weight)
+    require_any: list[tuple[str, ...]] = None  # +groups: >=1 member present
+
+    def __post_init__(self):
+        self.groups = self.groups or []
+        self.require_any = self.require_any or []
 
     @property
     def constrained(self) -> bool:
-        return bool(self.require_terms or self.phrases)
+        return bool(self.require_terms or self.phrases or self.require_any)
+
+    @property
+    def scorable(self) -> bool:
+        return bool(self.terms or self.groups)
 
     def engine_query(self) -> dict:
         q = {"qid": self.qid, "terms": self.terms, "mode": "disjunctive"}
@@ -189,6 +243,8 @@ def compile_query(
     not_terms: list[str] = []
     require: list[str] = []
     phrases: list[tuple[tuple[str, ...], int | None, bool]] = []
+    groups: list[tuple[tuple[str, ...], float]] = []
+    require_any: list[tuple[str, ...]] = []
 
     def add_scored(term: str, w: float) -> None:
         if term not in weights:
@@ -201,6 +257,29 @@ def compile_query(
             weights[term] += w
 
     for c in clauses:
+        if c.kind == "group":
+            members = tuple(
+                dict.fromkeys(
+                    t for word in c.words for t in tokenize_query(index, word)
+                )
+            )
+            if not members:
+                continue  # the whole group vanished in the pipeline
+            if c.op == "-":
+                for t in members:
+                    if t not in not_terms:
+                        not_terms.append(t)
+                continue
+            if len(members) == 1:
+                # pipeline collapsed the group to one term
+                add_scored(members[0], c.boost)
+                if c.op == "+" and members[0] not in require:
+                    require.append(members[0])
+                continue
+            groups.append((members, c.boost))
+            if c.op == "+":
+                require_any.append(members)
+            continue
         if c.kind == "phrase":
             resolved = tuple(
                 t for word in c.words for t in tokenize_query(index, word)
@@ -243,14 +322,16 @@ def compile_query(
                 add_scored(t, c.boost)
                 if c.op == "+" and t not in require:
                     require.append(t)
-    return CompiledQuery(int(qid), terms, weights, not_terms, require, phrases)
+    return CompiledQuery(int(qid), terms, weights, not_terms, require,
+                         phrases, groups, require_any)
 
 
 def _candidate_filter(index: EFIndex, cq: CompiledQuery) -> DataFrame | None:
     """The (docid) candidate relation for a constrained topic: docs
-    containing every required term AND every positive phrase/window,
-    minus docs matching any negated phrase/window. Pure relational —
-    semi/anti joins over decoded posting/position rows, no collects."""
+    containing every required term AND every positive phrase/window AND
+    (for each '+' synonym group) at least one member, minus docs
+    matching any negated phrase/window. Pure relational — semi/anti
+    joins over decoded posting/position rows, no collects."""
     from terrier_ef_spark.query.engine import decode_postings
     from terrier_ef_spark.query.phrase import phrase_hits, window_hits
 
@@ -262,6 +343,10 @@ def _candidate_filter(index: EFIndex, cq: CompiledQuery) -> DataFrame | None:
             .agg(F.count_distinct("term").alias("nt"))
             .where(F.col("nt") == len(set(cq.require_terms)))
             .select("docid")
+        )
+    for members in cq.require_any:
+        positive.append(
+            decode_postings(index, list(members)).select("docid").distinct()
         )
     negative: list[DataFrame] = []
     for p_terms, win, negated in cq.phrases:
@@ -284,6 +369,110 @@ def _candidate_filter(index: EFIndex, cq: CompiledQuery) -> DataFrame | None:
     return flt
 
 
+def _score_topic_groups(
+    index: EFIndex,
+    cq: CompiledQuery,
+    k: int,
+    k1: float | None,
+    b: float | None,
+) -> DataFrame:
+    """Single-topic scorer for queries carrying synonym groups: each
+    group is ONE scoring unit over its merged posting list (per-doc
+    tf = sum of member tfs; df = |docs containing any member|, computed
+    relationally as a 1-row broadcast, never a collected set), plain
+    terms keep their lexicon df — both feed the engine's own BM25
+    contribution expression, so a one-member group and a plain term
+    score identically. Constraints/tombstones/not_terms apply exactly
+    as in the engine's term-major path (semi/anti joins on the posting
+    rows, pre-top-k). The merged relations are persisted for the two
+    reads (df agg + scoring) and released eagerly with the top-k."""
+    from terrier_ef_spark.query import bm25
+    from terrier_ef_spark.query.engine import (
+        _bm25_contrib_expr,
+        decode_postings,
+    )
+    from terrier_ef_spark.util import eager_release
+    from pyspark.sql import Window
+
+    spark = index.spark
+    stats = index.stats
+    if k1 is None:
+        k1 = float(stats.get("k1", bm25.K1))
+    if b is None:
+        b = float(stats.get("b", bm25.B))
+    num_docs = float(stats["num_docs"])
+    avgdl = float(stats["avgdl"])
+
+    units: list[DataFrame] = []
+    cached: list[DataFrame] = []
+    if cq.terms:
+        wrows = spark.createDataFrame(
+            [(t, float(cq.weights.get(t, 1.0))) for t in cq.terms],
+            "term string, w double",
+        )
+        lex = index.lexicon.select(
+            "term", F.col("df").cast("double").alias("global_df")
+        ).where(F.col("term").isin(cq.terms))
+        units.append(
+            decode_postings(index, cq.terms)
+            .join(F.broadcast(lex), "term")
+            .join(F.broadcast(wrows), "term")
+            .select(
+                "docid", F.col("tf").cast("double").alias("tf"),
+                "global_df", "w",
+            )
+        )
+    for members, w in cq.groups:
+        merged = (
+            decode_postings(index, list(members))
+            .groupBy("docid")
+            .agg(F.sum("tf").cast("double").alias("tf"))
+            .persist()
+        )
+        cached.append(merged)
+        dfrel = merged.agg(
+            F.count(F.lit(1)).cast("double").alias("global_df")
+        )
+        units.append(
+            merged.crossJoin(F.broadcast(dfrel))
+            .withColumn("w", F.lit(float(w)))
+            .select("docid", "tf", "global_df", "w")
+        )
+    posts = reduce(lambda a, c: a.unionByName(c), units)
+
+    flt = _candidate_filter(index, cq)
+    if flt is not None:
+        posts = posts.join(flt, "docid", "left_semi")
+    tomb = index.deleted_docids()
+    if tomb is not None:
+        posts = posts.join(tomb.select("docid"), "docid", "left_anti")
+    if cq.not_terms:
+        excl = (
+            decode_postings(index, cq.not_terms).select("docid").distinct()
+        )
+        posts = posts.join(excl, "docid", "left_anti")
+    posts = posts.join(index.docs.select("docid", "doclen"), "docid")
+    contrib = _bm25_contrib_expr(
+        num_docs, avgdl, F.col("tf"), F.col("doclen").cast("double"), k1, b
+    )
+    scored = (
+        posts.select("docid", (contrib * F.col("w")).alias("c"))
+        .groupBy("docid")
+        .agg(F.sum("c").alias("score"))
+    )
+    # distributed TakeOrdered first; the single-partition ranking window
+    # then sees at most k rows (same shape as phrase._rank_hits)
+    top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    w_ = Window.orderBy(F.desc("score"), F.asc("docid"))
+    res = top.select(
+        F.lit(cq.qid).cast("long").alias("qid"),
+        F.row_number().over(w_).cast("int").alias("rank"),
+        F.col("docid").cast("long").alias("docid"),
+        F.col("score").cast("double").alias("score"),
+    )
+    return eager_release(res, *cached) if cached else res
+
+
 def run_queries_ql(
     index: EFIndex,
     topics: list[dict],
@@ -304,8 +493,10 @@ def run_queries_ql(
     not_terms — the engine's exclusion rule); each constrained topic
     runs with its own candidate doc_filter, which forces the exhaustive
     scorer (pruning thresholds seeded pre-filter would over-prune,
-    engine.run_queries's rule). Topics whose scoring terms all vanish
-    in the pipeline return no rows, like an out-of-vocabulary Terrier
+    engine.run_queries's rule); each topic carrying a synonym group
+    runs the dedicated merged-posting-list scorer
+    (_score_topic_groups). Topics whose scoring terms all vanish in
+    the pipeline return no rows, like an out-of-vocabulary Terrier
     query. k1/b pass straight through to run_queries (None = the
     index's recorded build-time defaults)."""
     from terrier_ef_spark.query.engine import RESULT_SCHEMA, run_queries
@@ -321,10 +512,19 @@ def run_queries_ql(
     qids = [c.qid for c in compiled]
     if len(set(qids)) != len(qids):
         raise ValueError("duplicate qids in topic batch")
-    simple = [c for c in compiled if not c.constrained and c.terms]
-    constrained = [c for c in compiled if c.constrained and c.terms]
+    grouped = [c for c in compiled if c.groups and c.scorable]
+    simple = [
+        c for c in compiled if not c.groups and not c.constrained and c.terms
+    ]
+    constrained = [
+        c for c in compiled if not c.groups and c.constrained and c.terms
+    ]
 
     parts: list[DataFrame] = []
+    for c in grouped:
+        # synonym groups change the scoring unit (merged df/tf) — each
+        # such topic runs the dedicated group scorer
+        parts.append(_score_topic_groups(index, c, k, k1, b))
     if simple:
         batch_algo = (
             "naive" if any(c.not_terms for c in simple) else algo

@@ -285,3 +285,137 @@ def test_compile_drops_pipeline_casualties(small_index):
     assert cq.weights == {"def": 2.0, "import": 3.0}
     assert cq.require_terms == ["def"]
     assert not cq.phrases and not cq.not_terms
+
+
+# ---------------------------------------------------------------------------
+# synonym groups: {a b} merged-posting-list semantics
+# ---------------------------------------------------------------------------
+
+def test_parse_groups():
+    got = parse_query('{taxi cab} +{a b}^2 -{x y} {solo}')
+    assert got == [
+        QLClause("group", ("taxi", "cab")),
+        QLClause("group", ("a", "b"), "+", 2.0),
+        QLClause("group", ("x", "y"), "-"),
+        QLClause("term", ("solo",)),
+    ]
+
+
+@pytest.mark.parametrize("bad", ["{", "{}", "{a", "-{a b}^2", "{ }"])
+def test_parse_group_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def _oracle_ql_groups(oracle, units, k, k1=1.2, b=0.75):
+    """Brute-force scorer: units = [(member_terms, weight)]; each unit
+    scores over its MERGED posting list (tf summed per doc, df = docs
+    containing any member)."""
+    import math
+    from collections import defaultdict
+
+    scores = defaultdict(float)
+    for members, w in units:
+        merged = defaultdict(int)
+        for t in members:
+            for d, tf in oracle.postings.get(t, []):
+                merged[d] += tf
+        if not merged:
+            continue
+        df = len(merged)
+        idf = math.log2((oracle.num_docs - df + 0.5) / (df + 0.5))
+        for d, tf in merged.items():
+            dl = oracle.doclen[d]
+            scores[d] += w * idf * tf * (k1 + 1) / (
+                k1 * (1 - b + b * dl / oracle.avgdl) + tf
+            )
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(d, s) for d, s in ranked]
+
+
+def test_ql_group_vs_bruteforce(small_index, small_oracle):
+    got = run_queries_ql(
+        small_index, [{"qid": 1, "query": "{val len} def"}], k=10
+    ).orderBy("rank").collect()
+    want = _oracle_ql_groups(
+        small_oracle, [(("val", "len"), 1.0), (("def",), 1.0)], k=10
+    )
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    assert all(
+        abs(r["score"] - s) < 1e-9 for r, (_, s) in zip(got, want)
+    )
+
+
+def test_ql_group_boost_scales(small_index, small_oracle):
+    got = run_queries_ql(
+        small_index, [{"qid": 1, "query": "{val len}^2 def"}], k=10
+    ).orderBy("rank").collect()
+    want = _oracle_ql_groups(
+        small_oracle, [(("val", "len"), 2.0), (("def",), 1.0)], k=10
+    )
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    assert all(
+        abs(r["score"] - s) < 1e-9 for r, (_, s) in zip(got, want)
+    )
+
+
+def test_ql_group_collapse_equals_plain_term(small_index):
+    """A group whose members collapse to one term in the pipeline
+    scores exactly like the plain term query (same engine path)."""
+    a = run_queries_ql(small_index, [{"qid": 1, "query": "{def DEF}"}], k=10)
+    b = run_queries_ql(small_index, [{"qid": 1, "query": "def"}], k=10)
+    assert _rows(a) == _rows(b)
+
+
+def test_ql_negated_group_equals_not_terms(small_index):
+    a = run_queries_ql(
+        small_index, [{"qid": 1, "query": "def -{val len}"}], k=10
+    )
+    b = run_queries_ql(
+        small_index, [{"qid": 1, "query": "def -val -len"}], k=10
+    )
+    assert _rows(a) == _rows(b) and _rows(a)
+
+
+def test_ql_required_group_constrains(small_index, small_oracle):
+    """'+{val len} def': scored like the bare group query but
+    restricted to docs containing val or len."""
+    got = run_queries_ql(
+        small_index, [{"qid": 1, "query": "+{val len} def"}], k=400
+    ).collect()
+    allowed = {d for t in ("val", "len")
+               for d, _ in small_oracle.postings.get(t, [])}
+    got_docs = {r["docid"] for r in got}
+    assert got_docs and got_docs <= allowed
+    # and every returned (docid, score) matches the unconstrained group
+    # query's score for that doc (the constraint filters, never rescores)
+    unconstrained = {
+        r["docid"]: r["score"]
+        for r in run_queries_ql(
+            small_index, [{"qid": 1, "query": "{val len} def"}], k=400
+        ).collect()
+    }
+    assert all(
+        abs(unconstrained[r["docid"]] - r["score"]) < 1e-9 for r in got
+    )
+
+
+def test_ql_group_mixed_batch(small_index):
+    """Group topics coexist with simple and constrained topics in one
+    batch; per-qid results equal their solo runs."""
+    batch = run_queries_ql(
+        small_index,
+        [
+            {"qid": 1, "query": "{val len} def"},
+            {"qid": 2, "query": "def import"},
+            {"qid": 3, "query": "+val def"},
+        ],
+        k=5,
+    )
+    rows = _rows(batch)
+    for qid, text in ((1, "{val len} def"), (2, "def import"),
+                      (3, "+val def")):
+        solo = run_queries_ql(
+            small_index, [{"qid": qid, "query": text}], k=5
+        )
+        assert [r for r in rows if r[0] == qid] == _rows(solo)
