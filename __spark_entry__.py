@@ -68,6 +68,17 @@ QL_SYN_TOPICS = [
     {"qid": 2, "query": "+{merge window} query"},
     {"qid": 3, "query": "{table value} -{merge window}"},
 ]
+# Fielded QL topics (field:term over the BM25F two-field layout —
+# query/parser.py run_queries_ql_fielded): unfielded BM25F baseline,
+# fielded boost, fielded '+' requirement, fielded '-' prohibition, and
+# the same term restricted to both fields as two distinct units
+QL_FIELDED_TOPICS = [
+    {"qid": 1, "query": "table spark"},
+    {"qid": 2, "query": "title:table^2 spark"},
+    {"qid": 3, "query": "+title:merge window"},
+    {"qid": 4, "query": "table -title:value"},
+    {"qid": 5, "query": "content:query title:query query"},
+]
 BM25_CONJ_QUERIES = [
     {"qid": 1, "terms": ["table", "spark"], "mode": "conjunctive"},
     {"qid": 2, "terms": ["window", "merge"], "mode": "conjunctive"},
@@ -87,7 +98,7 @@ ANN_K = 10
 # Keys leaving the window this round (all driver-green in r04):
 # the 17 ANN/dedup/pipeline keys of the r04 head.
 _GATE_PRIORITY = [
-    "bm25_ql_mixed", "bm25_ql_synonyms",
+    "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -307,6 +318,73 @@ SELECT qid, rank, docid, score FROM (
                             ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
          docid, round(score, 6) AS score
   FROM sc
+) WHERE rank <= 10
+"""
+
+
+def _bm25f_ql_oracle_sql(title_w: float = 2.0, title_len: int = 64) -> str:
+    """Twin of run_queries_ql_fielded over QL_FIELDED_TOPICS,
+    hand-compiled from the topic strings (independent of the parser):
+    scoring units are (field, term) rows where field '' is the merged
+    any-field BM25F unit (summed weighted per-field tfns, any-field
+    df) and a named field restricts both the tfn and the df to that
+    field; qid 3 requires title:merge presence, qid 4 excludes docs
+    with value in the title."""
+    tok_title = TOK.replace("lower(text)", f"lower(substr(text, 1, {title_len}))")
+    return f"""
+WITH tokc AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+tokt AS (SELECT doc_id, unnest({tok_title}) AS term FROM documents),
+postc AS (SELECT term, doc_id, count(*)::double AS tf FROM tokc GROUP BY 1, 2),
+postt AS (SELECT term, doc_id, count(*)::double AS tf FROM tokt GROUP BY 1, 2),
+dlc AS (SELECT doc_id, count(*)::double AS dl FROM tokc GROUP BY 1),
+dlt AS (SELECT doc_id, count(*)::double AS dl FROM tokt GROUP BY 1),
+stc AS (SELECT avg(dl) AS avgdl FROM dlc),
+stt AS (SELECT avg(dl) AS avgdl FROM dlt),
+nn AS (SELECT (SELECT count(*) FROM documents)::double AS n),
+posts AS (
+  SELECT 'content' AS field, p.term, p.doc_id,
+         1.0 * p.tf / (1 + 0.75 * (d.dl / stc.avgdl - 1)) AS wtfn
+  FROM postc p JOIN dlc d USING (doc_id) CROSS JOIN stc
+  UNION ALL
+  SELECT 'title', p.term, p.doc_id,
+         {title_w} * p.tf / (1 + 0.75 * (d.dl / stt.avgdl - 1))
+  FROM postt p JOIN dlt d USING (doc_id) CROSS JOIN stt
+),
+fold AS (
+  SELECT '' AS field, term, doc_id, sum(wtfn) AS tfn
+  FROM posts GROUP BY term, doc_id
+  UNION ALL
+  SELECT field, term, doc_id, wtfn FROM posts
+),
+dfed AS (SELECT *, count(*) OVER (PARTITION BY field, term) AS df FROM fold),
+q(qid, field, term, w) AS (VALUES
+  (1, '', 'table', 1.0), (1, '', 'spark', 1.0),
+  (2, 'title', 'table', 2.0), (2, '', 'spark', 1.0),
+  (3, 'title', 'merge', 1.0), (3, '', 'window', 1.0),
+  (4, '', 'table', 1.0),
+  (5, 'content', 'query', 1.0), (5, 'title', 'query', 1.0),
+  (5, '', 'query', 1.0)
+),
+sc AS (
+  SELECT q.qid, f.doc_id AS docid,
+         sum(q.w * log2((nn.n - f.df + 0.5) / (f.df + 0.5))
+             * f.tfn / (1.2 + f.tfn)) AS score
+  FROM q JOIN dfed f ON f.field = q.field AND f.term = q.term CROSS JOIN nn
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT sc.* FROM sc
+  WHERE (sc.qid <> 3 OR EXISTS (SELECT 1 FROM postt p
+          WHERE p.term = 'merge' AND p.doc_id = sc.docid))
+    AND NOT (sc.qid = 4 AND EXISTS (SELECT 1 FROM postt p
+          WHERE p.term = 'value' AND p.doc_id = sc.docid))
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM ok
 ) WHERE rank <= 10
 """
 
@@ -1003,14 +1081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      depth=20, window=4)
         return _rerank_6dp(deep)
 
-    def bm25f_topk(spark, sf):
-        """BM25F over two fields of the same docid space: content
-        (the shared index) + a title field (first 64 chars), title
-        weighted 2x. Per-field tf normalization, ONE saturation over
-        the weighted sum (Zaragoza et al. 2004)."""
+    def _title_fields(spark, sf):
+        """The shared two-field BM25F fixture: content (the main
+        index) + a title field (first 64 chars of content), cached."""
         from terrier_ef_spark.corpus import corpus_from_documents
         from terrier_ef_spark.index.builder import build_index
-        from terrier_ef_spark.query.bm25f import run_queries_bm25f
 
         key = ("title_field", os.path.abspath(sf))
         if key not in _INDEX_CACHE:
@@ -1025,10 +1100,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key] = build_index(
                 spark, title_corpus, out, n_partitions=16
             )
-        fields = {"content": _get_index(spark, sf),
-                  "title": _INDEX_CACHE[key]}
-        deep = run_queries_bm25f(fields, BM25_QUERIES, k=100,
-                                 weights={"title": 2.0, "content": 1.0})
+        return {"content": _get_index(spark, sf),
+                "title": _INDEX_CACHE[key]}
+
+    def bm25f_topk(spark, sf):
+        """BM25F over two fields of the same docid space: content
+        (the shared index) + a title field (first 64 chars), title
+        weighted 2x. Per-field tf normalization, ONE saturation over
+        the weighted sum (Zaragoza et al. 2004)."""
+        from terrier_ef_spark.query.bm25f import run_queries_bm25f
+
+        deep = run_queries_bm25f(_title_fields(spark, sf), BM25_QUERIES,
+                                 k=100, weights={"title": 2.0, "content": 1.0})
+        return _rerank_6dp(deep)
+
+    def bm25f_ql_fielded(spark, sf):
+        """Fielded query language (field:term, query/parser.py
+        run_queries_ql_fielded) over the two-field BM25F layout:
+        unfielded terms score the full BM25F unit, `title:term`
+        restricts a unit to the title field (its tfn AND its df), with
+        ^w boosts, '+' in-field requirement, '-' in-field
+        prohibition."""
+        from terrier_ef_spark.query.parser import run_queries_ql_fielded
+
+        deep = run_queries_ql_fielded(
+            _title_fields(spark, sf), QL_FIELDED_TOPICS, k=100,
+            weights={"title": 2.0, "content": 1.0},
+        )
         return _rerank_6dp(deep)
 
     def bm25_bo1_expanded(spark, sf):
@@ -1419,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_topk": bm25_prefix_topk,
         "bm25_ql_mixed": bm25_ql_mixed,
         "bm25_ql_synonyms": bm25_ql_synonyms,
+        "bm25f_ql_fielded": bm25f_ql_fielded,
         "bm25_not_topk": bm25_not_topk,
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_sharded_topk": bm25_sharded_topk,
@@ -1707,6 +1806,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_prefix_topk": _bm25_prefix_oracle_sql(PREFIX_QUERIES),
         "bm25_ql_mixed": _bm25_ql_oracle_sql(),
         "bm25_ql_synonyms": _bm25_ql_syn_oracle_sql(),
+        "bm25f_ql_fielded": _bm25f_ql_oracle_sql(),
         "bm25_not_topk": _bm25_oracle_sql(NOT_QUERIES, conjunctive=False),
         "bm25_fuzzy_topk": _bm25_fuzzy_oracle_sql(FUZZY_QUERIES),
         # sharded twin == the plain whole-corpus oracle: that IS the claim

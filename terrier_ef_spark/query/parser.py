@@ -43,12 +43,19 @@ that many terms, each carrying the clause's operator and boost.
     +{taxi cab}          requirement: doc must contain some member
     -{taxi cab}          prohibition: doc must contain no member
 
-Not supported (documented boundary): Terrier's `field:term` operator —
-field-restricted matching needs the fielded (BM25F) index layout and a
-per-field scoring contract (query/bm25f.py is the fielded scorer; a
-fielded QL mode would sit on top of it). A colon inside a word is NOT
-an operator here: it falls through to the index's term pipeline like
-any other character (the simple/code tokenizers split on it).
+    title:spark          fielded term (FIELDED MODE ONLY — see
+                         run_queries_ql_fielded): the term scores as a
+                         BM25F unit restricted to that field; supports
+                         ^w boosts, '+' requirement ("present in THAT
+                         field"), '-' prohibition. In the default
+                         single-field mode a colon is NOT an operator:
+                         it falls through to the index's term pipeline
+                         like any other character (the simple/code
+                         tokenizers split on it).
+
+Fielded-mode boundary (documented): phrases, synonym groups, and
+prefix/fuzzy expansion are rejected in fielded mode — they would need
+per-field positional/lexicon contracts the BM25F layout doesn't define.
 
 Scale shape (100 TB design notes):
 - scoring runs through engine.run_queries (decode-once term-major path);
@@ -82,6 +89,10 @@ _GROUP_RE = re.compile(
 _WORD_RE = re.compile(
     r'([+-]?)([^\s"^~*{}]+)([*~]?)(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
 )
+_FIELD_RE = re.compile(
+    r'([+-]?)([A-Za-z_][A-Za-z0-9_]*):([^\s"^~*{}:]+)'
+    r'(?:\^(\d+(?:\.\d+)?))?(?=\s|$)'
+)
 
 
 @dataclass(frozen=True)
@@ -94,13 +105,17 @@ class QLClause:
     boost: float = 1.0
     window: int | None = None  # phrases: None = exact adjacency
     expand: str = ""  # terms: '' | 'prefix' | 'fuzzy'
+    field: str = ""  # fielded mode only: '' = all fields
 
 
-def parse_query(text: str) -> list[QLClause]:
+def parse_query(text: str, fields: frozenset[str] | None = None) -> list[QLClause]:
     """Tokenize one query-language string into clauses. Raises
     ValueError on malformed syntax (unbalanced quote, empty phrase,
     non-positive boost, boost/expansion on a prohibited term where the
-    combination is meaningless)."""
+    combination is meaningless). When `fields` is given (fielded mode),
+    `field:word` clauses are recognized for exactly those field names;
+    any other colon-bearing word is an error there (in the default mode
+    a colon just flows into the term pipeline)."""
     clauses: list[QLClause] = []
     pos, n = 0, len(text)
     while pos < n:
@@ -161,6 +176,28 @@ def parse_query(text: str) -> list[QLClause]:
                 clauses.append(QLClause("group", words, op, bv))
             pos = m.end()
             continue
+        if fields is not None:
+            fm = _FIELD_RE.match(text, pos)
+            if fm and fm.group(2) in fields:
+                op, fld, word, boost = fm.groups()
+                bv = float(boost) if boost else 1.0
+                if bv <= 0:
+                    raise ValueError(f"boost must be > 0, got {boost}")
+                if op == "-" and boost:
+                    raise ValueError(
+                        "a boost on a prohibited fielded term has no "
+                        "effect — prohibited clauses do not score"
+                    )
+                clauses.append(QLClause("term", (word,), op, bv, field=fld))
+                pos = fm.end()
+                continue
+            wm = _WORD_RE.match(text, pos)
+            if wm and ":" in wm.group(2):
+                raise ValueError(
+                    f"cannot parse fielded clause at {text[pos:]!r}: "
+                    f"supported fielded syntax is [+-]field:term[^w] with "
+                    f"field in {sorted(fields)}"
+                )
         m = _WORD_RE.match(text, pos)
         if not m:
             raise ValueError(f"cannot parse query at: {text[pos:]!r}")
@@ -557,3 +594,257 @@ def run_queries_ql(
     if not parts:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@dataclass
+class FieldedQuery:
+    """One fielded-QL topic compiled to BM25F scoring units.
+
+    A unit is (field, term) — field '' means "all fields" (the plain
+    BM25F unit: per-field normalized tfs weighted and summed, combined
+    any-field df). A named field restricts the unit to that field's
+    postings and that field's df. Either way there is ONE saturation
+    and ONE idf per unit (Zaragoza et al. 2004 discipline, extended to
+    Terrier's `field:term` restriction operator)."""
+
+    qid: int
+    units: dict[tuple[str, str], float]  # (field|'', term) -> weight
+    require: list[tuple[str, str]]  # '+': doc must contain term in field
+    not_units: list[tuple[str, str]]  # '-': doc must not
+
+
+def compile_query_fielded(
+    fields: dict, qid: int, text: str
+) -> FieldedQuery:
+    """Parse + resolve one fielded-QL topic: raw words run through the
+    RECORDED term pipeline of the index they're restricted to (the
+    first field's pipeline for unfielded words — field indexes are
+    built over the same corpus, so pipelines agree by construction).
+    Repeated (field, term) occurrences aggregate boosts additively —
+    the same qtf generalization as the single-field QL. Phrases,
+    synonym groups and prefix/fuzzy expansion raise (documented
+    fielded-mode boundary)."""
+    from terrier_ef_spark.tokenizer import tokenize_query
+
+    names = sorted(fields)
+    clauses = parse_query(text, fields=frozenset(names))
+    units: dict[tuple[str, str], float] = {}
+    require: list[tuple[str, str]] = []
+    not_units: list[tuple[str, str]] = []
+    for c in clauses:
+        if c.kind != "term":
+            raise ValueError(
+                f"fielded QL supports term clauses only — {c.kind!r} "
+                "clauses (phrases/synonym groups) are a documented "
+                "fielded-mode boundary"
+            )
+        if c.expand:
+            raise ValueError(
+                "prefix/fuzzy expansion is not supported in fielded QL"
+            )
+        pipe_idx = fields[c.field] if c.field else fields[names[0]]
+        resolved = [t for w in c.words for t in tokenize_query(pipe_idx, w)]
+        for t in resolved:
+            key = (c.field, t)
+            if c.op == "-":
+                if key not in not_units:
+                    not_units.append(key)
+                continue
+            units[key] = units.get(key, 0.0) + c.boost
+            if c.op == "+" and key not in require:
+                require.append(key)
+    return FieldedQuery(int(qid), units, require, not_units)
+
+
+def run_queries_ql_fielded(
+    fields: dict,
+    topics: list[dict],
+    *,
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    bs: dict[str, float] | None = None,
+    k1: float | None = None,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """Answer fielded query-language topics over per-field EF indexes
+    (the BM25F layout of query/bm25f.py): [{'qid', 'query'}] ->
+    (qid, rank, docid, score).
+
+    Scoring: every unit u contributes w_u * idf(df_u) * tfn_u /
+    (k1 + tfn_u). For an unfielded term, tfn sums the weighted
+    per-field normalized tfs and df counts docs containing the term in
+    ANY field — exactly run_queries_bm25f's unit, so a topic with no
+    fielded clauses is rank+score identical to the BM25F scorer. For
+    `f:term`, tfn is the single weighted field-normalized tf and df is
+    field f's document frequency. '+f:term' additionally requires the
+    doc to contain the term in f; '-f:term' excludes such docs
+    ('+term'/'-term' read "in any field").
+
+    Scale shape: ONE decode pass per field over the union of the
+    batch's terms (persisted for its multiple reads: unit fold, df
+    window, presence constraints); units/requirements ride broadcast
+    literal frames; constraints are semi/anti joins on (qid, docid) —
+    no per-topic Spark jobs, no collected id lists. Same two shuffles
+    as run_queries_bm25f plus one for the constraint fold when '+'
+    clauses are present."""
+    from terrier_ef_spark.query import bm25
+    from terrier_ef_spark.query.engine import RESULT_SCHEMA, decode_postings
+    from terrier_ef_spark.util import eager_release
+    from pyspark.sql import Window
+
+    if not fields:
+        raise ValueError("fielded QL needs at least one field index")
+    names = sorted(fields)
+    spark = fields[names[0]].spark
+    num_docs = float(fields[names[0]].stats["num_docs"])
+    for n in names[1:]:
+        if float(fields[n].stats["num_docs"]) != num_docs:
+            raise ValueError(
+                "field indexes disagree on num_docs — they must be built "
+                "over the same docid space"
+            )
+    weights = weights or {}
+    bs = bs or {}
+    if k1 is None:
+        k1 = bm25.K1
+
+    compiled = [
+        compile_query_fielded(fields, t["qid"], t["query"]) for t in topics
+    ]
+    qids = [c.qid for c in compiled]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate qids in topic batch")
+
+    # per-field decode term sets: a unit/constraint on field f needs f;
+    # an unfielded one needs every field
+    need: dict[str, set[str]] = {n: set() for n in names}
+    for cq in compiled:
+        for f, t in set(cq.units) | set(cq.require) | set(cq.not_units):
+            for n in ([f] if f else names):
+                need[n].add(t)
+    if not any(cq.units for cq in compiled):
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    parts: list[DataFrame] = []
+    for name in names:
+        if not need[name]:
+            continue
+        idx = fields[name]
+        w = float(weights.get(name, 1.0))
+        b = float(bs.get(name, bm25.B))
+        avgdl = float(idx.stats["avgdl"])
+        rows = decode_postings(idx, sorted(need[name])).join(
+            idx.docs.select("docid", "doclen"), "docid"
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("doclen").cast("double")
+        tfn = tf / (1 + F.lit(b) * (dl / F.lit(avgdl) - 1))
+        parts.append(rows.select(
+            F.lit(name).alias("field"), "term", "docid",
+            (F.lit(w) * tfn).alias("wtfn"),
+        ))
+    posts = reduce(lambda a, p: a.unionByName(p), parts).persist()
+
+    # unit relations: '' = any-field fold (one shuffle), named field =
+    # the per-field rows as-is (already one row per (field, term, doc))
+    ukeys = sorted({key for cq in compiled for key in cq.units})
+    fold_parts: list[DataFrame] = []
+    if any(f == "" for f, _ in ukeys):
+        fold_parts.append(
+            posts.groupBy("term", "docid")
+            .agg(F.sum("wtfn").alias("tfn"))
+            .select(F.lit("").alias("field"), "term", "docid", "tfn")
+        )
+    if any(f != "" for f, _ in ukeys):
+        fold_parts.append(
+            posts.select("field", "term", "docid",
+                         F.col("wtfn").alias("tfn"))
+        )
+    folded = reduce(lambda a, p: a.unionByName(p), fold_parts).join(
+        F.broadcast(
+            spark.createDataFrame(ukeys, "field string, term string")
+        ),
+        ["field", "term"],
+        "left_semi",
+    )
+    # df per unit: the fold is query-independent (full posting lists),
+    # so a count per (field, term) IS the unit's document frequency —
+    # any-field df for merged units, the field's lexicon df for
+    # restricted ones
+    folded = folded.withColumn(
+        "global_df",
+        F.count(F.lit(1)).over(Window.partitionBy("field", "term")),
+    )
+    idf = F.log2(
+        (F.lit(num_docs) - F.col("global_df") + 0.5)
+        / (F.col("global_df") + 0.5)
+    )
+    units_df = spark.createDataFrame(
+        [(cq.qid, f, t, float(w)) for cq in compiled
+         for (f, t), w in cq.units.items()],
+        "qid long, field string, term string, w double",
+    )
+    scored = (
+        folded.select(
+            "field", "term", "docid",
+            (idf * F.col("tfn") / (F.lit(float(k1)) + F.col("tfn"))).alias("uc"),
+        )
+        .join(F.broadcast(units_df), ["field", "term"])
+        .select("qid", "docid", (F.col("uc") * F.col("w")).alias("c"))
+    )
+
+    req_rows = [(cq.qid, f, t) for cq in compiled for f, t in cq.require]
+    not_rows = [(cq.qid, f, t) for cq in compiled for f, t in cq.not_units]
+    if req_rows or not_rows:
+        pres = posts.select("field", "term", "docid").unionByName(
+            posts.select(F.lit("").alias("field"), "term", "docid")
+            .distinct()
+        )
+    if req_rows:
+        req_df = spark.createDataFrame(
+            req_rows, "qid long, field string, term string"
+        )
+        nreq = spark.createDataFrame(
+            [(cq.qid, len(cq.require)) for cq in compiled if cq.require],
+            "qid long, n long",
+        )
+        cand = (
+            pres.join(F.broadcast(req_df), ["field", "term"])
+            .groupBy("qid", "docid")
+            .agg(F.count_distinct(F.concat_ws("\x00", "field", "term"))
+                 .alias("nu"))
+            .join(F.broadcast(nreq), "qid")
+            .where(F.col("nu") == F.col("n"))
+            .select("qid", "docid")
+        )
+        req_qids = sorted({cq.qid for cq in compiled if cq.require})
+        scored = scored.where(~F.col("qid").isin(req_qids)).unionByName(
+            scored.join(cand, ["qid", "docid"], "left_semi")
+        )
+    if not_rows:
+        not_df = spark.createDataFrame(
+            not_rows, "qid long, field string, term string"
+        )
+        excl = (
+            pres.join(F.broadcast(not_df), ["field", "term"])
+            .select("qid", "docid")
+            .distinct()
+        )
+        scored = scored.join(excl, ["qid", "docid"], "left_anti")
+    if respect_deletes:
+        tombs = [t for t in (fields[n].deleted_docids() for n in names)
+                 if t is not None]
+        if tombs:
+            tomb = tombs[0].select("docid")
+            for t in tombs[1:]:
+                tomb = tomb.unionByName(t.select("docid"))
+            scored = scored.join(tomb.distinct(), "docid", "left_anti")
+
+    agg = scored.groupBy("qid", "docid").agg(F.sum("c").alias("score"))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    res = (
+        agg.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "docid", "score")
+    )
+    return eager_release(res, posts)
