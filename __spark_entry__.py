@@ -99,6 +99,7 @@ ANN_K = 10
 # the 17 ANN/dedup/pipeline keys of the r04 head.
 _GATE_PRIORITY = [
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
+    "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -208,6 +209,19 @@ _MODEL_CONTRIB_SQL = {
     # Jelinek-Mercer LM, Hiemstra's form (Terrier Hiemstra_LM), c = 0.15
     "lm_jm": """log2(1 + (0.15 * p.tf * st.ntok)
                      / (0.85 * l.cf * dl.doclen))""",
+    # DFR InL2 (Amati; Terrier InL2, c = 1): tfn = tf*log2(1+avgdl/dl)
+    "inl2": """(p.tf * log2(1 + st.avgdl / dl.doclen))
+             / ((p.tf * log2(1 + st.avgdl / dl.doclen)) + 1)
+             * log2((st.n + 1) / (l.df + 0.5))""",
+    # DFR DLH13 (Amati; Terrier DLH13); 0 when tf >= dl (as dph)
+    "dlh13": """CASE WHEN p.tf < dl.doclen THEN
+               (p.tf * log2(p.tf * (st.avgdl / dl.doclen) * (st.n / l.cf))
+                + 0.5 * log2(2 * pi() * p.tf * (1 - p.tf / dl.doclen)))
+               / (p.tf + 0.5)
+             ELSE 0.0 END""",
+    # Robertson tf x Sparck-Jones idf (Terrier TF_IDF, k1=1.2, b=0.75)
+    "tf_idf": """log2(1 + st.n / l.df)
+             * (1.2 * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)))""",
 }
 
 
@@ -1003,6 +1017,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="pl2")
 
+    def inl2_disjunctive(spark, sf):
+        """DFR InL2 weighting (Amati; Terrier's InL2, c=1) on the
+        shared disjunctive query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="inl2")
+
+    def dlh13_disjunctive(spark, sf):
+        """DFR DLH13 parameter-free weighting (Amati; Terrier's DLH13)
+        on the shared disjunctive query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="dlh13")
+
+    def tf_idf_disjunctive(spark, sf):
+        """Robertson-tf x Sparck-Jones-idf (Terrier's TF_IDF) on the
+        shared disjunctive query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="tf_idf")
+
     def lm_jm_disjunctive(spark, sf):
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="lm_jm")
@@ -1512,6 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
         "pl2_disjunctive": pl2_disjunctive,
         "lm_jm_disjunctive": lm_jm_disjunctive,
+        "inl2_disjunctive": inl2_disjunctive,
+        "dlh13_disjunctive": dlh13_disjunctive,
+        "tf_idf_disjunctive": tf_idf_disjunctive,
         "bm25f_topk": bm25f_topk,
         "bm25_prox_topk": bm25_prox_topk,
         "bm25_prefix_topk": bm25_prefix_topk,
@@ -1800,6 +1835,15 @@ SELECT term, doc_id AS docid FROM (
         ),
         "lm_jm_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="lm_jm"
+        ),
+        "inl2_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="inl2"
+        ),
+        "dlh13_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="dlh13"
+        ),
+        "tf_idf_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="tf_idf"
         ),
         "bm25f_topk": _bm25f_oracle_sql(BM25_QUERIES),
         "bm25_prox_topk": _bm25_prox_oracle_sql(BM25_QUERIES),

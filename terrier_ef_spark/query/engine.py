@@ -106,11 +106,12 @@ def run_queries(
     the term-major strategy it routes to the relational BMW — both are
     safe-to-k, so results are identical either way.
 
-    model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'lm_dirichlet' |
-    'lm_jm' (term-major only — published formulas: DFR DPH and PL2
-    after Amati, Dirichlet-smoothed LM after Zhai & Lafferty,
-    Jelinek-Mercer LM after Hiemstra; like Terrier's pluggable
-    weighting models).
+    model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'inl2' |
+    'dlh13' | 'tf_idf' | 'lm_dirichlet' | 'lm_jm' (term-major only —
+    published formulas: DFR DPH, PL2, InL2 and DLH13 after Amati,
+    Robertson-tf x Sparck-Jones-idf TF_IDF as Terrier parameterizes
+    it, Dirichlet-smoothed LM after Zhai & Lafferty, Jelinek-Mercer
+    LM after Hiemstra; like Terrier's pluggable weighting models).
 
     k1/b: BM25 parameters. Default to the values recorded at build
     time in stats.json (build_index(k1=, b=)), else the module
@@ -135,7 +136,8 @@ def run_queries(
     over-prune — wrong results, not just slow ones. Tombstoned indexes
     therefore refuse algo='bmw'/'maxscore' (compact first); collection
     statistics stay global until compaction (Lucene semantics)."""
-    if model not in ("bm25", "dph", "pl2", "lm_dirichlet", "lm_jm"):
+    if model not in ("bm25", "dph", "pl2", "inl2", "dlh13", "tf_idf",
+                 "lm_dirichlet", "lm_jm"):
         raise ValueError(f"unknown weighting model {model!r}")
     if algo not in ("naive", "bmw", "maxscore"):
         raise ValueError(f"unknown algo {algo!r}")
@@ -360,6 +362,39 @@ def _score_rows(
             + 0.5 * F.log2(2 * float(np.pi) * tfn_)
             + tfn_ * (F.log2(tfn_) - F.lit(LOG2_E))
         ) / (tfn_ + 1)
+    elif model == "inl2":
+        # DFR InL2 (inverse document frequency model, Laplace
+        # aftereffect, normalization 2 — Amati & van Rijsbergen
+        # TOIS'02; Terrier's InL2, c = 1):
+        # tfn = tf*log2(1 + c*avgdl/dl),
+        # contrib = tfn/(tfn+1) * log2((N+1)/(df+0.5))
+        tfn_ = tf * F.log2(1 + F.lit(PL2_C * avgdl) / dl)
+        contrib = (
+            tfn_ / (tfn_ + 1)
+            * F.log2(F.lit(num_docs + 1) / (F.col("global_df") + 0.5))
+        )
+    elif model == "dlh13":
+        # DFR DLH13 (parameter-free hypergeometric model, Laplace
+        # normalization — Amati 2006; Terrier's DLH13): f = tf/dl,
+        # contrib = (tf*log2(tf*(avgdl/dl)*(N/cf))
+        #            + 0.5*log2(2*pi*tf*(1-f))) / (tf + 0.5)
+        # f == 1 makes log2(1-f) undefined; contribution is 0 then
+        # (the same guard the DPH branch documents).
+        f_ = tf / dl
+        body = tf * F.log2(
+            tf * (F.lit(avgdl) / dl) * (F.lit(num_docs) / F.col("global_cf"))
+        ) + 0.5 * F.log2(2 * float(np.pi) * tf * (1 - f_))
+        contrib = F.when(tf < dl, body / (tf + 0.5)).otherwise(F.lit(0.0))
+    elif model == "tf_idf":
+        # Robertson tf x Sparck-Jones idf as Terrier's TF_IDF
+        # parameterizes it (k1 = 1.2, b = 0.75, log base 2):
+        # Rtf = k1*tf / (tf + k1*(1 - b + b*dl/avgdl)),
+        # idf = log2(1 + N/df), contrib = Rtf * idf
+        rtf = (
+            F.lit(bm25.K1) * tf
+            / (tf + F.lit(bm25.K1) * (1 - bm25.B + F.lit(bm25.B) * dl / F.lit(avgdl)))
+        )
+        contrib = rtf * F.log2(1 + F.lit(num_docs) / F.col("global_df"))
     elif model == "lm_dirichlet":
         # Dirichlet-smoothed query likelihood (Zhai & Lafferty SIGIR'01)
         # in the per-matched-term decomposition (as in Lucene's

@@ -88,6 +88,33 @@ PINNED = {
         (1, 0.48239276708060835),
         (4, 0.4627342413101402),
     ],
+    # Robertson tf x Sparck-Jones idf (Terrier TF_IDF; k1=1.2, b=0.75):
+    # Rtf = k1*tf/(tf + k1*(1-b+b*dl/avgdl)), idf = log2(1 + N/df)
+    "tf_idf": [
+        (0, 2.8748244491530777),
+        (2, 1.6923817739359488),
+        (3, 1.4932780358258373),
+        (4, 1.372201438326445),
+        (1, 1.2088441242399637),
+    ],
+    # DFR InL2 (c=1): tfn = tf*log2(1+avgdl/dl),
+    # contrib = tfn/(tfn+1) * log2((N+1)/(df+0.5))
+    "inl2": [
+        (0, 2.0090881728794425),
+        (2, 1.169304800234975),
+        (3, 1.0402960723053114),
+        (4, 0.9728844824272397),
+        (1, 0.860648622300709),
+    ],
+    # DFR DLH13: (tf*log2(tf*(avgdl/dl)*(N/cf))
+    #             + 0.5*log2(2*pi*tf*(1-tf/dl))) / (tf+0.5)
+    "dlh13": [
+        (0, 3.6682529613847206),
+        (2, 2.0968288862635123),
+        (3, 1.9971153774523145),
+        (1, 1.525436211026033),
+        (4, 1.5128423993011473),
+    ],
 }
 
 
@@ -116,7 +143,8 @@ def _got(index, **kw):
     return [(int(r.docid), float(r.score)) for r in pdf.itertuples(index=False)]
 
 
-@pytest.mark.parametrize("model", ["bm25", "dph", "pl2", "lm_dirichlet", "lm_jm"])
+@pytest.mark.parametrize("model", ["bm25", "dph", "pl2", "lm_dirichlet",
+                                   "lm_jm", "tf_idf", "inl2", "dlh13"])
 def test_pinned_scores_term_major(pinned_index, model):
     got = _got(pinned_index, strategy="term_major", model=model)
     want = PINNED[model]
