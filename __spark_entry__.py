@@ -100,6 +100,7 @@ ANN_K = 10
 _GATE_PRIORITY = [
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
+    "bm25_bo2_expanded",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -761,6 +762,11 @@ def _prf_oracle_sql(
             "cand.tfx * log2((1 + l.cf / st.n) / (l.cf / st.n)) "
             "+ log2(1 + l.cf / st.n)"
         ),
+        "bo2": (
+            "cand.tfx * log2((1 + l.cf * fblen.fl / ct.c) "
+            "/ (l.cf * fblen.fl / ct.c)) "
+            "+ log2(1 + l.cf * fblen.fl / ct.c)"
+        ),
         "kl": (
             "CASE WHEN (cand.tfx / fblen.fl) > (l.cf / ct.c) "
             "THEN (cand.tfx / fblen.fl) "
@@ -1175,6 +1181,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def bm25_bo2_expanded(spark, sf):
+        """Two-pass Bo2 pseudo-relevance feedback (Bose-Einstein 2,
+        token-based prior) over the EF index + direct index."""
+        from terrier_ef_spark.index.direct import build_direct
+        from terrier_ef_spark.query.expansion import run_queries_prf
+
+        idx = _get_index(spark, sf)
+        direct = build_direct(idx, n_partitions=8)
+        deep = run_queries_prf(
+            idx, BM25_QUERIES, model="bo2", k=100, fb_docs=3, fb_terms=10,
+            strategy="term_major", direct=direct,
+        )
+        return _rerank_6dp(deep)
+
     def snippet_windows(spark, sf):
         """Best snippet window per (query, top-10 doc): selective
         positions decode over only the result docs' segments, bounded
@@ -1557,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_sharded_topk": bm25_sharded_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
+        "bm25_bo2_expanded": bm25_bo2_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
         "bm25_filtered": bm25_filtered,
@@ -1856,6 +1877,7 @@ SELECT term, doc_id AS docid FROM (
         # sharded twin == the plain whole-corpus oracle: that IS the claim
         "bm25_sharded_topk": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
+        "bm25_bo2_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo2"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(
             BM25_QUERIES, TOK, _MODEL_CONTRIB_SQL["bm25"]

@@ -114,7 +114,53 @@ def kl_term_weights(
     )
 
 
-_WEIGHT_MODELS = {"bo1": bo1_term_weights, "kl": kl_term_weights}
+def bo2_term_weights(
+    index: EFIndex,
+    first_pass: list[tuple[int, int]],
+    direct: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, term, w): Bo2 information weight (Amati's Bose-Einstein 2
+    — Terrier's third standard expansion model next to Bo1 and KL).
+    Same Bose-Einstein form as Bo1 but with the token-based prior:
+
+        w(t) = tfx * log2((1 + f) / f) + log2(1 + f),
+        f = cf * fb_len(q) / C
+
+    i.e. the expected frequency of t in q's feedback set (fb_len
+    tokens) under the collection token distribution (C tokens), where
+    Bo1 uses the per-document prior cf / N."""
+    spark = index.spark
+    num_tokens = float(index.stats["num_tokens"])
+    fb = spark.createDataFrame(first_pass, "qid long, docid long")
+    fb_docids = sorted({d for _, d in first_pass})
+
+    if direct is None:
+        direct = spark.read.parquet(f"{index.paths.root}/direct")
+    dd = decode_direct(index, direct.where(F.col("docid").isin(fb_docids)))
+    fb_len = (
+        fb.join(
+            index.docs.select("docid", F.col("doclen").cast("double").alias("dl")),
+            "docid",
+        )
+        .groupBy("qid")
+        .agg(F.sum("dl").alias("fb_len"))
+    )
+    cand = (
+        dd.join(F.broadcast(fb), "docid")
+        .groupBy("qid", "termid")
+        .agg(F.sum("tf").alias("tfx"))
+        .join(F.broadcast(fb_len), "qid")
+    )
+    lex = index.lexicon.select("termid", "term", F.col("cf").cast("double").alias("cf"))
+    fr = F.col("cf") * F.col("fb_len") / F.lit(num_tokens)
+    w = F.col("tfx").cast("double") * F.log2((1 + fr) / fr) + F.log2(1 + fr)
+    return cand.join(lex, "termid").select(
+        "qid", "term", F.round(w, 6).alias("w")
+    )
+
+
+_WEIGHT_MODELS = {"bo1": bo1_term_weights, "bo2": bo2_term_weights,
+                  "kl": kl_term_weights}
 
 
 def expand_queries(
@@ -127,7 +173,7 @@ def expand_queries(
     direct: DataFrame | None = None,
 ) -> list[dict]:
     """Reformulate `queries` (disjunctive) with expansion terms from
-    the given feedback set, using `model` term weights ('bo1' or 'kl';
+    the given feedback set, using `model` term weights ('bo1' | 'bo2' | 'kl';
     the qtw combination qtf/qtf_max + w/w_max is Terrier's shared
     ExpansionTerms discipline for every DFR expansion model). Returns
     new query dicts with 6dp-rounded term weights; queries with an
@@ -192,7 +238,7 @@ def run_queries_prf(
 ) -> DataFrame:
     """Two-pass pseudo-relevance-feedback retrieval: BM25 top-fb_docs
     feedback (deterministic 6dp/docid selection so reformulation is
-    reproducible), `model` expansion (bo1 | kl), weighted second pass.
+    reproducible), `model` expansion (bo1 | bo2 | kl), weighted second pass.
     Returns (qid, rank, docid, score)."""
     if any(q.get("mode", "disjunctive") == "conjunctive" for q in queries):
         raise ValueError(
@@ -227,6 +273,14 @@ def bo1_weight(tfx: float, cf: float, num_docs: float) -> float:
     """Scalar Bo1 weight (test oracle helper)."""
     pn = cf / num_docs
     return tfx * math.log2((1 + pn) / pn) + math.log2(1 + pn)
+
+
+def bo2_weight(tfx: float, fb_len: float, cf: float, num_tokens: float) -> float:
+    """Scalar Bo2 weight (test oracle helper)."""
+    import math
+
+    f = cf * fb_len / num_tokens
+    return tfx * math.log2((1 + f) / f) + math.log2(1 + f)
 
 
 def kl_weight(tfx: float, fb_len: float, cf: float, num_tokens: float) -> float:

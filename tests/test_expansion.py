@@ -106,6 +106,62 @@ def _py_kl(oracle, q):
     return {t: round(v, 6) for t, v in weights.items()}
 
 
+def _py_bo2(oracle, q):
+    """Independent Bo2 mirror: plain dict/loop re-derivation."""
+    from terrier_ef_spark.query.expansion import bo2_weight
+
+    ranked = oracle.bm25_topk(q["terms"], k=10_000)
+    ranked = sorted(ranked, key=lambda kv: (-round(kv[1], 6), kv[0]))[:FB_DOCS]
+    fb = [d for d, _ in ranked]
+    if not fb:
+        return dict.fromkeys(q["terms"], 1.0)
+    fb_len = float(sum(oracle.doclen[d] for d in fb))
+    tfx: dict[str, int] = {}
+    for t, plist in oracle.postings.items():
+        for d, tf in plist:
+            if d in fb:
+                tfx[t] = tfx.get(t, 0) + tf
+    w = {
+        t: round(bo2_weight(x, fb_len, oracle.cf(t), oracle.num_tokens), 6)
+        for t, x in tfx.items()
+    }
+    sel = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:FB_TERMS]
+    wmax = max(v for _, v in sel)
+    weights = dict.fromkeys(dict.fromkeys(q["terms"]), 1.0)
+    for t, v in sel:
+        weights[t] = weights.get(t, 0.0) + v / wmax
+    return {t: round(v, 6) for t, v in weights.items()}
+
+
+def test_bo2_expansion_matches_python_mirror(small_index, small_oracle, direct):
+    from terrier_ef_spark.query.expansion import run_queries_prf
+
+    got = (
+        run_queries_prf(
+            small_index, QUERIES, model="bo2", k=10, fb_docs=FB_DOCS,
+            fb_terms=FB_TERMS, strategy="term_major", direct=direct,
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    by_qid: dict[int, list] = {q["qid"]: [] for q in QUERIES}
+    for r in got:
+        by_qid[int(r["qid"])].append((int(r["docid"]), float(r["score"])))
+
+    for q in QUERIES:
+        weights = _py_bo2(small_oracle, q)
+        scores: dict[int, float] = {}
+        for t, w in weights.items():
+            for d, tf in small_oracle.postings.get(t, []):
+                scores[d] = scores.get(d, 0.0) + w * small_oracle.score(t, d, tf)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = by_qid[q["qid"]]
+        assert [d for d, _ in g] == [d for d, _ in want], (q["qid"], g, want)
+        assert np.allclose(
+            [s for _, s in g], [s for _, s in want], atol=1e-9
+        ), q["qid"]
+
+
 def test_kl_expansion_matches_python_mirror(small_index, small_oracle, direct):
     from terrier_ef_spark.query.expansion import run_queries_prf
 
