@@ -101,6 +101,8 @@ _GATE_PRIORITY = [
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "bm25_bo2_expanded",
+    "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
+    "lgd_disjunctive", "dfree_disjunctive",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -223,6 +225,47 @@ _MODEL_CONTRIB_SQL = {
     # Robertson tf x Sparck-Jones idf (Terrier TF_IDF, k1=1.2, b=0.75)
     "tf_idf": """log2(1 + st.n / l.df)
              * (1.2 * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)))""",
+    # DFR IFB2 (Amati & van Rijsbergen TOIS'02; Bernoulli aftereffect,
+    # normalization 2, c = 1): tfn = tf*log2(1+avgdl/dl)
+    "ifb2": """((l.cf + 1) / (l.df * ((p.tf * log2(1 + st.avgdl / dl.doclen)) + 1)))
+             * (p.tf * log2(1 + st.avgdl / dl.doclen))
+             * log2((st.n + 1) / (l.cf + 0.5))""",
+    # DFR In_expB2: n_exp = N*(1 - ((N-1)/N)^F)
+    "in_expb2": """((l.cf + 1) / (l.df * ((p.tf * log2(1 + st.avgdl / dl.doclen)) + 1)))
+             * (p.tf * log2(1 + st.avgdl / dl.doclen))
+             * log2((st.n + 1)
+                    / (st.n * (1 - pow((st.n - 1) / st.n, l.cf)) + 0.5))""",
+    # DFR BB2 (Bose-Einstein via Stirling): 0 when cf <= tfn (outside
+    # the approximation's domain, matching the engine guard)
+    "bb2": """CASE WHEN l.cf > (p.tf * log2(1 + st.avgdl / dl.doclen)) THEN
+               ((l.cf + 1) / (l.df * ((p.tf * log2(1 + st.avgdl / dl.doclen)) + 1)))
+               * (
+                 - log2(st.n - 1) - log2(exp(1))
+                 + ((st.n + l.cf - (p.tf * log2(1 + st.avgdl / dl.doclen)) - 2) + 0.5)
+                   * log2((st.n + l.cf - 1)
+                          / (st.n + l.cf - (p.tf * log2(1 + st.avgdl / dl.doclen)) - 2))
+                 + ((st.n + l.cf - 1)
+                    - (st.n + l.cf - (p.tf * log2(1 + st.avgdl / dl.doclen)) - 2))
+                   * log2(st.n + l.cf - 1)
+                 - (
+                   ((l.cf - (p.tf * log2(1 + st.avgdl / dl.doclen))) + 0.5)
+                     * log2(l.cf / (l.cf - (p.tf * log2(1 + st.avgdl / dl.doclen))))
+                   + (l.cf - (l.cf - (p.tf * log2(1 + st.avgdl / dl.doclen))))
+                     * log2(l.cf)
+                 )
+               )
+             ELSE 0.0 END""",
+    # Log-logistic LGD (Clinchant & Gaussier SIGIR'10): lambda = df/N
+    "lgd": """log2(((l.df / st.n) + (p.tf * log2(1 + st.avgdl / dl.doclen)))
+                   / (l.df / st.n))""",
+    # DFRee (Amati, parameter-free): prior = tf/dl, post = (tf+1)/(dl+1)
+    "dfree": """(p.tf * log2(((p.tf + 1) / (dl.doclen + 1)) / (p.tf / dl.doclen)))
+             * (
+               p.tf * (-log2((p.tf / dl.doclen) * (st.ntok / l.cf)))
+               + (p.tf + 1)
+                 * log2(((p.tf + 1) / (dl.doclen + 1)) * (st.ntok / l.cf))
+               + 0.5 * log2(((p.tf + 1) / (dl.doclen + 1)) / (p.tf / dl.doclen))
+             )""",
 }
 
 
@@ -1045,6 +1088,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="lm_jm")
 
+    def ifb2_disjunctive(spark, sf):
+        """DFR IFB2 (Amati & van Rijsbergen TOIS'02: inverse term
+        frequency, Bernoulli aftereffect, normalization 2, c=1) on the
+        shared disjunctive query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="ifb2")
+
+    def in_expb2_disjunctive(spark, sf):
+        """DFR In_expB2 (inverse expected document frequency, Bernoulli
+        aftereffect, normalization 2) on the shared query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="in_expb2")
+
+    def bb2_disjunctive(spark, sf):
+        """DFR BB2 (Bose-Einstein via Stirling, Bernoulli aftereffect,
+        normalization 2) on the shared query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="bb2")
+
+    def lgd_disjunctive(spark, sf):
+        """Log-logistic LGD (Clinchant & Gaussier SIGIR'10) on the
+        shared query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="lgd")
+
+    def dfree_disjunctive(spark, sf):
+        """Parameter-free DFRee (Amati) on the shared query set."""
+        return _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                     strategy="term_major", model="dfree")
+
     def bm25_not_topk(spark, sf):
         """Boolean MUST_NOT: docs containing any excluded term are
         anti-joined out per query before ranking."""
@@ -1564,6 +1637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_disjunctive": lm_dirichlet_disjunctive,
         "pl2_disjunctive": pl2_disjunctive,
         "lm_jm_disjunctive": lm_jm_disjunctive,
+        "ifb2_disjunctive": ifb2_disjunctive,
+        "in_expb2_disjunctive": in_expb2_disjunctive,
+        "bb2_disjunctive": bb2_disjunctive,
+        "lgd_disjunctive": lgd_disjunctive,
+        "dfree_disjunctive": dfree_disjunctive,
         "inl2_disjunctive": inl2_disjunctive,
         "dlh13_disjunctive": dlh13_disjunctive,
         "tf_idf_disjunctive": tf_idf_disjunctive,
@@ -1856,6 +1934,21 @@ SELECT term, doc_id AS docid FROM (
         ),
         "lm_jm_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="lm_jm"
+        ),
+        "ifb2_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="ifb2"
+        ),
+        "in_expb2_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="in_expb2"
+        ),
+        "bb2_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="bb2"
+        ),
+        "lgd_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="lgd"
+        ),
+        "dfree_disjunctive": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, model="dfree"
         ),
         "inl2_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="inl2"

@@ -107,8 +107,12 @@ def run_queries(
     safe-to-k, so results are identical either way.
 
     model: 'bm25' (both strategies) | 'dph' | 'pl2' | 'inl2' |
-    'dlh13' | 'tf_idf' | 'lm_dirichlet' | 'lm_jm' (term-major only —
+    'dlh13' | 'tf_idf' | 'ifb2' | 'in_expb2' | 'bb2' | 'lgd' |
+    'dfree' | 'lm_dirichlet' | 'lm_jm' (term-major only —
     published formulas: DFR DPH, PL2, InL2 and DLH13 after Amati,
+    the Bernoulli-aftereffect DFR family IFB2 / In_expB2 / BB2 after
+    Amati & van Rijsbergen TOIS'02, the log-logistic LGD after
+    Clinchant & Gaussier SIGIR'10, parameter-free DFRee after Amati,
     Robertson-tf x Sparck-Jones-idf TF_IDF as Terrier parameterizes
     it, Dirichlet-smoothed LM after Zhai & Lafferty, Jelinek-Mercer
     LM after Hiemstra; like Terrier's pluggable weighting models).
@@ -137,6 +141,7 @@ def run_queries(
     therefore refuse algo='bmw'/'maxscore' (compact first); collection
     statistics stay global until compaction (Lucene semantics)."""
     if model not in ("bm25", "dph", "pl2", "inl2", "dlh13", "tf_idf",
+                 "ifb2", "in_expb2", "bb2", "lgd", "dfree",
                  "lm_dirichlet", "lm_jm"):
         raise ValueError(f"unknown weighting model {model!r}")
     if algo not in ("naive", "bmw", "maxscore"):
@@ -385,6 +390,70 @@ def _score_rows(
             tf * (F.lit(avgdl) / dl) * (F.lit(num_docs) / F.col("global_cf"))
         ) + 0.5 * F.log2(2 * float(np.pi) * tf * (1 - f_))
         contrib = F.when(tf < dl, body / (tf + 0.5)).otherwise(F.lit(0.0))
+    elif model in ("ifb2", "in_expb2", "bb2"):
+        # DFR Bernoulli-aftereffect family, normalization 2 (Amati &
+        # van Rijsbergen TOIS'02; Terrier's IFB2 / In_expB2 / BB2,
+        # c = 1): tfn = tf*log2(1 + c*avgdl/dl), F = collection term
+        # frequency (cf), n = document frequency (df),
+        # Bernoulli norm = (F+1)/(n*(tfn+1)), contrib = norm * Inf1.
+        #   IFB2:     Inf1 = tfn * log2((N+1)/(F+0.5))
+        #   In_expB2: Inf1 = tfn * log2((N+1)/(n_exp+0.5)),
+        #             n_exp = N*(1 - ((N-1)/N)^F)
+        #   BB2:      Inf1 = -log2(N-1) - log2(e)
+        #                    + stirling(N+F-1, N+F-tfn-2)
+        #                    - stirling(F, F-tfn),
+        #             stirling(a, b) = (b+0.5)*log2(a/b) + (a-b)*log2(a)
+        # BB2's Stirling body requires F > tfn (a term whose normalized
+        # in-doc frequency exceeds its collection frequency leaves the
+        # Bose-Einstein approximation's domain, as in Terrier); such
+        # rows contribute 0.
+        tfn_ = tf * F.log2(1 + F.lit(PL2_C * avgdl) / dl)
+        cf_ = F.col("global_cf")
+        bnorm = (cf_ + 1) / (F.col("global_df") * (tfn_ + 1))
+        if model == "ifb2":
+            contrib = bnorm * tfn_ * F.log2(F.lit(num_docs + 1) / (cf_ + 0.5))
+        elif model == "in_expb2":
+            n_exp = F.lit(num_docs) * (
+                1 - F.pow(F.lit((num_docs - 1) / num_docs), cf_)
+            )
+            contrib = bnorm * tfn_ * F.log2(
+                F.lit(num_docs + 1) / (n_exp + 0.5)
+            )
+        else:  # bb2
+
+            def _stirling(a, b_):
+                return (b_ + 0.5) * F.log2(a / b_) + (a - b_) * F.log2(a)
+
+            body = (
+                F.lit(-np.log2(num_docs - 1) - LOG2_E)
+                + _stirling(F.lit(num_docs) + cf_ - 1,
+                            F.lit(num_docs) + cf_ - tfn_ - 2)
+                - _stirling(cf_, cf_ - tfn_)
+            )
+            contrib = F.when(cf_ > tfn_, bnorm * body).otherwise(F.lit(0.0))
+    elif model == "lgd":
+        # Log-logistic information-based model (Clinchant & Gaussier
+        # SIGIR'10; Terrier's LGD, c = 1): tfn = tf*log2(1+c*avgdl/dl),
+        # lambda = df/N, contrib = log2((lambda + tfn)/lambda)
+        tfn_ = tf * F.log2(1 + F.lit(PL2_C * avgdl) / dl)
+        lam = F.col("global_df") / F.lit(num_docs)
+        contrib = F.log2((lam + tfn_) / lam)
+    elif model == "dfree":
+        # DFRee (Amati; parameter-free DFR from the entire collection):
+        # prior = tf/dl, posterior = (tf+1)/(dl+1), invC = C/cf,
+        # norm = tf*log2(posterior/prior),
+        # contrib = norm * (tf*(-log2(prior*invC))
+        #                   + (tf+1)*log2(posterior*invC)
+        #                   + 0.5*log2(posterior/prior))
+        prior = tf / dl
+        post = (tf + 1) / (dl + 1)
+        invc = F.lit(num_tokens) / F.col("global_cf")
+        norm = tf * F.log2(post / prior)
+        contrib = norm * (
+            tf * (-F.log2(prior * invc))
+            + (tf + 1) * F.log2(post * invc)
+            + 0.5 * F.log2(post / prior)
+        )
     elif model == "tf_idf":
         # Robertson tf x Sparck-Jones idf as Terrier's TF_IDF
         # parameterizes it (k1 = 1.2, b = 0.75, log base 2):

@@ -115,6 +115,56 @@ PINNED = {
         (1, 1.525436211026033),
         (4, 1.5128423993011473),
     ],
+    # DFR IFB2 (Amati & van Rijsbergen TOIS'02; Bernoulli norm 2, c=1):
+    # tfn = tf*log2(1+avgdl/dl), B = (cf+1)/(df*(tfn+1)),
+    # contrib = B * tfn * log2((N+1)/(cf+0.5))
+    "ifb2": [
+        (0, 2.3220874408946304),
+        (3, 1.2593798755942072),
+        (2, 1.2534628125900444),
+        (4, 1.0429055960630629),
+        (1, 1.0418991128953228),
+    ],
+    # DFR In_expB2: n_exp = N*(1-((N-1)/N)^cf),
+    # contrib = B * tfn * log2((N+1)/(n_exp+0.5))
+    "in_expb2": [
+        (0, 3.069114419895533),
+        (2, 1.7917335211563918),
+        (3, 1.585981609514095),
+        (4, 1.4907573620047407),
+        (1, 1.312100394840256),
+    ],
+    # DFR BB2 (Bose-Einstein via Stirling):
+    # contrib = B * (-log2(N-1) - log2(e)
+    #                + stirling(N+cf-1, N+cf-tfn-2) - stirling(cf, cf-tfn)),
+    # stirling(a, b) = (b+0.5)*log2(a/b) + (a-b)*log2(a)
+    "bb2": [
+        (0, 4.902935231441474),
+        (2, 2.7047115582410775),
+        (4, 2.4261141254760723),
+        (3, 2.288623783541206),
+        (1, 2.0505981073081507),
+    ],
+    # Log-logistic LGD (Clinchant & Gaussier SIGIR'10): lam = df/N,
+    # contrib = log2((lam + tfn)/lam)
+    "lgd": [
+        (0, 5.389881897224344),
+        (2, 3.1816669875050794),
+        (3, 2.737282748893583),
+        (4, 2.529749387078993),
+        (1, 2.209414728179059),
+    ],
+    # DFRee (Amati, parameter-free): prior = tf/dl, post = (tf+1)/(dl+1),
+    # invC = ntok/cf, norm = tf*log2(post/prior),
+    # contrib = norm*(tf*(-log2(prior*invC)) + (tf+1)*log2(post*invC)
+    #                 + 0.5*log2(post/prior))
+    "dfree": [
+        (0, 3.210261718395073),
+        (1, 1.942747045824599),
+        (4, 1.9401247249119864),
+        (2, 1.6030729640042034),
+        (3, 1.3312405607403495),
+    ],
 }
 
 
@@ -144,7 +194,9 @@ def _got(index, **kw):
 
 
 @pytest.mark.parametrize("model", ["bm25", "dph", "pl2", "lm_dirichlet",
-                                   "lm_jm", "tf_idf", "inl2", "dlh13"])
+                                   "lm_jm", "tf_idf", "inl2", "dlh13",
+                                   "ifb2", "in_expb2", "bb2", "lgd",
+                                   "dfree"])
 def test_pinned_scores_term_major(pinned_index, model):
     got = _got(pinned_index, strategy="term_major", model=model)
     want = PINNED[model]
