@@ -42,6 +42,13 @@ FUZZY_QUERIES = [
 ]
 
 # fixed reference query set over the documents vocabulary (FIXTURES.md F4)
+# SDM topics (query/sdm.py): unigram + ordered-bigram + unordered-
+# window-8 Dirichlet features per Metzler & Croft SIGIR'05
+SDM_QUERIES = [
+    {"qid": 1, "terms": ["table", "value"]},
+    {"qid": 2, "terms": ["spark", "query", "merge"]},
+]
+
 BM25_QUERIES = [
     {"qid": 1, "terms": ["table", "spark"], "mode": "disjunctive"},
     {"qid": 2, "terms": ["window", "merge", "hash"], "mode": "disjunctive"},
@@ -102,7 +109,7 @@ _GATE_PRIORITY = [
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "bm25_bo2_expanded",
     "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
-    "lgd_disjunctive", "dfree_disjunctive",
+    "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -582,6 +589,109 @@ SELECT qid, rank, docid, score FROM (
                             ORDER BY round(sc.score, 6) DESC, sc.docid ASC)::int AS rank,
          sc.docid, round(sc.score, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
+) WHERE rank <= 10
+"""
+
+
+def _sdm_oracle_sql(queries, mu: float = 2500.0, window: int = 8,
+                    lambdas=(0.85, 0.10, 0.05)) -> str:
+    """Twin of run_queries_sdm: unigram Dirichlet contributions plus
+    exact-ordered-bigram (anchor groupBy, both indices present) and
+    unordered-window (anchor row whose [pos, pos+window] span contains
+    the OTHER member term — equivalent to the engine's RANGE-window
+    distinct-term cover for two distinct terms) counts, each with its
+    exact collection frequency, lambda-weighted and summed."""
+    lam_t, lam_o, lam_u = lambdas
+    uq = ", ".join(
+        f"({q['qid']}, '{t}', {float(sum(1 for x in q['terms'] if x == t))})"
+        for q in queries
+        for t in sorted(set(q["terms"]))
+    )
+    bg_rows, bgid = [], 0
+    for q in queries:
+        for a, b in zip(q["terms"], q["terms"][1:]):
+            bg_rows.append(f"({bgid}, {q['qid']}, '{a}', '{b}')")
+            bgid += 1
+    bgv = ", ".join(bg_rows)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT sum(doclen) AS ntok FROM dl
+), lex AS (
+  SELECT term, sum(tf) AS cf FROM post GROUP BY 1
+), uq(qid, term, w) AS (VALUES {uq}),
+bg(bgid, qid, a, b) AS (VALUES {bgv}),
+bgmem AS (
+  SELECT bgid, a AS term, 0 AS idx FROM bg
+  UNION ALL SELECT bgid, b, 1 FROM bg
+),
+arr AS (SELECT doc_id, {TOK} AS a FROM documents),
+tokpos AS (
+  SELECT doc_id, i AS pos, a[i + 1] AS term
+  FROM arr, unnest(range(len(a))) AS t(i)
+),
+oanchor AS (
+  SELECT m.bgid, tp.doc_id, tp.pos - m.idx AS anchor,
+         count(DISTINCT m.idx) AS nidx
+  FROM tokpos tp JOIN bgmem m USING (term) GROUP BY 1, 2, 3
+),
+ocnt AS (
+  SELECT bgid, doc_id, count(*)::double AS cnt
+  FROM oanchor WHERE nidx = 2 GROUP BY 1, 2
+),
+ocf AS (SELECT bgid, sum(cnt) AS cf FROM ocnt GROUP BY 1),
+ucnt AS (
+  SELECT m.bgid, tp.doc_id, count(*)::double AS cnt
+  FROM tokpos tp JOIN bgmem m USING (term)
+  WHERE EXISTS (
+    SELECT 1 FROM tokpos t2
+    JOIN bgmem m2 ON t2.term = m2.term
+                 AND m2.bgid = m.bgid AND m2.idx <> m.idx
+    WHERE t2.doc_id = tp.doc_id
+      AND t2.pos BETWEEN tp.pos AND tp.pos + {window}
+  )
+  GROUP BY 1, 2
+),
+ucf AS (SELECT bgid, sum(cnt) AS cf FROM ucnt GROUP BY 1),
+tpart AS (
+  SELECT uq.qid, p.doc_id AS docid,
+         {lam_t} * uq.w * (log2(1 + p.tf / ({mu} * l.cf / st.ntok))
+                           + log2({mu} / (dl.doclen + {mu}))) AS wc
+  FROM uq JOIN post p USING (term) JOIN lex l USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+),
+opart AS (
+  SELECT bg.qid, o.doc_id AS docid,
+         {lam_o} * (log2(1 + o.cnt / ({mu} * ocf.cf / st.ntok))
+                    + log2({mu} / (dl.doclen + {mu}))) AS wc
+  FROM bg JOIN ocnt o USING (bgid) JOIN ocf USING (bgid)
+       JOIN dl ON dl.doc_id = o.doc_id CROSS JOIN st
+),
+upart AS (
+  SELECT bg.qid, u.doc_id AS docid,
+         {lam_u} * (log2(1 + u.cnt / ({mu} * ucf.cf / st.ntok))
+                    + log2({mu} / (dl.doclen + {mu}))) AS wc
+  FROM bg JOIN ucnt u USING (bgid) JOIN ucf USING (bgid)
+       JOIN dl ON dl.doc_id = u.doc_id CROSS JOIN st
+),
+sc AS (
+  SELECT qid, docid, sum(wc) AS score FROM (
+    SELECT * FROM tpart
+    UNION ALL SELECT * FROM opart
+    UNION ALL SELECT * FROM upart
+  ) GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM sc
 ) WHERE rank <= 10
 """
 
@@ -1118,6 +1228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25(spark, sf, BM25_QUERIES, algo="naive",
                      strategy="term_major", model="dfree")
 
+    def sdm_topk(spark, sf):
+        """Sequential Dependence Model (Metzler & Croft SIGIR'05) —
+        unigram + exact-ordered-bigram + unordered-window-8 Dirichlet
+        features with exact collection frequencies, lambdas
+        (0.85, 0.10, 0.05), over the positional index."""
+        from terrier_ef_spark.query.sdm import run_queries_sdm
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_sdm(idx, SDM_QUERIES, k=100)
+        return _rerank_6dp(deep)
+
     def bm25_not_topk(spark, sf):
         """Boolean MUST_NOT: docs containing any excluded term are
         anti-joined out per query before ranking."""
@@ -1642,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bb2_disjunctive": bb2_disjunctive,
         "lgd_disjunctive": lgd_disjunctive,
         "dfree_disjunctive": dfree_disjunctive,
+        "sdm_topk": sdm_topk,
         "inl2_disjunctive": inl2_disjunctive,
         "dlh13_disjunctive": dlh13_disjunctive,
         "tf_idf_disjunctive": tf_idf_disjunctive,
@@ -1950,6 +2072,7 @@ SELECT term, doc_id AS docid FROM (
         "dfree_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="dfree"
         ),
+        "sdm_topk": _sdm_oracle_sql(SDM_QUERIES),
         "inl2_disjunctive": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, model="inl2"
         ),
