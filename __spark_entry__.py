@@ -110,6 +110,7 @@ _GATE_PRIORITY = [
     "bm25_bo2_expanded",
     "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
     "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
+    "hybrid_combsum_topk", "hybrid_combmnz_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -899,6 +900,79 @@ SELECT id, rrf_score, rank FROM (
 """
 
 
+def _hybrid_comb_oracle_sql(
+    terms: list[str], depth: int = 50, k: int = 10, method: str = "sum"
+) -> str:
+    """Comb-fusion twin (Fox & Shaw TREC-2; Lee SIGIR'97 minmax): rank
+    the full BM25 scoring and cosine scan at 6dp, min-max normalize
+    each top-`depth` list (min/max are order-independent exactly, so
+    the normalized values are pure per-row functions of the 6dp
+    scores), fuse per `method`, re-rank at 9dp."""
+    vals = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    fused = {
+        "sum": "sum(ns)",
+        "mnz": "sum(ns) * count(*)",
+        "anz": "sum(ns) / count(*)",
+    }[method]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), q(term) AS (VALUES {vals}),
+sc AS (
+  SELECT p.doc_id AS id, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+         JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1
+), qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+), semsc AS (
+  SELECT e.vec_id AS id,
+         round(list_dot_product(e.embedding::DOUBLE[], qv.q)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cos
+  FROM embeddings e CROSS JOIN qv
+), lexd AS (
+  SELECT id, s FROM (
+    SELECT id, round(score, 6) AS s,
+           row_number() OVER (ORDER BY round(score, 6) DESC, id ASC) AS r
+    FROM sc
+  ) WHERE r <= {depth}
+), semd AS (
+  SELECT id, s FROM (
+    SELECT id, cos AS s,
+           row_number() OVER (ORDER BY cos DESC, id ASC) AS r
+    FROM semsc
+  ) WHERE r <= {depth}
+), lexn AS (
+  SELECT id, CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END AS ns
+  FROM lexd, (SELECT min(s) AS mn, max(s) AS mx FROM lexd)
+), semn AS (
+  SELECT id, CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END AS ns
+  FROM semd, (SELECT min(s) AS mn, max(s) AS mx FROM semd)
+), u AS (
+  SELECT * FROM lexn UNION ALL SELECT * FROM semn
+), f AS (
+  SELECT id, round({fused}, 9) AS fused_score, count(*)::bigint AS n_lists
+  FROM u GROUP BY 1
+)
+SELECT id, fused_score, n_lists, rank FROM (
+  SELECT id, fused_score, n_lists,
+         row_number() OVER (ORDER BY fused_score DESC, id ASC)::int AS rank
+  FROM f
+) WHERE rank <= {k}
+"""
+
+
 def _prf_oracle_sql(
     queries, model: str = "bo1", fb_docs: int = 3, fb_terms: int = 10
 ) -> str:
@@ -1442,6 +1516,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["table", "spark"], _qvec(spark, sf), k=ANN_K, depth=50,
         )
 
+    def hybrid_combsum(spark, sf):
+        """CombSUM score fusion (Fox & Shaw TREC-2) with min-max
+        normalization (Lee SIGIR'97) over the same BM25 + cosine lists
+        the RRF key fuses by rank."""
+        from terrier_ef_spark.pipeline import hybrid
+
+        return hybrid.hybrid_bm25_cosine_combsum(
+            _get_index(spark, sf), _emb(spark, sf),
+            ["table", "spark"], _qvec(spark, sf), k=ANN_K, depth=50,
+        )
+
+    def hybrid_combmnz(spark, sf):
+        """CombMNZ: CombSUM x number-of-lists-matching — rewards docs
+        both retrievers agree on."""
+        from terrier_ef_spark.pipeline import hybrid
+
+        return hybrid.hybrid_bm25_cosine_combsum(
+            _get_index(spark, sf), _emb(spark, sf),
+            ["table", "spark"], _qvec(spark, sf), k=ANN_K, depth=50,
+            method="mnz",
+        )
+
     def positions_decoded(spark, sf):
         from terrier_ef_spark.query.engine import decode_positions_df
 
@@ -1782,6 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_windows": snippet_windows,
         "bm25_filtered": bm25_filtered,
         "hybrid_rrf_topk": hybrid_rrf,
+        "hybrid_combsum_topk": hybrid_combsum,
+        "hybrid_combmnz_topk": hybrid_combmnz,
         "positions_decoded": positions_decoded,
         "phrase_match": phrase_match_tv,
         "proximity_match": proximity_tv,
@@ -2106,6 +2204,10 @@ SELECT term, doc_id AS docid FROM (
             ),
         ),
         "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(["table", "spark"]),
+        "hybrid_combsum_topk": _hybrid_comb_oracle_sql(["table", "spark"]),
+        "hybrid_combmnz_topk": _hybrid_comb_oracle_sql(
+            ["table", "spark"], method="mnz"
+        ),
         "positions_decoded": f"""
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents)
 SELECT a[i + 1] AS term, doc_id AS docid, i AS pos

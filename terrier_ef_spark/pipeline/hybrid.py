@@ -59,6 +59,131 @@ def rrf_fuse(
     )
 
 
+def normalize_scores(
+    scored: DataFrame, method: str = "minmax",
+    score_col: str = "score", id_col: str = "id",
+) -> DataFrame:
+    """Per-list score normalization for comb fusion (Lee, SIGIR 1997):
+    (id, nscore). 'minmax' -> (s - min)/(max - min) in [0, 1], with a
+    degenerate (constant-score) list mapping to 1.0; 'zscore' ->
+    (s - mean)/stddev_pop, degenerate list to 0.0; 'none' passes the
+    raw scores through (Fox & Shaw's original unnormalized comb).
+
+    Determinism: inputs are the depth-cut top lists whose scores are
+    already 6dp-rounded by the callers, and minmax uses only min/max
+    (order-independent exactly), so minmax-normalized values are pure
+    per-row functions — safe for cross-engine twins. zscore sums
+    doubles (accumulation-order sensitive in the last ulp), fine for
+    ranking, not pinned by a hash oracle."""
+    if method == "none":
+        return scored.select(F.col(id_col).alias("id"),
+                             F.col(score_col).cast("double").alias("nscore"))
+    s = F.col(score_col).cast("double")
+    if method == "minmax":
+        lo, hi = F.min(s), F.max(s)
+        stats = scored.agg(lo.alias("lo"), hi.alias("hi"))
+        return scored.crossJoin(F.broadcast(stats)).select(
+            F.col(id_col).alias("id"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(1.0))
+            .otherwise((s - F.col("lo")) / (F.col("hi") - F.col("lo")))
+            .alias("nscore"),
+        )
+    if method == "zscore":
+        stats = scored.agg(
+            F.avg(s).alias("mu"), F.stddev_pop(s).alias("sd")
+        )
+        return scored.crossJoin(F.broadcast(stats)).select(
+            F.col(id_col).alias("id"),
+            F.when(F.col("sd") == 0.0, F.lit(0.0))
+            .otherwise((s - F.col("mu")) / F.col("sd"))
+            .alias("nscore"),
+        )
+    raise ValueError(f"unknown normalization {method!r}")
+
+
+def comb_fuse(
+    lists: list[DataFrame],
+    *,
+    k: int = 10,
+    method: str = "sum",
+    norm: str = "minmax",
+) -> DataFrame:
+    """CombSUM / CombMNZ / CombANZ fusion (Fox & Shaw, TREC-2 1994)
+    over scored lists, each with columns (id, score): normalize each
+    list independently (`normalize_scores`), then
+      sum: fused = sum of normalized scores
+      mnz: fused = sum * (number of lists containing the id)
+      anz: fused = sum / (number of lists containing the id)
+    Returns top-k (id, fused_score, n_lists, rank), tie-break
+    (fused_score desc, id asc); fused scores rounded to 9dp before
+    ranking so accumulation order can never reorder ties across
+    engines (same contract as rrf_fuse). Same scale shape as RRF: the
+    fusion touches only depth x n_lists rows, never the corpus."""
+    if not lists:
+        raise ValueError("comb_fuse needs at least one scored list")
+    if method not in ("sum", "mnz", "anz"):
+        raise ValueError(f"unknown comb method {method!r}")
+    u = normalize_scores(lists[0], norm)
+    for df in lists[1:]:
+        u = u.unionByName(normalize_scores(df, norm))
+    agg = u.groupBy("id").agg(
+        F.sum("nscore").alias("ssum"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    fused = {
+        "sum": F.col("ssum"),
+        "mnz": F.col("ssum") * F.col("n_lists"),
+        "anz": F.col("ssum") / F.col("n_lists"),
+    }[method]
+    scored = agg.select(
+        "id", F.round(fused, 9).alias("fused_score"), "n_lists"
+    )
+    top = scored.orderBy(F.desc("fused_score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("fused_score"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id", "fused_score", "n_lists", "rank"
+    )
+
+
+def hybrid_bm25_cosine_combsum(
+    index,
+    embeddings: DataFrame,
+    terms: list[str],
+    qvec: list[float],
+    *,
+    k: int = 10,
+    depth: int = 50,
+    method: str = "sum",
+    norm: str = "minmax",
+) -> DataFrame:
+    """Score-fusion sibling of hybrid_bm25_cosine_topk: CombSUM/MNZ/ANZ
+    over the 6dp-rounded BM25 top-`depth` and cosine top-`depth` lists
+    (shared id space doc_id == vec_id). Returns
+    (id, fused_score, n_lists, rank)."""
+    from terrier_ef_spark.pipeline.similarity import cosine_topk
+    from terrier_ef_spark.query.engine import run_queries
+
+    lex_deep = run_queries(
+        index,
+        [{"qid": 1, "terms": terms, "mode": "disjunctive"}],
+        k=2 * depth,
+        strategy="term_major",
+    )
+    # same stable-membership margin as the RRF path, but the fusion
+    # consumes the 6dp score itself, not just the rank
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("docid"))
+    lex = (
+        lex_deep.withColumn("r6", F.row_number().over(w))
+        .where(F.col("r6") <= depth)
+        .select(F.col("docid").alias("id"),
+                F.round(F.col("score"), 6).alias("score"))
+    )
+    sem = cosine_topk(embeddings, qvec, k=depth).select(
+        F.col("vec_id").alias("id"), F.col("cos").alias("score")
+    )
+    return comb_fuse([lex, sem], k=k, method=method, norm=norm)
+
+
 def _ranked_6dp(scored: DataFrame, score_col: str, id_col: str, depth: int) -> DataFrame:
     """Deterministic (id, rank) from a scored frame: rank on
     (round(score, 6) desc, id asc), keep the top `depth`. The 6dp

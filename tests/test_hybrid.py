@@ -93,3 +93,120 @@ def test_hybrid_matches_python_fusion(spark, small_index, small_corpus):
     # sanity: the fusion actually mixes both modalities
     got_ids = {r["id"] for r in got}
     assert got_ids & set(lex_rank) and got_ids & set(sem_rank)
+
+
+# ---- Comb fusion (Fox & Shaw TREC-2; Lee SIGIR'97 normalization) ----
+
+
+def _scored_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, score double")
+
+
+def test_comb_sum_minmax_semantics(spark):
+    # list A: 1 -> 1.0 (max), 2 -> 0.0 (min); list B: 1 -> 1.0, 3 -> 0.0
+    a = _scored_df(spark, [(1, 10.0), (2, 4.0)])
+    b = _scored_df(spark, [(1, 0.9), (3, 0.1)])
+    out = {r["id"]: r for r in hybrid.comb_fuse([a, b], k=10).collect()}
+    assert out[1]["fused_score"] == pytest.approx(2.0)
+    assert out[1]["n_lists"] == 2 and out[1]["rank"] == 1
+    assert out[2]["fused_score"] == 0.0 and out[3]["fused_score"] == 0.0
+    # zero-score tie broken by id asc
+    assert out[2]["rank"] == 2 and out[3]["rank"] == 3
+
+
+def test_comb_mnz_rewards_agreement(spark):
+    # doc 1 mid in both lists beats doc 2 top of one list under MNZ
+    a = _scored_df(spark, [(2, 10.0), (1, 6.0), (4, 2.0)])
+    b = _scored_df(spark, [(3, 1.0), (1, 0.6), (5, 0.2)])
+    s = {r["id"]: r for r in hybrid.comb_fuse([a, b], k=10, method="sum").collect()}
+    m = {r["id"]: r for r in hybrid.comb_fuse([a, b], k=10, method="mnz").collect()}
+    assert m[1]["fused_score"] == pytest.approx(2 * s[1]["fused_score"])
+    assert m[2]["fused_score"] == s[2]["fused_score"]  # single-list: x1
+    assert m[1]["rank"] == 1
+
+
+def test_comb_anz_averages(spark):
+    a = _scored_df(spark, [(1, 2.0), (2, 1.0)])
+    b = _scored_df(spark, [(1, 4.0), (3, 1.0)])
+    s = {r["id"]: r for r in hybrid.comb_fuse([a, b], k=10, method="anz").collect()}
+    assert s[1]["fused_score"] == pytest.approx(1.0)  # (1 + 1)/2
+
+
+def test_normalize_degenerate_and_zscore(spark):
+    const = _scored_df(spark, [(1, 5.0), (2, 5.0)])
+    mm = {r["id"]: r["nscore"] for r in hybrid.normalize_scores(const).collect()}
+    assert mm == {1: 1.0, 2: 1.0}
+    zs = {
+        r["id"]: r["nscore"]
+        for r in hybrid.normalize_scores(const, "zscore").collect()
+    }
+    assert zs == {1: 0.0, 2: 0.0}
+    spread = _scored_df(spark, [(1, 1.0), (2, 3.0)])
+    z = {r["id"]: r["nscore"] for r in hybrid.normalize_scores(spread, "zscore").collect()}
+    assert z[1] == pytest.approx(-1.0) and z[2] == pytest.approx(1.0)
+
+
+def test_comb_fuse_rejects_bad_args(spark):
+    a = _scored_df(spark, [(1, 1.0)])
+    with pytest.raises(ValueError):
+        hybrid.comb_fuse([])
+    with pytest.raises(ValueError):
+        hybrid.comb_fuse([a], method="nope")
+    with pytest.raises(ValueError):
+        hybrid.normalize_scores(a, "nope")
+
+
+def test_hybrid_combsum_matches_python(spark, small_index, small_corpus):
+    """End-to-end: hybrid_bm25_cosine_combsum == minmax CombSUM
+    recomputed in Python from the engine's own 6dp lists."""
+    import numpy as np
+
+    from terrier_ef_spark.pipeline.similarity import cosine_topk
+    from terrier_ef_spark.query.engine import run_queries
+
+    n = small_corpus.count()
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, 8)).round(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    terms = ["alpha", "beta"]
+    qvec = [float(x) for x in vecs[0]]
+    depth = 5
+
+    deep = run_queries(
+        small_index, [{"qid": 1, "terms": terms, "mode": "disjunctive"}],
+        k=2 * depth, strategy="term_major",
+    ).toPandas()
+    deep["s6"] = deep["score"].round(6)
+    lex = deep.sort_values(["s6", "docid"], ascending=[False, True]).head(depth)
+    sem = (
+        cosine_topk(emb, qvec, k=depth)
+        .toPandas()
+        .rename(columns={"vec_id": "docid", "cos": "s6"})
+    )
+
+    def norm(pdf):
+        lo, hi = pdf["s6"].min(), pdf["s6"].max()
+        return {
+            int(r.docid): (1.0 if hi == lo else (r.s6 - lo) / (hi - lo))
+            for r in pdf.itertuples(index=False)
+        }
+
+    ln, sn = norm(lex), norm(sem)
+    fused = {}
+    for d in set(ln) | set(sn):
+        fused[d] = round(ln.get(d, 0.0) + sn.get(d, 0.0), 9)
+    want = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:4]
+
+    got = (
+        hybrid.hybrid_bm25_cosine_combsum(
+            small_index, emb, terms, qvec, k=4, depth=depth
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r["id"], r["fused_score"]) for r in got] == [
+        (d, pytest.approx(s, abs=1e-9)) for d, s in want
+    ]
