@@ -225,3 +225,53 @@ def test_submit_query_server_ql_mode(small_index):
             abs(r["score"] - g["score"]) < 2e-6
             for r, g in zip(want, got)
         )
+
+
+def test_submit_query_server_sdm_mode(small_index):
+    """--server --sdm scores stdin topics with the Sequential
+    Dependence Model through the recorded term pipeline (ordered
+    tokens, adjacent duplicates collapsed); values match a direct
+    run_queries_sdm call."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", small_index.paths.root, "--server", "--sdm", "--k", "5",
+         "--format", "json"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
+    )
+    topics = ("1\tval def", "2\timport import def")
+    try:
+        answers = []
+        for topic in topics:
+            p.stdin.write(topic + "\n")
+            p.stdin.flush()
+            block = []
+            while True:
+                line = p.stdout.readline()
+                if line == "" or line == "\n":
+                    break
+                block.append(line)
+            assert len(block) == 1, block
+            answers.append(json.loads(block[0]))
+    finally:
+        p.stdin.close()
+        p.wait(timeout=120)
+
+    from terrier_ef_spark.query.sdm import run_queries_sdm
+    from terrier_ef_spark.tokenizer import _tokenize_query_raw
+
+    for (qid, text), got in zip(((1, "val def"), (2, "import import def")),
+                                answers):
+        toks = _tokenize_query_raw(small_index, text)
+        terms = [t for i, t in enumerate(toks) if i == 0 or toks[i - 1] != t]
+        want = (
+            run_queries_sdm(small_index, [{"qid": qid, "terms": terms}], k=5)
+            .orderBy("rank").collect()
+        )
+        assert [r["docid"] for r in want] == [g["docid"] for g in got]
+        assert all(
+            abs(r["score"] - g["score"]) < 2e-6
+            for r, g in zip(want, got)
+        )

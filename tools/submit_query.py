@@ -19,6 +19,10 @@ bag of words: `term^w +require -prohibit "exact phrase" "a b"~N tab*
 term~` (operators documented in query/parser.py), compiled onto the
 same engine.
 
+--sdm scores each topic with the Sequential Dependence Model
+(query/sdm.py: unigram + ordered-bigram + unordered-window Dirichlet
+features over the positional index); mutually exclusive with --ql.
+
 --server keeps the session alive and answers topics from stdin
 (`qid<TAB>query` per line, EOF ends); each topic's results are
 followed by one blank line (the end-of-results frame) and flushed
@@ -35,7 +39,21 @@ import sys
 
 
 def _parse_topic(idx, qid: int, text: str, mode: str,
-                 ql: bool = False) -> dict:
+                 ql: bool = False, sdm: bool = False) -> dict:
+    if sdm:
+        # Sequential Dependence Model (query/sdm.py): the ORDERED token
+        # sequence feeds the bigram features, so no qtf dedup here;
+        # adjacent duplicates (possible after the term pipeline, e.g.
+        # "big big data") collapse to one occurrence — the unordered-
+        # window feature is undefined for a repeated term and the
+        # duplicate adds no adjacency evidence.
+        from terrier_ef_spark.tokenizer import _tokenize_query_raw
+
+        toks = _tokenize_query_raw(idx, text)
+        terms = [t for i, t in enumerate(toks) if i == 0 or toks[i - 1] != t]
+        if not terms:
+            raise ValueError("no indexable terms after the term pipeline")
+        return {"qid": qid, "terms": terms}
     if ql:
         # Terrier-style query language: operators compile onto the
         # engine in query/parser.py; the pipeline/qtf handling below is
@@ -99,7 +117,11 @@ def _answer(idx, batch, args, out, *, terminator: bool = False,
             docno_cache: dict | None = None) -> None:
     from terrier_ef_spark.query.engine import run_queries, with_docno
 
-    if getattr(args, "ql", False):
+    if getattr(args, "sdm", False):
+        from terrier_ef_spark.query.sdm import run_queries_sdm
+
+        res = run_queries_sdm(idx, batch, k=args.k)
+    elif getattr(args, "ql", False):
         from terrier_ef_spark.query.parser import run_queries_ql
 
         # constrained topics force the exhaustive scorer inside; the
@@ -153,11 +175,17 @@ def main() -> None:
                     help="parse topics as Terrier-style query language "
                     "(+req -not term^w \"phrase\" \"a b\"~N tab* term~; "
                     "see query/parser.py) instead of bags of words")
+    ap.add_argument("--sdm", action="store_true",
+                    help="score topics with the Sequential Dependence "
+                    "Model (unigram + ordered-bigram + unordered-window "
+                    "Dirichlet features; needs a positional index)")
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
     ap.add_argument("--format", default="trec", choices=["trec", "json"])
     ap.add_argument("--tag", default="spark-ef")
     args = ap.parse_args()
+    if args.sdm and args.ql:
+        ap.error("--sdm and --ql are mutually exclusive")
 
     from pyspark.sql import SparkSession
 
@@ -178,7 +206,7 @@ def main() -> None:
                 try:
                     batch.append(
                         _parse_topic(idx, int(qid), text, args.mode,
-                                     ql=args.ql)
+                                     ql=args.ql, sdm=args.sdm)
                     )
                 except ValueError as exc:
                     # fail fast with the offending line, not a traceback
@@ -188,7 +216,7 @@ def main() -> None:
     for i, q in enumerate(args.queries):
         batch.append(
             _parse_topic(idx, 10_000 + i, q.replace(",", " "), args.mode,
-                         ql=args.ql)
+                         ql=args.ql, sdm=args.sdm)
         )
 
     if batch:
@@ -210,7 +238,7 @@ def main() -> None:
             qid, _, text = line.partition("\t")
             try:
                 topic = _parse_topic(idx, int(qid), text, args.mode,
-                                     ql=args.ql)
+                                     ql=args.ql, sdm=args.sdm)
             except ValueError as exc:
                 sys.stderr.write(f"bad topic line ({exc}): {line!r}\n")
                 continue
