@@ -110,7 +110,7 @@ _GATE_PRIORITY = [
     "bm25_bo2_expanded",
     "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
     "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
-    "hybrid_combsum_topk", "hybrid_combmnz_topk",
+    "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -1068,6 +1068,82 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _rm3_oracle_sql(
+    queries, fb_docs: int = 3, fb_terms: int = 10, alpha: float = 0.5
+) -> str:
+    """DuckDB twin of the two-pass RM3 expansion (expansion.py:
+    run_queries_rm3): first-pass BM25 top fb_docs carrying their
+    6dp-rounded scores, UNNORMALIZED RM1 weights sum(s * tf/dl)
+    rounded to 6dp, top fb_terms per query renormalized by the
+    selected set's sum, interpolated alpha/(1-alpha) with the original
+    query's uniform qtf distribution, reweighted second pass."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    bm25 = _MODEL_CONTRIB_SQL["bm25"]  # same aliases (st/l/p/dl) by design
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+nq AS (SELECT qid, count(*)::double AS n_terms FROM q GROUP BY 1),
+sc1 AS (
+  SELECT q.qid, p.doc_id AS docid, sum({bm25}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+), fbs AS (
+  SELECT qid, docid, s FROM (
+    SELECT qid, docid, round(score, 6) AS s,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC) AS rk
+    FROM sc1
+  ) WHERE rk <= {fb_docs}
+), rm1 AS (
+  SELECT fbs.qid, p.term, round(sum(fbs.s * p.tf / dl.doclen), 6) AS w
+  FROM fbs JOIN post p ON p.doc_id = fbs.docid
+       JOIN dl ON dl.doc_id = p.doc_id
+  GROUP BY 1, 2
+), sel AS (
+  SELECT qid, term, w FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS rk
+    FROM rm1
+  ) WHERE rk <= {fb_terms}
+), sw AS (
+  SELECT qid, sum(w) AS sw FROM sel GROUP BY 1
+), alltw AS (
+  SELECT coalesce(o.qid, s.qid) AS qid, coalesce(o.term, s.term) AS term,
+         round(coalesce(o.pq, 0) + coalesce({1 - alpha} * s.w / sw.sw, 0), 6)
+           AS qtw
+  FROM (SELECT q.qid, q.term, {alpha} / nq.n_terms AS pq
+        FROM q JOIN nq USING (qid)) o
+  FULL OUTER JOIN sel s ON s.qid = o.qid AND s.term = o.term
+  LEFT JOIN sw ON sw.qid = coalesce(o.qid, s.qid)
+), sc2 AS (
+  SELECT a.qid, p.doc_id AS docid, sum(a.qtw * ({bm25})) AS score
+  FROM alltw a JOIN lex l ON l.term = a.term JOIN post p ON p.term = a.term
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
+  FROM sc2
+) WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1432,6 +1508,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         deep = run_queries_ql_fielded(
             _title_fields(spark, sf), QL_FIELDED_TOPICS, k=100,
             weights={"title": 2.0, "content": 1.0},
+        )
+        return _rerank_6dp(deep)
+
+    def bm25_rm3_expanded(spark, sf):
+        """Two-pass RM3 relevance-model feedback (Abdul-Jaleel et al.
+        TREC'04): score-weighted MLE feedback distribution, top-10
+        terms renormalized, interpolated 0.5/0.5 with the query."""
+        from terrier_ef_spark.index.direct import build_direct
+        from terrier_ef_spark.query.expansion import run_queries_rm3
+
+        idx = _get_index(spark, sf)
+        direct = build_direct(idx, n_partitions=8)
+        deep = run_queries_rm3(
+            idx, BM25_QUERIES, k=100, fb_docs=3, fb_terms=10,
+            strategy="term_major", direct=direct,
         )
         return _rerank_6dp(deep)
 
@@ -1873,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_sharded_topk": bm25_sharded_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
+        "bm25_rm3_expanded": bm25_rm3_expanded,
         "bm25_bo2_expanded": bm25_bo2_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -2191,6 +2283,7 @@ SELECT term, doc_id AS docid FROM (
         # sharded twin == the plain whole-corpus oracle: that IS the claim
         "bm25_sharded_topk": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
+        "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "bm25_bo2_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo2"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(

@@ -269,6 +269,129 @@ def run_queries_bo1(index: EFIndex, queries: list[dict], **kw) -> DataFrame:
     return run_queries_prf(index, queries, model="bo1", **kw)
 
 
+def rm3_term_weights(
+    index: EFIndex,
+    first_pass_scored: list[tuple[int, int, float]],
+    direct: DataFrame | None = None,
+) -> DataFrame:
+    """(qid, term, w): UNNORMALIZED RM1 relevance-model weights
+    (Lavrenko & Croft SIGIR'01) from a scored feedback set
+    [(qid, docid, score6)]:
+
+        w(t) = sum over feedback docs D of  score6(D) * tf(t, D) / |D|
+
+    i.e. P(t|R) with the first-pass score as the (unnormalized)
+    document weight and the MLE P(t|D) = tf/dl — the shape Anserini's
+    RM3 uses with the searcher's own scores. The per-query score-sum
+    normalization is deliberately NOT applied here: run_queries_rm3
+    divides each selected weight by the selected set's total, and the
+    score-sum factor cancels in that ratio — keeping every division
+    out of the accumulation-order-sensitive path. Weights are rounded
+    to 6dp so the selection is reproducible across engines."""
+    spark = index.spark
+    fb = spark.createDataFrame(
+        first_pass_scored, "qid long, docid long, s double"
+    )
+    fb_docids = sorted({d for _, d, _ in first_pass_scored})
+
+    if direct is None:
+        direct = spark.read.parquet(f"{index.paths.root}/direct")
+    dd = decode_direct(index, direct.where(F.col("docid").isin(fb_docids)))
+    cand = (
+        dd.join(
+            index.docs.select("docid", F.col("doclen").cast("double").alias("dl")),
+            "docid",
+        )
+        .join(F.broadcast(fb), "docid")
+        .groupBy("qid", "termid")
+        .agg(F.sum(F.col("s") * F.col("tf").cast("double") / F.col("dl")).alias("w"))
+    )
+    lex = index.lexicon.select("termid", "term")
+    return cand.join(lex, "termid").select(
+        "qid", "term", F.round("w", 6).alias("w")
+    )
+
+
+def run_queries_rm3(
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    strategy: str = "auto",
+    direct: DataFrame | None = None,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Abdul-Jaleel et al., TREC 2004
+    — the interpolated relevance model, pt/Anserini's standard PRF):
+    BM25 top-fb_docs feedback (deterministic 6dp/docid selection),
+    RM1 term weights from the feedback docs' MLE term distributions
+    weighted by their first-pass scores, top fb_terms selected and
+    renormalized to a distribution, then interpolated with the
+    original query's qtf distribution:
+
+        qtw(t) = alpha * qtf(t)/sum(qtf) + (1-alpha) * rm1'(t)
+
+    and re-run as a weighted disjunctive second pass. Companion to the
+    DFR expansion family (Bo1/Bo2/KL) on the same two-pass pipeline;
+    assumes non-negative first-pass scores (as RM3 implementations do
+    — with a negative-idf feedback doc the mixture can degenerate).
+    Returns (qid, rank, docid, score)."""
+    if any(q.get("mode", "disjunctive") == "conjunctive" for q in queries):
+        raise ValueError(
+            "PRF expansion is defined for ranked (disjunctive) retrieval; "
+            "expanding a conjunctive query would silently change its AND "
+            "semantics"
+        )
+    deep = run_queries(index, queries, k=max(fb_docs, 100), strategy=strategy)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docid")
+    )
+    fb_rows = (
+        deep.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= fb_docs)
+        .select("qid", "docid", F.round("score", 6).alias("s"))
+        .collect()
+    )
+    first_pass = [
+        (int(r["qid"]), int(r["docid"]), float(r["s"])) for r in fb_rows
+    ]
+    if not first_pass:
+        return run_queries(index, queries, k=k, strategy=strategy)
+
+    wdf = rm3_term_weights(index, first_pass, direct=direct)
+    rk = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
+    sel = (
+        wdf.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= fb_terms)
+        .collect()
+    )
+    by_qid: dict[int, list[tuple[str, float]]] = {}
+    for r in sel:
+        by_qid.setdefault(int(r["qid"]), []).append((r["term"], float(r["w"])))
+
+    out = []
+    for q in queries:
+        qid = int(q["qid"])
+        orig = list(dict.fromkeys(q["terms"]))
+        qtf = {t: float((q.get("weights") or {}).get(t, 1.0)) for t in orig}
+        qtf_sum = sum(qtf.values())
+        chosen = by_qid.get(qid, [])
+        w_sum = sum(w for _, w in sorted(chosen))  # fixed order
+        if not chosen or w_sum == 0.0:
+            out.append(dict(q))
+            continue
+        weights = {t: alpha * v / qtf_sum for t, v in qtf.items()}
+        for t, wv in chosen:
+            weights[t] = weights.get(t, 0.0) + (1 - alpha) * wv / w_sum
+        weights = {t: round(v, 6) for t, v in weights.items()}
+        nq = dict(q)
+        nq.update(terms=sorted(weights), mode="disjunctive", weights=weights)
+        out.append(nq)
+    return run_queries(index, out, k=k, strategy=strategy)
+
+
 def bo1_weight(tfx: float, cf: float, num_docs: float) -> float:
     """Scalar Bo1 weight (test oracle helper)."""
     pn = cf / num_docs

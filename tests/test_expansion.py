@@ -289,3 +289,72 @@ def test_fuzzy_query_rewrite(spark, tmp_path_factory):
         k=10, strategy="term_major",
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+
+def _py_rm3(oracle, q, alpha=0.5):
+    """Independent RM3 mirror: plain dict/loop re-derivation
+    (Abdul-Jaleel et al. TREC'04 via the unnormalized-RM1 form)."""
+    ranked = oracle.bm25_topk(q["terms"], k=10_000)
+    ranked = sorted(
+        ranked, key=lambda kv: (-round(kv[1], 6), kv[0])
+    )[:FB_DOCS]
+    if not ranked:
+        return dict.fromkeys(dict.fromkeys(q["terms"]), 1.0)
+    s6 = {d: round(s, 6) for d, s in ranked}
+    rm1: dict[str, float] = {}
+    for t, plist in oracle.postings.items():
+        for d, tf in plist:
+            if d in s6:
+                rm1[t] = rm1.get(t, 0.0) + s6[d] * tf / oracle.doclen[d]
+    rm1 = {t: round(v, 6) for t, v in rm1.items()}
+    sel = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[:FB_TERMS]
+    w_sum = sum(v for _, v in sorted(sel))
+    if w_sum == 0.0:
+        return dict.fromkeys(dict.fromkeys(q["terms"]), 1.0)
+    orig = list(dict.fromkeys(q["terms"]))
+    weights = {t: alpha / len(orig) for t in orig}
+    for t, v in sel:
+        weights[t] = weights.get(t, 0.0) + (1 - alpha) * v / w_sum
+    return {t: round(v, 6) for t, v in weights.items()}
+
+
+def test_rm3_expansion_matches_python_mirror(small_index, small_oracle, direct):
+    from terrier_ef_spark.query.expansion import run_queries_rm3
+
+    got = (
+        run_queries_rm3(
+            small_index, QUERIES, k=10, fb_docs=FB_DOCS, fb_terms=FB_TERMS,
+            strategy="term_major", direct=direct,
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    by_qid: dict[int, list] = {q["qid"]: [] for q in QUERIES}
+    for r in got:
+        by_qid[int(r["qid"])].append((int(r["docid"]), float(r["score"])))
+
+    for q in QUERIES:
+        weights = _py_rm3(small_oracle, q)
+        scores: dict[int, float] = {}
+        for t, w in weights.items():
+            for d, tf in small_oracle.postings.get(t, []):
+                scores[d] = scores.get(d, 0.0) + w * small_oracle.score(t, d, tf)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        g = by_qid[q["qid"]]
+        assert [d for d, _ in g] == [d for d, _ in want], (q["qid"], g, want)
+        assert np.allclose(
+            [s for _, s in g], [s for _, s in want], atol=1e-9
+        ), q["qid"]
+
+
+def test_rm3_weights_form_a_mixture(small_index, small_oracle, direct):
+    """The reformulated weights are a convex alpha-mixture: original
+    terms carry alpha/|Q| plus any feedback mass; selected expansion
+    weights sum to (1 - alpha) exactly (before rounding)."""
+    q = {"qid": 2, "terms": ["import", "def"], "mode": "disjunctive"}
+    weights = _py_rm3(small_oracle, q, alpha=0.5)
+    total = sum(weights.values())
+    # alpha * 1 (query mass) + (1-alpha) * 1 (renormalized RM1 mass)
+    assert total == pytest.approx(1.0, abs=1e-4)
+    for t in q["terms"]:
+        assert weights[t] >= 0.5 / len(q["terms"]) - 1e-6
