@@ -111,6 +111,7 @@ _GATE_PRIORITY = [
     "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
     "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
+    "ltr_features_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -1068,6 +1069,52 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _ltr_features_oracle_sql(
+    queries, features=("bm25", "lm_dirichlet", "pl2", "dph", "tf_idf"),
+    k: int = 10,
+) -> str:
+    """Twin of run_queries_features: every model's contribution formula
+    evaluated as sibling aggregates over the same matched-posting rows,
+    plus n_matched and doclen; candidates ranked by round(f_bm25, 6)."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    fcols = ",\n         ".join(
+        f"sum({_MODEL_CONTRIB_SQL[m]}) AS f_{m}" for m in features
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl,
+         sum(doclen) AS ntok
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+sc AS (
+  SELECT q.qid, p.doc_id AS docid,
+         {fcols},
+         count(*)::bigint AS n_matched,
+         first(dl.doclen)::bigint AS doclen
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(f_bm25, 6) DESC, docid ASC)::int AS rank,
+         docid, {", ".join(f"f_{m}" for m in features)}, n_matched, doclen
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
 def _rm3_oracle_sql(
     queries, fb_docs: int = 3, fb_terms: int = 10, alpha: float = 0.5
 ) -> str:
@@ -1510,6 +1557,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             weights={"title": 2.0, "content": 1.0},
         )
         return _rerank_6dp(deep)
+
+    def ltr_features_topk(spark, sf):
+        """Learning-to-rank feature extraction (FeaturesBatchRetrieve
+        role): top-10 BM25 candidates per query with five weighting-
+        model features + n_matched + doclen, all from ONE decode."""
+        from terrier_ef_spark.query.features import run_queries_features
+
+        idx = _get_index(spark, sf)
+        return run_queries_features(idx, BM25_QUERIES, k=10)
 
     def bm25_rm3_expanded(spark, sf):
         """Two-pass RM3 relevance-model feedback (Abdul-Jaleel et al.
@@ -1965,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sharded_topk": bm25_sharded_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
+        "ltr_features_topk": ltr_features_topk,
         "bm25_bo2_expanded": bm25_bo2_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -2284,6 +2341,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_sharded_topk": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
+        "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),
         "bm25_bo2_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo2"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(

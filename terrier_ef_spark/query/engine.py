@@ -335,6 +335,47 @@ def _score_rows(
     # unconditional collect+broadcast)
     posts = posts.join(index.docs.select("docid", "doclen"), "docid")
 
+    contrib = model_contrib_expr(
+        model, num_docs=num_docs, avgdl=avgdl, num_tokens=num_tokens,
+        k1=k1, b=b,
+    )
+    posts = posts.select("term", "docid", contrib.alias("contrib"))
+
+    scored = (
+        posts.join(F.broadcast(qterms_df), "term")
+        .groupBy("qid", "docid")
+        .agg(
+            F.sum(F.col("contrib") * F.col("w")).alias("score"),
+            F.count(F.lit(1)).alias("nhit"),
+        )
+    )
+    if exclude_pairs is not None:
+        scored = scored.join(exclude_pairs, ["qid", "docid"], "left_anti")
+    res = scored.join(F.broadcast(qmeta_df), "qid").where(
+        (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("kq"))
+        .select("qid", "rank", "docid", "score")
+    )
+
+
+def model_contrib_expr(
+    model: str,
+    *,
+    num_docs: float,
+    avgdl: float,
+    num_tokens: float,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+):
+    """The per-posting Catalyst contribution expression for a weighting
+    model, over a relation carrying columns tf, doclen, global_df,
+    global_cf. Shared by _score_rows (single-model retrieval) and
+    query/features.py (multi-feature extraction computes several of
+    these as sibling columns in ONE pass)."""
     tf = F.col("tf").cast("double")
     dl = F.col("doclen").cast("double")
     if model == "bm25":
@@ -485,27 +526,7 @@ def _score_rows(
         )
     else:
         raise ValueError(f"unknown weighting model {model!r}")
-    posts = posts.select("term", "docid", contrib.alias("contrib"))
-
-    scored = (
-        posts.join(F.broadcast(qterms_df), "term")
-        .groupBy("qid", "docid")
-        .agg(
-            F.sum(F.col("contrib") * F.col("w")).alias("score"),
-            F.count(F.lit(1)).alias("nhit"),
-        )
-    )
-    if exclude_pairs is not None:
-        scored = scored.join(exclude_pairs, ["qid", "docid"], "left_anti")
-    res = scored.join(F.broadcast(qmeta_df), "qid").where(
-        (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-    return (
-        res.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("kq"))
-        .select("qid", "rank", "docid", "score")
-    )
+    return contrib
 
 
 # per-term selective-decode cutover, MEASURED kernel break-even
