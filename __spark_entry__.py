@@ -111,7 +111,7 @@ _GATE_PRIORITY = [
     "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
     "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
-    "ltr_features_topk",
+    "ltr_features_topk", "doc_perplexity",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -2045,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": lambda s, sf: textstats.term_stats(_docs(s, sf)),
         "tfidf_keywords": lambda s, sf: textstats.tfidf_keywords(_docs(s, sf)),
         "zipf_fit": lambda s, sf: textstats.zipf_fit(_docs(s, sf)),
+        "doc_perplexity": lambda s, sf: textstats.doc_perplexity(_docs(s, sf)),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
         # near-dup pairs -> connected components (large-star/small-star)
@@ -2432,6 +2433,7 @@ FROM events GROUP BY 1, 2
         "term_stats": textstats.term_stats_sql(),
         "tfidf_keywords": textstats.tfidf_keywords_sql(),
         "zipf_fit": textstats.zipf_fit_sql(),
+        "doc_perplexity": textstats.DOC_PERPLEXITY_SQL,
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,

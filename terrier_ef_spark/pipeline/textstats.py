@@ -705,3 +705,66 @@ SELECT doc_id, term, tfidf,
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram-LM cross-entropy / perplexity
+# ---------------------------------------------------------------------------
+
+def doc_perplexity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy, perplexity): each document's
+    cross-entropy under the collection's unigram MLE distribution
+    p_c(w) = cf(w)/C — the in-corpus analogue of the KenLM perplexity
+    quality filter of CCNet (Wenzek et al., LREC 2020): docs far from
+    the corpus distribution (boilerplate, non-text, other-language)
+    score high. No smoothing needed: every token's term exists in the
+    collection by construction.
+
+        H(d) = -(1/|d|) * sum_w tf(w,d) * log2 p_c(w)
+             = log2(C) - (1/|d|) * sum_w tf(w,d) * log2 cf(w)
+        perplexity = 2^H
+
+    100 TB shape: one (doc_id, term, tf) aggregation, one join against
+    the vocabulary-sized cf relation (post-dedup — the join input is
+    distinct (doc, term) pairs, not raw tokens), one per-doc sum; the
+    collection total rides a broadcast 1-row frame. Zero-token docs
+    have no distribution and are excluded (the upstream filter's
+    problem, as in CCNet). Rounded to 6dp for the oracle twin."""
+    tok = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term")
+    )
+    dtf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = dtf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").cast("double").alias("c_total"))
+    per = (
+        dtf.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.log2(F.col("cf").cast("double"))).alias("slc"),
+        )
+    )
+    h = F.log2(F.col("c_total")) - F.col("slc") / F.col("n_tokens")
+    return per.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), h), 6).alias("perplexity"),
+    )
+
+
+DOC_PERPLEXITY_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_REP_TOKS}) AS term FROM documents),
+dtf AS (SELECT doc_id, term, count(*)::double AS tf FROM tok GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf) AS cf FROM dtf GROUP BY 1),
+tot AS (SELECT sum(cf)::double AS c_total FROM cf),
+per AS (
+  SELECT dtf.doc_id, sum(dtf.tf)::bigint AS n_tokens,
+         sum(dtf.tf * log2(cf.cf)) AS slc
+  FROM dtf JOIN cf USING (term) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(log2(tot.c_total) - slc / n_tokens, 6) AS cross_entropy,
+       round(pow(2.0, log2(tot.c_total) - slc / n_tokens), 6) AS perplexity
+FROM per CROSS JOIN tot
+"""

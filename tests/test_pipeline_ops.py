@@ -659,3 +659,41 @@ def test_unblocked_build_refuses_sparse_doc_ids(spark, tmp_path):
     idx = build_index(spark, corpus, str(tmp_path / "sparse_b"),
                       block_bits=2, n_partitions=2)
     assert idx.stats["num_docs"] == 2
+
+
+def test_doc_perplexity_known(spark):
+    """doc_perplexity vs a hand-computed unigram cross-entropy, plus
+    the filtering property: a doc matching the corpus head scores
+    lower perplexity than a doc of corpus-rare terms."""
+    import math
+
+    from terrier_ef_spark.pipeline.textstats import doc_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa bb"), (1, "aa bb bb cc"), (2, "dd dd ee ff")],
+        "doc_id long, text string",
+    )
+    # cf: aa=4, bb=3, cc=1, dd=2, ee=1, ff=1; C=12
+    cf = {"aa": 4, "bb": 3, "cc": 1, "dd": 2, "ee": 1, "ff": 1}
+    C = 12.0
+    toks = {0: ["aa"] * 3 + ["bb"], 1: ["aa", "bb", "bb", "cc"],
+            2: ["dd", "dd", "ee", "ff"]}
+    got = {r["doc_id"]: r for r in doc_perplexity(docs).collect()}
+    for d, tk in toks.items():
+        h = -sum(math.log2(cf[t] / C) for t in tk) / len(tk)
+        assert got[d]["n_tokens"] == len(tk)
+        assert got[d]["cross_entropy"] == pytest.approx(round(h, 6), abs=1e-9)
+        assert got[d]["perplexity"] == pytest.approx(round(2 ** h, 6), abs=1e-6)
+    # head-matching doc 0 < mixed doc 1 < rare-term doc 2
+    assert (got[0]["perplexity"] < got[1]["perplexity"]
+            < got[2]["perplexity"])
+
+
+def test_doc_perplexity_excludes_empty(spark):
+    from terrier_ef_spark.pipeline.textstats import doc_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb"), (1, "???")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in doc_perplexity(docs).collect()}
+    assert ids == {0}
