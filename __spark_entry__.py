@@ -111,7 +111,7 @@ _GATE_PRIORITY = [
     "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
     "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
-    "ltr_features_topk", "doc_perplexity",
+    "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -1069,6 +1069,82 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _eval_metrics_oracle_sql(
+    queries, run_depth: int = 20, k: int = 10
+) -> str:
+    """Twin of query/eval.py over the BM25 top-run_depth run and the
+    all-terms-contained binary qrels: P@k, RR, AP (trec_eval map — R in
+    the denominator), binary nDCG@k with the ideal prefix built from an
+    unnest(range) frame mirroring the Spark broadcast 1..k frame."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}', {len(set(q['terms']))})"
+        for q in queries
+        for t in dict.fromkeys(q["terms"])
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), q(qid, term, nt) AS (VALUES {vals}),
+sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+), run AS (
+  SELECT qid, docid, rank FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC) AS rank
+    FROM sc
+  ) WHERE rank <= {run_depth}
+), qrels AS (
+  SELECT q.qid, p.doc_id AS docid
+  FROM q JOIN post p USING (term)
+  GROUP BY 1, 2, q.nt HAVING count(DISTINCT p.term) = q.nt
+), relc AS (
+  SELECT qid, count(*)::bigint AS num_rel FROM qrels GROUP BY 1
+), hit AS (
+  SELECT r.qid, r.docid, r.rank,
+         CASE WHEN qr.docid IS NULL THEN 0 ELSE 1 END AS rel
+  FROM run r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+), cum AS (
+  SELECT *, sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+  FROM hit
+), per AS (
+  SELECT qid,
+         sum(rel)::bigint AS num_rel_ret,
+         sum(CASE WHEN rank <= {k} THEN rel ELSE 0 END) / {float(k)} AS p_raw,
+         max(CASE WHEN rel = 1 THEN 1.0 / rank END) AS rr_raw,
+         sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank ELSE 0 END) AS spr,
+         sum(CASE WHEN rel = 1 AND rank <= {k}
+                  THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg_raw
+  FROM cum GROUP BY 1
+), idcg AS (
+  SELECT relc.qid, sum(1.0 / log2(t.i + 1)) AS idcg
+  FROM relc, unnest(range(1, {k} + 1)) AS t(i)
+  WHERE t.i <= least(relc.num_rel, {k})
+  GROUP BY 1
+)
+SELECT per.qid::bigint AS qid, relc.num_rel, per.num_rel_ret,
+       round(per.p_raw, 6) AS p_at_k,
+       round(coalesce(per.rr_raw, 0.0), 6) AS rr,
+       round(per.spr / relc.num_rel, 6) AS ap,
+       round(per.dcg_raw / idcg.idcg, 6) AS ndcg_at_k
+FROM per JOIN relc USING (qid) LEFT JOIN idcg USING (qid)
+WHERE relc.num_rel > 0
+"""
+
+
 def _ltr_features_oracle_sql(
     queries, features=("bm25", "lm_dirichlet", "pl2", "dph", "tf_idf"),
     k: int = 10,
@@ -1558,6 +1634,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def eval_metrics(spark, sf):
+        """trec_eval role: per-query P@10 / RR / AP / nDCG@10 of the
+        BM25 top-20 run against relationally-derived binary qrels
+        (docs containing ALL the query's terms). Queries with no
+        relevant docs are excluded, as trec_eval does."""
+        from pyspark.sql import Window
+
+        from terrier_ef_spark.query.engine import decode_postings, run_queries
+        from terrier_ef_spark.query.eval import evaluate_run
+
+        idx = _get_index(spark, sf)
+        deep = run_queries(idx, BM25_QUERIES, k=100, strategy="term_major")
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(F.round("score", 6)), F.asc("docid")
+        )
+        run = (
+            deep.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20)
+            .select("qid", "docid", "rank")
+        )
+        qrows = [
+            (q["qid"], t, len(set(q["terms"])))
+            for q in BM25_QUERIES
+            for t in dict.fromkeys(q["terms"])
+        ]
+        qdf = spark.createDataFrame(qrows, "qid long, term string, nt int")
+        terms = sorted({t for _, t, _ in qrows})
+        qrels = (
+            decode_postings(idx, terms)
+            .join(F.broadcast(qdf), "term")
+            .groupBy("qid", "docid", "nt")
+            .agg(F.count_distinct("term").alias("nm"))
+            .where(F.col("nm") == F.col("nt"))
+            .select("qid", "docid")
+        )
+        return evaluate_run(run, qrels, k=10).orderBy("qid")
+
     def ltr_features_topk(spark, sf):
         """Learning-to-rank feature extraction (FeaturesBatchRetrieve
         role): top-10 BM25 candidates per query with five weighting-
@@ -2022,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
+        "eval_metrics": eval_metrics,
         "bm25_bo2_expanded": bm25_bo2_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -2343,6 +2457,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),
+        "eval_metrics": _eval_metrics_oracle_sql(BM25_QUERIES),
         "bm25_bo2_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo2"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(
