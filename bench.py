@@ -297,6 +297,33 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
     out["bm25_single_warm_sec"] = lat[len(lat) // 2]
     out["bm25_single_warm_best_sec"] = lat[0]
 
+    # round-5b operators: SDM (positional workload — one postings +
+    # one positions decode per batch) and LTR feature extraction
+    # (5 weighting models as sibling columns from one decode)
+    from terrier_ef_spark.query.features import run_queries_features
+    from terrier_ef_spark.query.sdm import run_queries_sdm
+
+    shutil.rmtree(workdir + "_pos", ignore_errors=True)
+    pidx = build_index(spark, corpus, workdir + "_pos",
+                       n_partitions=npart, positions=True, resume=False)
+    sdm_topics = [
+        {"qid": 8000 + i,
+         "terms": [_VOCAB[(5 * i + j) % len(_VOCAB)]
+                   for j in range(2 + i % 2)]}
+        for i in range(8)
+    ]
+    run_queries_sdm(pidx, sdm_topics, k=10).count()  # warm
+    t0 = time.time()
+    run_queries_sdm(pidx, sdm_topics, k=10).count()
+    out["sdm_batch8_sec"] = time.time() - t0
+    shutil.rmtree(workdir + "_pos", ignore_errors=True)
+
+    feat_topics = [dict(q) for q in big[:32]]
+    run_queries_features(idx, feat_topics, k=10).count()  # warm
+    t0 = time.time()
+    run_queries_features(idx, feat_topics, k=10).count()
+    out["ltr_features32_sec"] = time.time() - t0
+
     spark.stop()
     return out
 
@@ -381,6 +408,8 @@ def main():
         "index_merge": round(result["merge_sec"], 3),
         "index_delete": round(result["delete_sec"], 3),
         "index_compact": round(result["compact_sec"], 3),
+        "sdm_batch8": round(result["sdm_batch8_sec"], 3),
+        "ltr_features32": round(result["ltr_features32_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
