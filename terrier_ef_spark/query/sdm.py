@@ -48,7 +48,9 @@ from pyspark.sql import functions as F
 from terrier_ef_spark.index.reader import EFIndex
 from terrier_ef_spark.query.engine import (
     LM_MU,
+    TERM_MAJOR_SELECTIVE_QUANTA_FACTOR,
     decode_positions_df,
+    decode_positions_selective,
     decode_postings,
 )
 from terrier_ef_spark.util import eager_release
@@ -59,6 +61,95 @@ LAMBDA_U = 0.05
 SDM_WINDOW = 8
 
 
+def _positions_for_bigrams(
+    index: EFIndex,
+    bg_ids: dict[tuple[str, str], int],
+    selective: bool | None,
+) -> DataFrame:
+    """(term, docid, pos) rows sufficient for every bigram's ordered
+    and unordered counts, routing HOT terms through candidate-selective
+    positions decode: a bigram can only score in docs containing BOTH
+    its members, so a hot term's position stream is probed only at the
+    docids of its bigrams' postings intersections (the same break-even
+    family as phrase._positions_for, batched over all bigrams — SDM on
+    "the query" at 10^9 docs must not unpack "the"'s positions
+    wholesale). Exactness is preserved: each bigram's candidate set
+    covers every doc where it can occur, so the per-feature collection
+    frequencies stay exact."""
+    spark = index.spark
+    terms = sorted({t for pair in bg_ids for t in pair})
+    if selective is False:
+        return decode_positions_df(index, terms=terms)
+    lex = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in index.lexicon.select("term", "df", "cf")
+        .where(F.col("term").isin(terms))
+        .collect()
+    }
+    # bigrams with an absent member can never match — no probe needed
+    live_bgs = {
+        pair: bg for pair, bg in bg_ids.items()
+        if all(t in lex for t in pair)
+    }
+    if not live_bgs:
+        return spark.createDataFrame([], "term string, docid long, pos long")
+    log2q = int(index.stats["log2_quantum"])
+    # driver-side probe bound per term: a bigram's candidates are at
+    # most min(df of members); a term appearing in several bigrams is
+    # probed at their union, bounded by the sum
+    bound: dict[str, int] = {}
+    for pair in live_bgs:
+        cand = min(lex[t][0] for t in pair)
+        for t in set(pair):
+            bound[t] = bound.get(t, 0) + cand
+    sel_terms = sorted(
+        t for t in terms
+        if t in lex
+        and bound.get(t, 0) * TERM_MAJOR_SELECTIVE_QUANTA_FACTOR
+        < (lex[t][1] >> log2q)
+    )
+    if selective is None and not sel_terms:
+        return decode_positions_df(index, terms=sorted(set(lex)))
+    if selective is True and not sel_terms:
+        sel_terms = sorted(set(lex))  # forced (tests): all selective
+    full_terms = sorted(t for t in lex if t not in sel_terms)
+
+    # candidate docids per bigram touching a selective term, from the
+    # (cheap) docid-list intersection — the postings decode here reads
+    # docid/freq blobs only, never position bytes
+    need = {
+        pair: bg for pair, bg in live_bgs.items()
+        if any(t in sel_terms for t in pair)
+    }
+    mterms = sorted({t for pair in need for t in pair})
+    bgmem = spark.createDataFrame(
+        [(bg, t, i) for (pair, bg) in need.items()
+         for i, t in enumerate(pair)],
+        "bg long, term string, idx int",
+    )
+    posts = decode_postings(index, mterms).select("term", "docid")
+    cand = (
+        posts.join(F.broadcast(bgmem), "term")
+        .groupBy("bg", "docid")
+        .agg(F.count_distinct("idx").alias("nidx"))
+        .where(F.col("nidx") == 2)
+        .select("bg", "docid")
+    )
+    probe = (
+        cand.join(
+            F.broadcast(bgmem.where(F.col("term").isin(sel_terms))), "bg"
+        )
+        .select("term", "docid")
+        .distinct()
+    )
+    pos_rows = decode_positions_selective(index, probe, sel_terms)
+    if full_terms:
+        pos_rows = pos_rows.unionByName(
+            decode_positions_df(index, terms=full_terms)
+        )
+    return pos_rows
+
+
 def run_queries_sdm(
     index: EFIndex,
     queries: list[dict],
@@ -66,6 +157,7 @@ def run_queries_sdm(
     mu: float = LM_MU,
     lambdas: tuple[float, float, float] = (LAMBDA_T, LAMBDA_O, LAMBDA_U),
     window: int = SDM_WINDOW,
+    selective: bool | None = None,
 ) -> DataFrame:
     """Top-k SDM retrieval for a batch of queries
     [{"qid": int, "terms": [str, ...]}] -> (qid, rank, docid, score).
@@ -104,7 +196,6 @@ def run_queries_sdm(
             bg_w[(qid, bg)] = bg_w.get((qid, bg), 0.0) + 1.0
 
     uterms = sorted({t for _, t in uni_w})
-    bterms = sorted({t for pair in bg_ids for t in pair})
 
     # background log2(mu/(dl+mu)) factors once per relation
     def _contrib(count, cf):
@@ -142,8 +233,9 @@ def run_queries_sdm(
     contrib_rows = t_rows
     pos_rows = None
     if bg_ids:
-        # ---- one positional decode feeds both O and U ----
-        pos_rows = decode_positions_df(index, terms=bterms).persist()
+        # ---- one positional decode feeds both O and U (hot terms
+        # candidate-selective; see _positions_for_bigrams) ----
+        pos_rows = _positions_for_bigrams(index, bg_ids, selective).persist()
         bgmem = spark.createDataFrame(
             [(bg, t, i) for (pair, bg) in bg_ids.items()
              for i, t in enumerate(pair)],

@@ -203,3 +203,19 @@ def test_qtf_weighting(sdm_index):
     both orderings of the repeated pair become features."""
     got = _got(sdm_index, [{"qid": 1, "terms": ["alpha", "beta", "alpha"]}])
     _assert_same(got[1], _mirror(["alpha", "beta", "alpha"]))
+
+
+def test_selective_positions_identity(sdm_index):
+    """Forced candidate-selective positions decode (hot-term path) is
+    score-identical to forced whole-list decode and to the auto
+    policy, batch included."""
+    queries = [
+        {"qid": 1, "terms": ["alpha", "beta"]},
+        {"qid": 3, "terms": ["alpha", "gamma", "delta"]},
+    ]
+    full = _got(sdm_index, queries, selective=False)
+    sel = _got(sdm_index, queries, selective=True)
+    auto = _got(sdm_index, queries)
+    for qid in (1, 3):
+        _assert_same(sel[qid], full[qid])
+        _assert_same(auto[qid], full[qid])
