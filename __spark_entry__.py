@@ -112,6 +112,7 @@ _GATE_PRIORITY = [
     "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
+    "pack_sequences",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -2160,6 +2161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": lambda s, sf: textstats.tfidf_keywords(_docs(s, sf)),
         "zipf_fit": lambda s, sf: textstats.zipf_fit(_docs(s, sf)),
         "doc_perplexity": lambda s, sf: textstats.doc_perplexity(_docs(s, sf)),
+        "pack_sequences": lambda s, sf: chunking.pack_sequences(
+            _docs(s, sf), seq_len=512, n_partitions=8
+        ),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
         # near-dup pairs -> connected components (large-star/small-star)
@@ -2549,6 +2553,7 @@ FROM events GROUP BY 1, 2
         "tfidf_keywords": textstats.tfidf_keywords_sql(),
         "zipf_fit": textstats.zipf_fit_sql(),
         "doc_perplexity": textstats.DOC_PERPLEXITY_SQL,
+        "pack_sequences": chunking.pack_sequences_sql(512),
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,
