@@ -97,13 +97,19 @@ ANN_K = 10
 # finite per-round window (~50 keys). DETERMINISTIC ROTATION (round-4
 # ADVICE): each round, the keys WITHOUT a driver row in the previous
 # round's CORRECTNESS json go first, so every key's driver evidence
-# stays <= 2 rounds old. Round-5 head = the 20 keys the r04 window
-# rotated out (all driver-green in r03 and judge-re-verified in r04)
-# plus the 2 media keys, whose r04 rows were rows-only (err:
-# "no_oracle") and which now carry pinned-literal oracle twins
-# (terrier_ef_spark/media_oracle.py) for their first hash-verified row.
-# Keys leaving the window this round (all driver-green in r04):
-# the 17 ANN/dedup/pipeline keys of the r04 head.
+# stays <= 2 rounds old. Round-5 head (42 of the ~50 slots) =
+#   (a) the 20 round-5 NEW keys (never driver-gated: the QL family,
+#       8 new weighting models, Bo2/RM3, SDM, comb fusion, LTR
+#       features, perplexity, eval metrics, sequence packing),
+#   (b) the 2 media keys, whose r04 rows were rows-only (err:
+#       "no_oracle") and which now carry pinned-literal oracle twins
+#       (terrier_ef_spark/media_oracle.py), and
+#   (c) the 20 keys the r04 window rotated out (driver-green in r03,
+#       judge-re-verified in r04).
+# Keys outside the window this round all carry r04 driver rows (the
+# 17 ANN/dedup/pipeline keys of the r04 head plus the core
+# build/query tail, of which ~7 natural-order keys still make the
+# window).
 _GATE_PRIORITY = [
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
