@@ -30,7 +30,9 @@ prunes an empty #1 node.
 
 Spark-first shape, one batch = one plan: ONE postings decode over the
 batch's distinct unigrams and ONE positional decode over the distinct
-bigram terms feed every feature. Ordered-bigram counts are the
+bigram terms feed every feature (the hot-term selective path adds one
+docid-only postings decode to derive per-bigram candidates — position
+bytes, the expensive stream, are still probed selectively). Ordered-bigram counts are the
 anchor groupBy of phrase_hits generalized to all bigrams at once
 (anchor = pos - idx, both indices present); unordered-window counts
 are window_hits' per-doc RANGE window generalized with a bg_id
