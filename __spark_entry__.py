@@ -118,7 +118,7 @@ _GATE_PRIORITY = [
     "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
-    "pack_sequences",
+    "pack_sequences", "qpp_predictors",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -1076,6 +1076,70 @@ SELECT qid, rank, docid, score FROM (
 """
 
 
+def _qpp_oracle_sql(queries, k: int = 100) -> str:
+    """Twin of query/eval.py:qpp_predictors — the same pre-retrieval
+    statistics over the tokenized collection and the same 6dp-stable
+    top-k score dispersion."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}', "
+        f"{float(sum(1 for x in q['terms'] if x == t))}, "
+        f"{float(len(q['terms']))})"
+        for q in queries
+        for t in dict.fromkeys(q["terms"])
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dlen AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl,
+         sum(doclen) AS ntok
+  FROM dlen
+), lexs AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf
+  FROM post GROUP BY 1
+), q(qid, term, qtf, n_q) AS (VALUES {vals}),
+pre AS (
+  SELECT q.qid,
+         count(*)::bigint AS n_terms,
+         round(avg(log2((st.n + 1) / (lexs.df + 0.5))), 6) AS avg_idf,
+         round(max(log2((st.n + 1) / (lexs.df + 0.5))), 6) AS max_idf,
+         round(avg(log2(st.ntok / lexs.cf)), 6) AS avg_ictf,
+         round(sum((q.qtf / q.n_q)
+                   * log2((q.qtf / q.n_q) / (lexs.cf / st.ntok))), 6) AS scs
+  FROM q JOIN lexs USING (term) CROSS JOIN st
+  GROUP BY 1
+), sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lexs l USING (term) JOIN post p USING (term)
+       JOIN dlen dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+), topk AS (
+  SELECT qid, s6 FROM (
+    SELECT qid, round(score, 6) AS s6,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC) AS r6
+    FROM sc
+  ) WHERE r6 <= {k}
+), postagg AS (
+  SELECT qid, round(avg(s6), 6) AS topk_mean,
+         round(coalesce(stddev_pop(s6), 0.0), 6) AS topk_std
+  FROM topk GROUP BY 1
+)
+SELECT pre.qid::bigint AS qid, pre.n_terms, pre.avg_idf, pre.max_idf,
+       pre.avg_ictf, pre.scs, postagg.topk_mean, postagg.topk_std,
+       round(CASE WHEN postagg.topk_mean <> 0.0
+                  THEN postagg.topk_std / postagg.topk_mean
+                  ELSE 0.0 END, 6) AS score_cv
+FROM pre LEFT JOIN postagg USING (qid)
+ORDER BY qid
+"""
+
+
 def _eval_metrics_oracle_sql(
     queries, run_depth: int = 20, k: int = 10
 ) -> str:
@@ -1678,6 +1742,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return evaluate_run(run, qrels, k=10).orderBy("qid")
 
+    def qpp_predictors(spark, sf):
+        """Query-performance prediction features: He & Ounis
+        pre-retrieval predictors (avg/max idf, avgICTF, SCS) plus the
+        top-100 score-dispersion block over a 6dp-stable cut."""
+        from terrier_ef_spark.query.eval import qpp_predictors as qpp
+
+        idx = _get_index(spark, sf)
+        return qpp(idx, BM25_QUERIES, k=100).orderBy("qid")
+
     def ltr_features_topk(spark, sf):
         """Learning-to-rank feature extraction (FeaturesBatchRetrieve
         role): top-10 BM25 candidates per query with five weighting-
@@ -2143,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
         "eval_metrics": eval_metrics,
+        "qpp_predictors": qpp_predictors,
         "bm25_bo2_expanded": bm25_bo2_expanded,
         "bm25_kl_expanded": bm25_kl_expanded,
         "snippet_windows": snippet_windows,
@@ -2468,6 +2542,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),
         "eval_metrics": _eval_metrics_oracle_sql(BM25_QUERIES),
+        "qpp_predictors": _qpp_oracle_sql(BM25_QUERIES),
         "bm25_bo2_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo2"),
         "bm25_kl_expanded": _prf_oracle_sql(BM25_QUERIES, model="kl"),
         "snippet_windows": snippets_mod.best_windows_sql(

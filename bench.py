@@ -128,7 +128,7 @@ def _query_batch():
 
 
 def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
-             with_merge: bool = False):
+             with_merge: bool = False, with_extras: bool = True):
     """Build indexes + run query batch at a given parallelism.
 
     A small warmup build + query runs first so the timed numbers measure
@@ -297,6 +297,12 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
     out["bm25_single_warm_sec"] = lat[len(lat) // 2]
     out["bm25_single_warm_best_sec"] = lat[0]
 
+    if not with_extras:
+        # scaling sweeps compare build/query throughput only — skip
+        # the operator extras so each parallelism level stays lean
+        spark.stop()
+        return out
+
     # round-5b operators: SDM (positional workload — one postings +
     # one positions decode per batch) and LTR feature extraction
     # (5 weighting models as sibling columns from one decode)
@@ -423,9 +429,9 @@ def main():
         # (one VM does not gain bandwidth with cores the way a real 4N
         # cluster gains it with machines — control experiment in
         # BASELINE.md).
-        vlo = run_once(2, work + "_vlo")
-        lo = run_once(8, work + "_lo")
-        hi = run_once(32, work + "_hi")
+        vlo = run_once(2, work + "_vlo", with_extras=False)
+        lo = run_once(8, work + "_lo", with_extras=False)
+        hi = run_once(32, work + "_hi", with_extras=False)
         extra["scaling"] = {
             "build_pps_2": round(vlo["postings_per_sec"]),
             "build_pps_8": round(lo["postings_per_sec"]),

@@ -113,3 +113,100 @@ def mean_metrics(per_query: DataFrame) -> DataFrame:
         F.round(F.avg("p_at_k"), 6).alias("mean_p_at_k"),
         F.round(F.avg("ndcg_at_k"), 6).alias("mean_ndcg_at_k"),
     )
+
+
+def qpp_predictors(
+    index, queries: list[dict], *, k: int = 100, strategy: str = "term_major"
+) -> DataFrame:
+    """Query-performance prediction features, one row per query —
+    the standard pre-retrieval predictors of He & Ounis (SPIRE 2004)
+    plus a post-retrieval score-dispersion signal:
+
+      n_terms   query terms found in the lexicon (absent terms carry
+                no collection statistics and are skipped; queries with
+                NO present terms are excluded)
+      avg_idf, max_idf   over log2((N+1)/(df+0.5))
+      avg_ictf  (1/|Q|) * sum log2(C / cf)  — inverse collection
+                term frequency
+      scs       simplified clarity score:
+                sum P(w|Q) log2(P(w|Q) / P(w|C)), P(w|Q) = qtf/|Q|,
+                P(w|C) = cf/C
+      topk_mean, topk_std, score_cv   mean / population-stddev /
+                coefficient of variation of the BM25 top-k scores —
+                the dispersion quantity NQC-family post-retrieval
+                predictors build on (Shtok et al.); reported as the
+                plain CV rather than NQC's corpus-score normalization,
+                which has no canonical BM25 form.
+
+    All floats rounded to 6dp (oracle-twin discipline). Relational
+    shape: one broadcast qterms-lexicon join + one groupBy for the
+    pre-retrieval block; the post-retrieval block aggregates the
+    engine's own top-k (k x |queries| rows)."""
+    from terrier_ef_spark.query.engine import run_queries
+
+    spark = index.spark
+    stats = index.stats
+    num_docs = float(stats["num_docs"])
+    num_tokens = float(stats["num_tokens"])
+
+    rows = []
+    for q in queries:
+        qid = int(q["qid"])
+        terms = list(q["terms"])
+        n_q = len(terms)
+        for t in dict.fromkeys(terms):
+            rows.append((qid, t, float(terms.count(t)), float(n_q)))
+    qdf = spark.createDataFrame(
+        rows, "qid long, term string, qtf double, n_q double"
+    )
+    lex = index.lexicon.select(
+        "term",
+        F.col("df").cast("double").alias("df"),
+        F.col("cf").cast("double").alias("cf"),
+    )
+    idf = F.log2(F.lit(num_docs + 1) / (F.col("df") + 0.5))
+    ictf = F.log2(F.lit(num_tokens) / F.col("cf"))
+    pwq = F.col("qtf") / F.col("n_q")
+    scs_term = pwq * F.log2(pwq / (F.col("cf") / F.lit(num_tokens)))
+    pre = (
+        qdf.join(F.broadcast(lex), "term")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.avg(idf), 6).alias("avg_idf"),
+            F.round(F.max(idf), 6).alias("max_idf"),
+            F.round(F.avg(ictf), 6).alias("avg_ictf"),
+            F.round(F.sum(scs_term), 6).alias("scs"),
+        )
+    )
+    # stable top-k membership: deep-fetch at full precision, re-rank on
+    # (round(score, 6), docid) and aggregate the ROUNDED scores — the
+    # same engine-independent cut discipline as the retrieval keys
+    deep = run_queries(index, queries, k=2 * k, strategy=strategy)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docid")
+    )
+    top = (
+        deep.withColumn("r6", F.row_number().over(w))
+        .where(F.col("r6") <= k)
+        .select("qid", F.round("score", 6).alias("s6"))
+    )
+    post = top.groupBy("qid").agg(
+        F.round(F.avg("s6"), 6).alias("topk_mean"),
+        F.round(F.coalesce(F.stddev_pop("s6"), F.lit(0.0)), 6).alias(
+            "topk_std"
+        ),
+    )
+    return (
+        pre.join(post, "qid", "left")
+        .select(
+            "qid", "n_terms", "avg_idf", "max_idf", "avg_ictf", "scs",
+            "topk_mean", "topk_std",
+            F.round(
+                F.when(F.col("topk_mean") != 0.0,
+                       F.col("topk_std") / F.col("topk_mean"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("score_cv"),
+        )
+    )

@@ -83,3 +83,66 @@ def test_perfect_and_worst_ordering(spark):
     assert got[2]["ndcg_at_k"] == pytest.approx(
         round((1 / math.log2(3)) / 1.0, 6)
     )
+
+
+def test_qpp_predictors_hand_computed(small_index, small_oracle):
+    """Pre-retrieval predictors vs a hand computation from the oracle
+    index's statistics; dispersion block vs the engine's own stable
+    top-k."""
+    from terrier_ef_spark.query.eval import qpp_predictors
+
+    queries = [
+        {"qid": 1, "terms": ["import", "def"]},
+        {"qid": 2, "terms": ["the", "the", "val"]},   # qtf = 2 for 'the'
+        {"qid": 3, "terms": ["zzz_absent_zzz"]},       # excluded: no stats
+    ]
+    got = {r["qid"]: r for r in qpp_predictors(small_index, queries,
+                                               k=5).collect()}
+    assert set(got) == {1, 2}
+
+    N = small_oracle.num_docs
+    C = small_oracle.num_tokens
+
+    def idf(t):
+        return math.log2((N + 1) / (len(small_oracle.postings[t]) + 0.5))
+
+    def ictf(t):
+        return math.log2(C / small_oracle.cf(t))
+
+    g1 = got[1]
+    assert g1["n_terms"] == 2
+    assert g1["avg_idf"] == pytest.approx(
+        round((idf("import") + idf("def")) / 2, 6), abs=1e-6)
+    assert g1["max_idf"] == pytest.approx(
+        round(max(idf("import"), idf("def")), 6), abs=1e-6)
+    assert g1["avg_ictf"] == pytest.approx(
+        round((ictf("import") + ictf("def")) / 2, 6), abs=1e-6)
+    scs = sum(
+        0.5 * math.log2(0.5 / (small_oracle.cf(t) / C))
+        for t in ("import", "def")
+    )
+    assert g1["scs"] == pytest.approx(round(scs, 6), abs=1e-6)
+
+    # qtf weighting in SCS: P(the|Q) = 2/3, P(val|Q) = 1/3
+    g2 = got[2]
+    assert g2["n_terms"] == 2
+    scs2 = (2 / 3) * math.log2((2 / 3) / (small_oracle.cf("the") / C)) + (
+        1 / 3
+    ) * math.log2((1 / 3) / (small_oracle.cf("val") / C))
+    assert g2["scs"] == pytest.approx(round(scs2, 6), abs=1e-6)
+
+    # dispersion block: recompute from the oracle's own BM25 top-5
+    for qid, terms in ((1, ["import", "def"]),):
+        ranked = small_oracle.bm25_topk(terms, k=1000)
+        s6 = sorted(
+            (round(s, 6) for _, s in ranked), reverse=True
+        )[:5]
+        mean = sum(s6) / len(s6)
+        var = sum((x - mean) ** 2 for x in s6) / len(s6)
+        assert got[qid]["topk_mean"] == pytest.approx(round(mean, 6),
+                                                      abs=1e-5)
+        assert got[qid]["topk_std"] == pytest.approx(
+            round(math.sqrt(var), 6), abs=1e-5)
+        assert got[qid]["score_cv"] == pytest.approx(
+            round(got[qid]["topk_std"] / got[qid]["topk_mean"], 6),
+            abs=1e-5)
