@@ -119,6 +119,7 @@ _GATE_PRIORITY = [
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "pack_sequences", "qpp_predictors",
+    "cori_shard_selection", "bm25_selective_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -598,6 +599,94 @@ SELECT qid, rank, docid, score FROM (
                             ORDER BY round(sc.score, 6) DESC, sc.docid ASC)::int AS rank,
          sc.docid, round(sc.score, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
+) WHERE rank <= 10
+"""
+
+
+def _cori_ctes(queries) -> str:
+    """Shared CTEs for the CORI resource-selection twins: per-shard
+    df/cw over the static doc_id-250 split (the _get_merge_setup
+    convention), shard-count cf, and the belief/score formula of
+    query/selection.py (C=2, b=0.4)."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), sh AS (
+  SELECT doc_id, (CASE WHEN doc_id < 250 THEN 0 ELSE 1 END)::int AS shard
+  FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), sdf AS (
+  SELECT s.shard, p.term, count(*)::double AS df
+  FROM post p JOIN sh s USING (doc_id) GROUP BY 1, 2
+), scw AS (
+  SELECT s.shard, count(*)::double AS cw
+  FROM tok t JOIN sh s USING (doc_id) GROUP BY 1
+), cfsh AS (
+  SELECT term, count(*)::double AS cf FROM sdf GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+bel AS (
+  SELECT q.qid, w.shard,
+         0.4 + 0.6
+           * coalesce(d.df, 0) / (coalesce(d.df, 0) + 50
+                                  + 150 * w.cw / (SELECT avg(cw) FROM scw))
+           * (CASE WHEN c.cf IS NOT NULL THEN ln(2.5 / c.cf) / ln(3.0)
+                   ELSE 0 END) AS belief
+  FROM q CROSS JOIN scw w
+  LEFT JOIN sdf d ON d.shard = w.shard AND d.term = q.term
+  LEFT JOIN cfsh c ON c.term = q.term
+),
+shsc AS (
+  SELECT qid, shard, round(sum(belief), 6) AS score FROM bel GROUP BY 1, 2
+)"""
+
+
+def _cori_oracle_sql(queries) -> str:
+    return _cori_ctes(queries) + """
+SELECT qid::bigint AS qid,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, shard ASC)::int AS rank,
+       shard, score
+FROM shsc
+"""
+
+
+def _selective_oracle_sql(queries) -> str:
+    """Twin of run_queries_selective(n_select=1): BM25 with GLOBAL
+    (whole-corpus) statistics, candidates restricted to each query's
+    CORI-winning shard, ranked at 6dp like every retrieval key."""
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return _cori_ctes(queries) + f""",
+sel AS (
+  SELECT qid, shard FROM (
+    SELECT qid, shard, row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, shard ASC) AS rnk FROM shsc
+  ) WHERE rnk = 1
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+       JOIN sh ON sh.doc_id = p.doc_id
+       JOIN sel ON sel.qid = q.qid AND sel.shard = sh.shard
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT sc.qid::bigint AS qid,
+         row_number() OVER (PARTITION BY sc.qid
+                            ORDER BY round(sc.score, 6) DESC,
+                                     sc.docid ASC)::int AS rank,
+         sc.docid, round(sc.score, 6) AS score
+  FROM sc
 ) WHERE rank <= 10
 """
 
@@ -1636,6 +1725,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         deep = run_queries_sharded([a, b], BM25_QUERIES, k=100).drop("shard")
         return _rerank_6dp(deep)
 
+    def cori_shard_selection(spark, sf):
+        """CORI resource selection (Callan et al. SIGIR'95) over the two
+        doc_id-split shards: per-(qid, shard) belief scores from the
+        shards' term-pushed lexicon slices only — the broker-side shard
+        ranking of selective search (query/selection.py). The twin
+        recomputes df/cw/cf per shard relationally."""
+        from terrier_ef_spark.query.selection import rank_shards_cori
+
+        a, b, _ = _get_merge_setup(spark, sf)
+        return rank_shards_cori([a, b], BM25_QUERIES)
+
+    def bm25_selective_topk(spark, sf):
+        """Selective search end-to-end: each query routed to its CORI
+        top-1 shard, scored with GLOBAL collection statistics
+        (query/selection.py run_queries_selective) — the unselected
+        shard's postings are never scanned. The twin restricts the
+        whole-corpus BM25 oracle to each query's CORI-winning shard."""
+        from terrier_ef_spark.query.selection import run_queries_selective
+
+        a, b, _ = _get_merge_setup(spark, sf)
+        deep = run_queries_selective(
+            [a, b], BM25_QUERIES, k=100, n_select=1
+        ).drop("shard")
+        return _rerank_6dp(deep)
+
     def bm25_fuzzy_topk(spark, sf):
         """Fuzzy (edit-distance-1) term queries: SymSpell deletion-
         neighborhood candidate join + exact levenshtein verify; the
@@ -2212,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_topk": bm25_not_topk,
         "bm25_fuzzy_topk": bm25_fuzzy_topk,
         "bm25_sharded_topk": bm25_sharded_topk,
+        "cori_shard_selection": cori_shard_selection,
+        "bm25_selective_topk": bm25_selective_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -2538,6 +2654,8 @@ SELECT term, doc_id AS docid FROM (
         "bm25_fuzzy_topk": _bm25_fuzzy_oracle_sql(FUZZY_QUERIES),
         # sharded twin == the plain whole-corpus oracle: that IS the claim
         "bm25_sharded_topk": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
+        "cori_shard_selection": _cori_oracle_sql(BM25_QUERIES),
+        "bm25_selective_topk": _selective_oracle_sql(BM25_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),

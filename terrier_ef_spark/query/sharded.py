@@ -49,6 +49,7 @@ def run_queries_sharded(
     *,
     k: int = 10,
     skip_empty_shards: bool = True,
+    selected_pairs: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Disjunctive BM25 top-k over `shards` with GLOBAL collection
     statistics. Returns (qid, rank, shard, docid, score) — shard is the
@@ -62,10 +63,23 @@ def run_queries_sharded(
     candidate, and the global statistics come from the same slices
     (an absent term adds 0 to every sum). Segment-level partition
     pruning: one metadata-sized job per shard replaces a postings
-    scan — the resource-selection baseline of a broker topology."""
+    scan — the resource-selection baseline of a broker topology.
+
+    selected_pairs: optional (qid, shard) routing table (selective
+    search, query/selection.py). Candidates are restricted to each
+    query's selected shards; collection statistics stay GLOBAL over all
+    `shards` so surviving documents score identically to exhaustive
+    search. Shards selected by NO query are skipped before their
+    postings are ever scanned."""
     if not shards:
         raise ValueError("need at least one shard")
     spark = shards[0].spark
+    sel_shards = None
+    if selected_pairs is not None:
+        bad = [s for _, s in selected_pairs if not 0 <= s < len(shards)]
+        if bad:
+            raise ValueError(f"selected_pairs shard out of range: {bad}")
+        sel_shards = {s for _, s in selected_pairs}
     qterm_rows = [
         (int(q["qid"]), t) for q in queries for t in dict.fromkeys(q["terms"])
     ]
@@ -92,6 +106,8 @@ def run_queries_sharded(
 
     parts = []
     for i, s in enumerate(shards):
+        if sel_shards is not None and i not in sel_shards:
+            continue  # routed away by resource selection: never scanned
         if skip_empty_shards and lex_parts[i].limit(1).count() == 0:
             continue  # no query term exists in this shard: lossless skip
         rows = (
@@ -119,8 +135,14 @@ def run_queries_sharded(
         uni.join(F.broadcast(glex), "term")
         .select("shard", "term", "docid", contrib.alias("contrib"))
         .join(F.broadcast(qterms_df), "term")
-        .groupBy("qid", "shard", "docid")
-        .agg(F.sum("contrib").alias("score"))
+    )
+    if selected_pairs is not None:
+        sel_df = spark.createDataFrame(
+            sorted(set(selected_pairs)), "qid long, shard int"
+        )
+        scored = scored.join(F.broadcast(sel_df), ["qid", "shard"], "left_semi")
+    scored = scored.groupBy("qid", "shard", "docid").agg(
+        F.sum("contrib").alias("score")
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.asc("shard"), F.asc("docid")
