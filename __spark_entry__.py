@@ -539,12 +539,15 @@ SELECT qid, rank, docid, score FROM (
 
 
 def _bm25_oracle_sql(
-    queries, conjunctive: bool, model: str = "bm25", candidate_where: str = ""
+    queries, conjunctive: bool, model: str = "bm25", candidate_where: str = "",
+    depth: int = 10,
 ) -> str:
     """candidate_where: extra predicate on the scored posting rows
     (metadata-filtered retrieval; statistics stay corpus-global).
     Queries may carry 'not_terms' (boolean MUST_NOT): docs containing
-    any of them are excluded from that qid's results."""
+    any of them are excluded from that qid's results. depth: ranked
+    cut (10 for the direct retrieval keys; deeper when the statement
+    feeds a post-ranking transform such as field collapsing)."""
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
@@ -599,7 +602,30 @@ SELECT qid, rank, docid, score FROM (
                             ORDER BY round(sc.score, 6) DESC, sc.docid ASC)::int AS rank,
          sc.docid, round(sc.score, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
-) WHERE rank <= 10
+) WHERE rank <= {depth}
+"""
+
+
+def _collapse_oracle_sql(queries, depth: int = 50, per_key: int = 2,
+                         k: int = 10) -> str:
+    """Twin of query/collapse.py collapse_top_k over the BM25 deep
+    list: site key = doc_id % 7, keep the best per_key rows per
+    (qid, key) by rank, re-rank survivors to top-k."""
+    base = _bm25_oracle_sql(queries, conjunctive=False, depth=depth)
+    return f"""
+WITH base AS ({base}),
+kept AS (
+  SELECT qid, rank, docid, (docid % 7)::int AS key, score,
+         row_number() OVER (PARTITION BY qid, (docid % 7)
+                            ORDER BY rank ASC) AS key_rank
+  FROM base
+)
+SELECT qid, rank, docid, key, score FROM (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY rank ASC)::int AS rank,
+         docid, key, score
+  FROM kept WHERE key_rank <= {per_key}
+) WHERE rank <= {k}
 """
 
 
@@ -1750,6 +1776,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).drop("shard")
         return _rerank_6dp(deep)
 
+    def collapse_topk(spark, sf):
+        """Field / site collapsing (query/collapse.py): the BM25 deep
+        list (6dp-stable, depth 50) joined to a deterministic site key
+        (doc_id % 7), capped at per_key=2 results per (qid, site), and
+        re-ranked to top-10 — web serving's one-or-two-per-host page
+        rule as a pure post-ranking transform."""
+        from pyspark.sql import Window
+
+        from terrier_ef_spark.query.collapse import collapse_top_k
+        from terrier_ef_spark.query.engine import run_queries
+
+        idx = _get_index(spark, sf)
+        deep = run_queries(idx, BM25_QUERIES, k=100, algo="naive",
+                           strategy="term_major")
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score_r"), F.asc("docid"))
+        ranked = (
+            deep.withColumn("score_r", F.round("score", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 50)
+            .select("qid", "rank", "docid",
+                    F.col("score_r").alias("score"))
+        )
+        doc_keys = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            (F.col("doc_id") % 7).cast("int").alias("key"),
+        )
+        return collapse_top_k(ranked, doc_keys, k=10, per_key=2)
+
     def bm25_fuzzy_topk(spark, sf):
         """Fuzzy (edit-distance-1) term queries: SymSpell deletion-
         neighborhood candidate join + exact levenshtein verify; the
@@ -2328,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sharded_topk": bm25_sharded_topk,
         "cori_shard_selection": cori_shard_selection,
         "bm25_selective_topk": bm25_selective_topk,
+        "collapse_topk": collapse_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -2656,6 +2712,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_sharded_topk": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "cori_shard_selection": _cori_oracle_sql(BM25_QUERIES),
         "bm25_selective_topk": _selective_oracle_sql(BM25_QUERIES),
+        "collapse_topk": _collapse_oracle_sql(BM25_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),
