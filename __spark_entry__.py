@@ -119,7 +119,7 @@ _GATE_PRIORITY = [
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "pack_sequences", "qpp_predictors",
-    "cori_shard_selection", "bm25_selective_topk",
+    "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
