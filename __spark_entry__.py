@@ -41,6 +41,16 @@ FUZZY_QUERIES = [
     {"qid": 3, "term": "windoe"},   # substitution in 'window'
 ]
 
+# "did you mean" topics (query/expansion.py suggest_corrections):
+# each qid mixes misspelled terms (suggestions expected) with known
+# ('spark') or unfixable ('zzqx') terms (no rows expected for those)
+SPELL_QUERIES = [
+    {"qid": 1, "terms": ["tabl", "spark"]},
+    {"qid": 2, "terms": ["sparkk", "zzqx"]},
+    {"qid": 3, "terms": ["windoe", "merge"]},
+    {"qid": 4, "terms": ["scann", "quer", "rowz"]},
+]
+
 # fixed reference query set over the documents vocabulary (FIXTURES.md F4)
 # SDM topics (query/sdm.py): unigram + ordered-bigram + unordered-
 # window-8 Dirichlet features per Metzler & Croft SIGIR'05
@@ -120,6 +130,7 @@ _GATE_PRIORITY = [
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "pack_sequences", "qpp_predictors",
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
+    "spell_suggest",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -603,6 +614,41 @@ SELECT qid, rank, docid, score FROM (
          sc.docid, round(sc.score, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
 ) WHERE rank <= {depth}
+"""
+
+
+def _spell_oracle_sql(queries, n_suggest: int = 5) -> str:
+    """Twin of suggest_corrections: a full-vocabulary levenshtein scan
+    (different algorithm from the engine's SymSpell deletion-
+    neighborhood join) — suggestions for query terms absent from the
+    vocabulary, ranked df desc, suggestion asc."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), lex AS (
+  SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+unknown AS (
+  SELECT q.qid, q.term FROM q LEFT JOIN lex USING (term)
+  WHERE coalesce(lex.df, 0) <= 0
+),
+cand AS (
+  SELECT u.qid, u.term, l.term AS suggestion, l.df
+  FROM unknown u JOIN lex l
+    ON abs(length(l.term) - length(u.term)) <= 1
+   AND l.term <> u.term
+   AND levenshtein(l.term, u.term) <= 1
+)
+SELECT qid, term, rank, suggestion, df FROM (
+  SELECT qid::bigint AS qid, term,
+         row_number() OVER (PARTITION BY qid, term
+                            ORDER BY df DESC, suggestion ASC)::int AS rank,
+         suggestion, df
+  FROM cand
+) WHERE rank <= {n_suggest}
 """
 
 
@@ -1805,6 +1851,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return collapse_top_k(ranked, doc_keys, k=10, per_key=2)
 
+    def spell_suggest(spark, sf):
+        """Batched "did you mean" (query/expansion.py
+        suggest_corrections — the Lucene DirectSpellChecker role):
+        distance-1 vocabulary neighbours for out-of-vocabulary query
+        terms, most-frequent-first, the whole batch in one SymSpell
+        deletion-neighborhood lexicon pass. The twin is a full-scan
+        levenshtein join (different algorithm)."""
+        from terrier_ef_spark.query.expansion import suggest_corrections
+
+        idx = _get_index(spark, sf)
+        return suggest_corrections(idx, SPELL_QUERIES, n_suggest=5)
+
     def bm25_fuzzy_topk(spark, sf):
         """Fuzzy (edit-distance-1) term queries: SymSpell deletion-
         neighborhood candidate join + exact levenshtein verify; the
@@ -2384,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cori_shard_selection": cori_shard_selection,
         "bm25_selective_topk": bm25_selective_topk,
         "collapse_topk": collapse_topk,
+        "spell_suggest": spell_suggest,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -2713,6 +2772,7 @@ SELECT term, doc_id AS docid FROM (
         "cori_shard_selection": _cori_oracle_sql(BM25_QUERIES),
         "bm25_selective_topk": _selective_oracle_sql(BM25_QUERIES),
         "collapse_topk": _collapse_oracle_sql(BM25_QUERIES),
+        "spell_suggest": _spell_oracle_sql(SPELL_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),

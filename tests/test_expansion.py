@@ -358,3 +358,65 @@ def test_rm3_weights_form_a_mixture(small_index, small_oracle, direct):
     assert total == pytest.approx(1.0, abs=1e-4)
     for t in q["terms"]:
         assert weights[t] >= 0.5 / len(q["terms"]) - 1e-6
+
+
+def test_spell_suggestions(spark, tmp_path_factory):
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.expansion import suggest_corrections
+
+    docs = {
+        0: "table cable stable apple",
+        1: "table table fable apple banana",
+        2: "cable fable apple apple",
+        3: "banana apple orange",
+        4: "ab ba apple",
+    }
+    rows = [("r", f"f{d}", "c0", "t", t, d) for d, t in sorted(docs.items())]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("spell") / "idx"),
+        log2_quantum=3, n_partitions=2,
+    )
+    out = suggest_corrections(
+        idx,
+        [
+            # 'tble': OOV, 1-edit family; 'apple': known -> no rows
+            {"qid": 1, "terms": ["tble", "apple"]},
+            # 'zzzzz': OOV, no neighbours; 'cble': OOV -> 'cable'
+            {"qid": 2, "terms": ["zzzzz", "cble"]},
+            # OOV 'ab'-like probe: 'abb' is distance 1 from BOTH 'ab'
+            # and 'ba'... no: 'abb'->'ab' (delete), 'abb'->'ba' is 2.
+            {"qid": 3, "terms": ["abb"]},
+        ],
+        n_suggest=3,
+    ).collect()
+    got = {(r.qid, r.term): [] for r in out}
+    for r in sorted(out, key=lambda r: (r.qid, r.term, r.rank)):
+        got[(r.qid, r.term)].append((r.rank, r.suggestion, r.df))
+    # df: table=2, cable=2, fable=2, stable=1, ab=1, ba=1
+    assert got[(1, "tble")] == [(1, "table", 2)]
+    assert (2, "zzzzz") not in got          # no neighbours
+    assert got[(2, "cble")] == [(1, "cable", 2)]
+    assert got[(3, "abb")] == [(1, "ab", 1)]   # NOT 'ba' (distance 2)
+    assert not [k for k in got if k[1] == "apple"]  # known term: no rows
+
+    # n_suggest cap + (df desc, term asc) ordering on a rich family:
+    # raising max_df_known makes even the known 'table' (df=2)
+    # eligible; its distance-1 family is cable/fable (df 2) and
+    # stable (df 1), itself excluded — the cap keeps the df-then-term
+    # leaders
+    fam = suggest_corrections(
+        idx, [{"qid": 9, "terms": ["table"]}], n_suggest=2, max_df_known=5
+    ).collect()
+    assert [(r.rank, r.suggestion) for r in sorted(fam, key=lambda r: r.rank)] \
+        == [(1, "cable"), (2, "fable")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        suggest_corrections(idx, [{"qid": 1, "terms": []}])
+    with _pytest.raises(ValueError):
+        suggest_corrections(idx, [{"qid": 1, "terms": ["x"]}], n_suggest=0)
