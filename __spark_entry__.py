@@ -130,7 +130,7 @@ _GATE_PRIORITY = [
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "pack_sequences", "qpp_predictors",
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
-    "spell_suggest",
+    "spell_suggest", "facet_counts",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -614,6 +614,42 @@ SELECT qid, rank, docid, score FROM (
          sc.docid, round(sc.score, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
 ) WHERE rank <= {depth}
+"""
+
+
+def _facet_oracle_sql(queries, top_facets: int = 5) -> str:
+    """Twin of query/facets.py facet_counts over the documents table's
+    lang and source columns: disjunctive match set -> per-(qid, facet,
+    value) doc counts -> top values per (qid, facet)."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT DISTINCT term, doc_id FROM tok
+), q(qid, term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT q.qid, p.doc_id FROM q JOIN post p USING (term)
+),
+fac AS (
+  SELECT doc_id, 'lang' AS facet, lang AS value FROM documents
+  WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'source' AS facet, source AS value FROM documents
+  WHERE source IS NOT NULL
+),
+cnt AS (
+  SELECT m.qid, f.facet, f.value, count(*)::bigint AS n_docs
+  FROM matched m JOIN fac f USING (doc_id) GROUP BY 1, 2, 3
+)
+SELECT qid, facet, value, n_docs, rank FROM (
+  SELECT qid::bigint AS qid, facet, value, n_docs,
+         row_number() OVER (PARTITION BY qid, facet
+                            ORDER BY n_docs DESC, value ASC)::int AS rank
+  FROM cnt
+) WHERE rank <= {top_facets}
 """
 
 
@@ -1851,6 +1887,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return collapse_top_k(ranked, doc_keys, k=10, per_key=2)
 
+    def facet_counts_q(spark, sf):
+        """Faceted search (query/facets.py): per-query doc counts over
+        the FULL disjunctive match set for the documents table's lang
+        and source fields, top-5 values per (qid, facet)."""
+        from terrier_ef_spark.query.facets import facet_counts
+
+        idx = _get_index(spark, sf)
+        docs = _docs(spark, sf)
+        fac = docs.selectExpr(
+            "doc_id AS docid",
+            "stack(2, 'lang', lang, 'source', source) AS (facet, value)",
+        )
+        return facet_counts(idx, BM25_QUERIES, fac, top_facets=5)
+
     def spell_suggest(spark, sf):
         """Batched "did you mean" (query/expansion.py
         suggest_corrections — the Lucene DirectSpellChecker role):
@@ -2443,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_selective_topk": bm25_selective_topk,
         "collapse_topk": collapse_topk,
         "spell_suggest": spell_suggest,
+        "facet_counts": facet_counts_q,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -2773,6 +2824,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_selective_topk": _selective_oracle_sql(BM25_QUERIES),
         "collapse_topk": _collapse_oracle_sql(BM25_QUERIES),
         "spell_suggest": _spell_oracle_sql(SPELL_QUERIES),
+        "facet_counts": _facet_oracle_sql(BM25_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),
