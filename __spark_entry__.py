@@ -130,7 +130,7 @@ _GATE_PRIORITY = [
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "pack_sequences", "qpp_predictors",
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
-    "spell_suggest", "facet_counts",
+    "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -2544,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, sf: sampling.stratified_sample(
             _docs(s, sf), {"en": 0.5, "other": 0.1}
         ),
+        "mixture_rates": lambda s, sf: sampling.mixture_rates(_docs(s, sf)),
+        "mixture_sample": lambda s, sf: sampling.mixture_sample(_docs(s, sf)),
         "minhash_signatures": lambda s, sf: dedup.minhash_signatures(_docs(s, sf)),
         "lsh_candidate_pairs": lambda s, sf: dedup.lsh_candidate_pairs(_docs(s, sf)),
         "ngram_jaccard_pairs": lambda s, sf: dedup.ngram_jaccard_pairs(_docs(s, sf)),
@@ -2940,6 +2942,8 @@ FROM events GROUP BY 1, 2
         "stratified_sample": sampling.stratified_sample_sql(
             {"en": 0.5, "other": 0.1}
         ),
+        "mixture_rates": sampling.mixture_sample_sql(rates_only=True),
+        "mixture_sample": sampling.mixture_sample_sql(),
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_candidate_pairs": dedup.LSH_CANDIDATE_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
