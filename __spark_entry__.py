@@ -131,6 +131,7 @@ _GATE_PRIORITY = [
     "pack_sequences", "qpp_predictors",
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
+    "impact_postings_decoded", "bm25_impact_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -614,6 +615,60 @@ SELECT qid, rank, docid, score FROM (
          sc.docid, round(sc.score, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
 ) WHERE rank <= {depth}
+"""
+
+
+def _impact_ctes() -> str:
+    """Shared CTEs for the impact-index twins: per-posting BM25
+    contribution (6dp, floored at 0) and the global max — the exact
+    quantization pipeline of index/impact.py (bits=8)."""
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
+), contrib AS (
+  SELECT p.term, p.doc_id, greatest(0.0, round({contrib}, 6)) AS c
+  FROM post p JOIN lex l USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+), g AS (
+  SELECT max(c) AS gmax FROM contrib
+), imp AS (
+  SELECT term, doc_id AS docid,
+         (1 + floor(c / gmax * 255.0))::bigint AS impact
+  FROM contrib CROSS JOIN g
+)"""
+
+
+def _impact_decode_oracle_sql() -> str:
+    return _impact_ctes() + "\nSELECT term, docid, impact FROM imp\n"
+
+
+def _impact_topk_oracle_sql(queries, k: int = 10) -> str:
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    return _impact_ctes() + f""",
+q(qid, term) AS (VALUES {vals}),
+sc AS (
+  SELECT q.qid, i.docid, sum(i.impact)::bigint AS score
+  FROM q JOIN imp i USING (term) GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, docid ASC)::int AS rank,
+         docid, score
+  FROM sc
+) WHERE rank <= {k}
 """
 
 
@@ -1887,6 +1942,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return collapse_top_k(ranked, doc_keys, k=10, per_key=2)
 
+    def _get_impact(spark, sf):
+        """Impact index quantized from the standard cached build
+        (bm25, 8 bits); cached per sf dir."""
+        from terrier_ef_spark.index.impact import build_impact_index
+
+        key = ("impact", os.path.abspath(sf))
+        if key not in _INDEX_CACHE:
+            idx = _get_index(spark, sf)
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".idx_cache",
+                (os.path.basename(sf.rstrip("/")) or "idx") + "_impact",
+            )
+            _INDEX_CACHE[key] = build_impact_index(idx, out)
+        return _INDEX_CACHE[key]
+
+    def impact_postings_decoded(spark, sf):
+        """Quantized-impact index roundtrip (index/impact.py): build
+        the 8-bit BM25 impact tier from the standard index (docid
+        blobs byte-reused, impacts on the EF freq-stream format),
+        decode every posting back to (term, docid, impact). The twin
+        recomputes the whole quantization pipeline relationally."""
+        from terrier_ef_spark.index.impact import decode_impacts
+
+        return decode_impacts(_get_impact(spark, sf))
+
+    def bm25_impact_topk(spark, sf):
+        """Impact-scored retrieval: integer sum of matched terms'
+        quantized impacts — no doclen/idf/stats relation at query
+        time (the Anserini/JASS serving-tier economics)."""
+        from terrier_ef_spark.index.impact import run_queries_impact
+
+        return run_queries_impact(_get_impact(spark, sf), BM25_QUERIES, k=10)
+
     def facet_counts_q(spark, sf):
         """Faceted search (query/facets.py): per-query doc counts over
         the FULL disjunctive match set for the documents table's lang
@@ -2494,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": collapse_topk,
         "spell_suggest": spell_suggest,
         "facet_counts": facet_counts_q,
+        "impact_postings_decoded": impact_postings_decoded,
+        "bm25_impact_topk": bm25_impact_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -2827,6 +2918,8 @@ SELECT term, doc_id AS docid FROM (
         "collapse_topk": _collapse_oracle_sql(BM25_QUERIES),
         "spell_suggest": _spell_oracle_sql(SPELL_QUERIES),
         "facet_counts": _facet_oracle_sql(BM25_QUERIES),
+        "impact_postings_decoded": _impact_decode_oracle_sql(),
+        "bm25_impact_topk": _impact_topk_oracle_sql(BM25_QUERIES),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),
