@@ -41,6 +41,15 @@ FUZZY_QUERIES = [
     {"qid": 3, "term": "windoe"},   # substitution in 'window'
 ]
 
+# more-like-this sources (query/expansion.py run_more_like_this):
+# find docs similar to these documents; qid 1's doc also shows the
+# source-exclusion convention
+MLT_QUERIES = [
+    {"qid": 1, "docid": 0},
+    {"qid": 2, "docid": 42},
+    {"qid": 3, "docid": 137},
+]
+
 # "did you mean" topics (query/expansion.py suggest_corrections):
 # each qid mixes misspelled terms (suggestions expected) with known
 # ('spark') or unfixable ('zzqx') terms (no rows expected for those)
@@ -131,7 +140,7 @@ _GATE_PRIORITY = [
     "pack_sequences", "qpp_predictors",
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
-    "impact_postings_decoded", "bm25_impact_topk",
+    "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -615,6 +624,57 @@ SELECT qid, rank, docid, score FROM (
          sc.docid, round(sc.score, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
 ) WHERE rank <= {depth}
+"""
+
+
+def _mlt_oracle_sql(doc_queries, max_terms: int = 10, k: int = 10) -> str:
+    """Twin of run_more_like_this: per-source tf-idf term selection
+    (w = tf*log2(N/df), 6dp, ties term asc, top max_terms) followed by
+    disjunctive BM25 over the selected vocabulary with the source doc
+    excluded, 6dp-stable ranking."""
+    vals = ", ".join(f"({q['qid']}, {q['docid']})" for q in doc_queries)
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
+), qd(qid, src) AS (VALUES {vals}),
+mlt AS (
+  SELECT qd.qid, qd.src, p.term,
+         round(p.tf * log2(st.n / l.df), 6) AS w
+  FROM qd JOIN post p ON p.doc_id = qd.src
+       JOIN lex l USING (term) CROSS JOIN st
+), sel AS (
+  SELECT qid, src, term FROM (
+    SELECT qid, src, term,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY w DESC, term ASC) AS rk
+    FROM mlt
+  ) WHERE rk <= {max_terms}
+), sc AS (
+  SELECT sel.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM sel JOIN lex l ON l.term = sel.term
+       JOIN post p ON p.term = sel.term
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  WHERE p.doc_id <> sel.src
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int
+           AS rank,
+         docid, round(score, 6) AS score
+  FROM sc
+) WHERE rank <= {k}
 """
 
 
@@ -1990,6 +2050,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return facet_counts(idx, BM25_QUERIES, fac, top_facets=5)
 
+    def mlt_topk(spark, sf):
+        """More-like-this (query/expansion.py run_more_like_this —
+        the Lucene MoreLikeThis role): tf-idf top-10 terms gathered
+        from the direct index per source doc, disjunctive BM25 over
+        them, source doc excluded, 6dp-stable top-10."""
+        from terrier_ef_spark.index.direct import build_direct
+        from terrier_ef_spark.query.engine import run_queries
+        from terrier_ef_spark.query.expansion import more_like_this_terms
+
+        idx = _get_index(spark, sf)
+        direct = build_direct(idx, n_partitions=8)
+        qd = more_like_this_terms(idx, MLT_QUERIES, max_terms=10,
+                                  direct=direct)
+        deep = run_queries(idx, qd, k=100, strategy="term_major")
+        src = spark.createDataFrame(
+            [(q["qid"], q["docid"]) for q in MLT_QUERIES],
+            "qid long, docid long",
+        )
+        return _rerank_6dp(deep.join(F.broadcast(src), ["qid", "docid"], "left_anti"))
+
     def spell_suggest(spark, sf):
         """Batched "did you mean" (query/expansion.py
         suggest_corrections — the Lucene DirectSpellChecker role):
@@ -2582,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_selective_topk": bm25_selective_topk,
         "collapse_topk": collapse_topk,
         "spell_suggest": spell_suggest,
+        "mlt_topk": mlt_topk,
         "facet_counts": facet_counts_q,
         "impact_postings_decoded": impact_postings_decoded,
         "bm25_impact_topk": bm25_impact_topk,
@@ -2917,6 +2998,7 @@ SELECT term, doc_id AS docid FROM (
         "bm25_selective_topk": _selective_oracle_sql(BM25_QUERIES),
         "collapse_topk": _collapse_oracle_sql(BM25_QUERIES),
         "spell_suggest": _spell_oracle_sql(SPELL_QUERIES),
+        "mlt_topk": _mlt_oracle_sql(MLT_QUERIES),
         "facet_counts": _facet_oracle_sql(BM25_QUERIES),
         "impact_postings_decoded": _impact_decode_oracle_sql(),
         "bm25_impact_topk": _impact_topk_oracle_sql(BM25_QUERIES),

@@ -636,3 +636,97 @@ def suggest_corrections(
         .where(F.col("rank") <= n_suggest)
         .select("qid", "term", "rank", "suggestion", "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# More-like-this — query-by-document (Lucene MoreLikeThis role)
+# ---------------------------------------------------------------------------
+
+def more_like_this_terms(
+    index: EFIndex,
+    doc_queries: list[dict],
+    *,
+    max_terms: int = 10,
+    direct: DataFrame | None = None,
+) -> list[dict]:
+    """Turn source documents into queries (the Lucene MoreLikeThis
+    role): each doc's terms are gathered from the DIRECT index (docid
+    filter pushed to the range-sorted parquet — the PRF gathering
+    path), ranked by tf-idf w = tf * log2(N/df) (6dp, ties term asc),
+    and the top max_terms become an unweighted disjunctive query.
+
+    doc_queries: [{'qid': int, 'docid': int}]. Returns engine query
+    dicts; a qid whose source docid is absent from the index yields no
+    query (no terms to like). Terms are unweighted — Lucene's optional
+    boost-by-score variant is deliberately not applied so the second
+    pass is plain BM25 over the selected vocabulary."""
+    if max_terms < 1:
+        raise ValueError(f"max_terms must be >= 1: {max_terms}")
+    pairs = [(int(q["qid"]), int(q["docid"])) for q in doc_queries]
+    if not pairs:
+        raise ValueError("no doc queries")
+    spark = index.spark
+    qd = spark.createDataFrame(pairs, "qid long, docid long")
+    docids = sorted({d for _, d in pairs})
+    if direct is None:
+        direct = spark.read.parquet(f"{index.paths.root}/direct")
+    dd = decode_direct(index, direct.where(F.col("docid").isin(docids)))
+    num_docs = float(index.stats["num_docs"])
+    lex = index.lexicon.select(
+        "termid", "term", F.col("df").cast("double").alias("df")
+    )
+    w = F.col("tf").cast("double") * F.log2(F.lit(num_docs) / F.col("df"))
+    cand = (
+        dd.join(F.broadcast(qd), "docid")
+        .join(lex, "termid")
+        .select("qid", "term", F.round(w, 6).alias("w"))
+    )
+    rk = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
+    sel = (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= max_terms)
+        .select("qid", "term")
+        .collect()  # bounded: len(doc_queries) x max_terms rows
+    )
+    by_qid: dict[int, list[str]] = {}
+    for r in sel:
+        by_qid.setdefault(int(r["qid"]), []).append(r["term"])
+    return [
+        {"qid": qid, "terms": sorted(terms), "mode": "disjunctive"}
+        for qid, terms in sorted(by_qid.items())
+    ]
+
+
+def run_more_like_this(
+    index: EFIndex,
+    doc_queries: list[dict],
+    *,
+    max_terms: int = 10,
+    k: int = 10,
+    direct: DataFrame | None = None,
+) -> DataFrame:
+    """Find the documents most similar to each source doc: MLT term
+    selection + disjunctive BM25, with the source document excluded
+    from its own results (the MLT convention). Returns
+    (qid, rank, docid, score)."""
+    from terrier_ef_spark.query.engine import RESULT_SCHEMA, run_queries
+
+    qd = more_like_this_terms(
+        index, doc_queries, max_terms=max_terms, direct=direct
+    )
+    if not qd:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    deep = run_queries(index, qd, k=k + 1, strategy="term_major")
+    src = index.spark.createDataFrame(
+        [(int(q["qid"]), int(q["docid"])) for q in doc_queries],
+        "qid long, docid long",
+    )
+    kept = deep.join(F.broadcast(src), ["qid", "docid"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.asc("rank"))
+    return (
+        kept.withColumn("new_rank", F.row_number().over(w))
+        .where(F.col("new_rank") <= k)
+        .select(
+            "qid", F.col("new_rank").alias("rank"), "docid", "score"
+        )
+    )

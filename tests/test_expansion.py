@@ -420,3 +420,71 @@ def test_spell_suggestions(spark, tmp_path_factory):
         suggest_corrections(idx, [{"qid": 1, "terms": []}])
     with _pytest.raises(ValueError):
         suggest_corrections(idx, [{"qid": 1, "terms": ["x"]}], n_suggest=0)
+
+
+def test_more_like_this(spark, tmp_path_factory):
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.index.direct import build_direct
+    from terrier_ef_spark.query.engine import run_queries
+    from terrier_ef_spark.query.expansion import (
+        more_like_this_terms,
+        run_more_like_this,
+    )
+
+    # doc 0's signature terms: 'cable' (rare) beats 'apple' (everywhere)
+    docs = {
+        0: "cable table apple",
+        1: "cable table apple wire",
+        2: "table apple fruit",
+        3: "apple fruit banana",
+        4: "banana orange apple",
+    }
+    rows = [("r", f"f{d}", "c0", "t", t, d) for d, t in sorted(docs.items())]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("mlt") / "idx"),
+        log2_quantum=3, n_partitions=2,
+    )
+    direct = build_direct(idx, n_partitions=2)
+
+    # term selection: tf*log2(N/df) ranks cable (log2(5/2)) above table
+    # (log2(5/3)) above apple (log2(5/5)=0)
+    qd = more_like_this_terms(
+        idx, [{"qid": 1, "docid": 0}], max_terms=2, direct=direct
+    )
+    assert qd == [{"qid": 1, "terms": ["cable", "table"],
+                   "mode": "disjunctive"}]
+
+    # retrieval: source excluded; doc 1 (cable+table) must lead
+    out = run_more_like_this(
+        idx, [{"qid": 1, "docid": 0}], max_terms=2, k=10, direct=direct
+    ).collect()
+    got = [(r.rank, r.docid) for r in sorted(out, key=lambda r: r.rank)]
+    assert got[0] == (1, 1)
+    assert all(r.docid != 0 for r in out)  # MLT never returns the source
+
+    # result set == plain BM25 over the selected terms minus the source
+    want = run_queries(
+        idx, qd, k=10, strategy="term_major"
+    ).where("docid <> 0").collect()
+    assert sorted((r.docid, round(r.score, 9)) for r in out) == sorted(
+        (r.docid, round(r.score, 9)) for r in want
+    )
+
+    # a source docid that does not exist yields no rows for that qid
+    empty = run_more_like_this(
+        idx, [{"qid": 9, "docid": 999}], direct=direct
+    )
+    assert empty.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        more_like_this_terms(idx, [], direct=direct)
+    with _pytest.raises(ValueError):
+        more_like_this_terms(
+            idx, [{"qid": 1, "docid": 0}], max_terms=0, direct=direct
+        )
