@@ -330,6 +330,31 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
     run_queries_features(idx, feat_topics, k=10).count()
     out["ltr_features32_sec"] = time.time() - t0
 
+    # round-5c: quantized impact tier — derive the 8-bit serving tier
+    # from the main index (timed: decode + doclen/lexicon joins +
+    # re-encode), then the SAME 24-query batch as the exact scorers;
+    # integer-sum scoring with no doclen relation at query time is the
+    # tier's serving-economy claim (compare bm25_impact_sec vs
+    # bm25_naive_sec)
+    from terrier_ef_spark.index.impact import (
+        build_impact_index,
+        run_queries_impact,
+    )
+
+    shutil.rmtree(workdir + "_imp", ignore_errors=True)
+    t0 = time.time()
+    iidx = build_impact_index(idx, workdir + "_imp", n_partitions=npart)
+    out["impact_build_sec"] = time.time() - t0
+    run_queries_impact(iidx, batch, k=10).count()  # warm
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        run_queries_impact(iidx, batch, k=10).count()
+        dts.append(time.time() - t0)
+    out["bm25_impact_sec"] = min(dts)
+    out["bm25_impact_qps"] = len(batch) / min(dts)
+    shutil.rmtree(workdir + "_imp", ignore_errors=True)
+
     spark.stop()
     return out
 
@@ -416,6 +441,8 @@ def main():
         "index_compact": round(result["compact_sec"], 3),
         "sdm_batch8": round(result["sdm_batch8_sec"], 3),
         "ltr_features32": round(result["ltr_features32_sec"], 3),
+        "impact_build": round(result["impact_build_sec"], 3),
+        "bm25_impact_batch24": round(result["bm25_impact_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
@@ -460,6 +487,7 @@ def main():
                 "bm25_bmw_qps": round(result["bm25_bmw_qps"], 2),
                 "bm25_batch256_qps": round(result["bm25_batch256_qps"], 2),
                 "bm25_bmw_batch256_qps": round(result["bm25_bmw_batch256_qps"], 2),
+                "bm25_impact_qps": round(result["bm25_impact_qps"], 2),
                 "bm25_single_warm_sec": round(
                     result["bm25_single_warm_sec"], 4
                 ),
