@@ -141,6 +141,7 @@ _GATE_PRIORITY = [
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
+    "bm25_cascade_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -727,6 +728,45 @@ SELECT qid, rank, docid, score FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY score DESC, docid ASC)::int AS rank,
          docid, score
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def _cascade_oracle_sql(queries, depth: int = 30, k: int = 10) -> str:
+    """Twin of query/cascade.py run_queries_cascade: the impact
+    quantization CTEs select each query's integer-scored top-`depth`
+    candidate pool (ties docid asc), then exact BM25 re-scores ONLY
+    those pairs with global statistics, 6dp-stable top-k."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return _impact_ctes() + f""",
+q(qid, term) AS (VALUES {vals}),
+isc AS (
+  SELECT q.qid, i.docid, sum(i.impact)::bigint AS iscore
+  FROM q JOIN imp i USING (term) GROUP BY 1, 2
+), cand AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY iscore DESC, docid ASC) AS r
+    FROM isc
+  ) WHERE r <= {depth}
+), sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id
+       JOIN cand ON cand.qid = q.qid AND cand.docid = p.doc_id
+       CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+         docid, round(score, 6) AS score
   FROM sc
 ) WHERE rank <= {k}
 """
@@ -2036,6 +2076,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run_queries_impact(_get_impact(spark, sf), BM25_QUERIES, k=10)
 
+    def bm25_cascade_topk(spark, sf):
+        """Two-stage cascade (query/cascade.py): the impact tier's
+        integer first pass selects each query's top-30 candidate pool,
+        exact BM25 re-scores only those (qid, docid) pairs (Wang, Lin
+        & Metzler SIGIR'11 telescoping), 6dp-stable top-10."""
+        from terrier_ef_spark.query.cascade import run_queries_cascade
+
+        idx = _get_index(spark, sf)
+        imp = _get_impact(spark, sf)
+        deep = run_queries_cascade(imp, idx, BM25_QUERIES, k=30, depth=30)
+        return _rerank_6dp(deep)
+
     def facet_counts_q(spark, sf):
         """Faceted search (query/facets.py): per-query doc counts over
         the FULL disjunctive match set for the documents table's lang
@@ -2666,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": facet_counts_q,
         "impact_postings_decoded": impact_postings_decoded,
         "bm25_impact_topk": bm25_impact_topk,
+        "bm25_cascade_topk": bm25_cascade_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3002,6 +3055,7 @@ SELECT term, doc_id AS docid FROM (
         "facet_counts": _facet_oracle_sql(BM25_QUERIES),
         "impact_postings_decoded": _impact_decode_oracle_sql(),
         "bm25_impact_topk": _impact_topk_oracle_sql(BM25_QUERIES),
+        "bm25_cascade_topk": _cascade_oracle_sql(BM25_QUERIES, depth=30),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),
