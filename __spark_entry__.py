@@ -140,6 +140,7 @@ _GATE_PRIORITY = [
     "pack_sequences", "qpp_predictors",
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
+    "dsir_logweights", "dsir_sample",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk",
     "media_audio_features", "media_frame_stats",
@@ -1705,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunking,
         clusters,
         dedup,
+        dsir,
         multimodal,
         pii,
         pq,
@@ -2771,6 +2773,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mixture_rates": lambda s, sf: sampling.mixture_rates(_docs(s, sf)),
         "mixture_sample": lambda s, sf: sampling.mixture_sample(_docs(s, sf)),
+        # DSIR importance resampling (Xie et al. NeurIPS'23): target =
+        # the English slice, hashed uni+bigram features, 512 buckets
+        "dsir_logweights": lambda s, sf: dsir.dsir_logweights(
+            _docs(s, sf), _docs(s, sf).where("lang = 'en'"), buckets=512
+        ),
+        "dsir_sample": lambda s, sf: dsir.dsir_sample(
+            _docs(s, sf), _docs(s, sf).where("lang = 'en'"),
+            n=50, buckets=512,
+        ),
         "minhash_signatures": lambda s, sf: dedup.minhash_signatures(_docs(s, sf)),
         "lsh_candidate_pairs": lambda s, sf: dedup.lsh_candidate_pairs(_docs(s, sf)),
         "ngram_jaccard_pairs": lambda s, sf: dedup.ngram_jaccard_pairs(_docs(s, sf)),
@@ -2807,6 +2818,7 @@ def oracle_sql() -> dict[str, str]:
         chunking,
         clusters,
         dedup,
+        dsir,
         pii,
         pq,
         sampling,
@@ -3173,6 +3185,8 @@ FROM events GROUP BY 1, 2
         ),
         "mixture_rates": sampling.mixture_sample_sql(rates_only=True),
         "mixture_sample": sampling.mixture_sample_sql(),
+        "dsir_logweights": dsir.dsir_logweights_sql("lang = 'en'", buckets=512),
+        "dsir_sample": dsir.dsir_sample_sql("lang = 'en'", n=50, buckets=512),
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "lsh_candidate_pairs": dedup.LSH_CANDIDATE_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
