@@ -142,7 +142,7 @@ _GATE_PRIORITY = [
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "dsir_logweights", "dsir_sample",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
-    "bm25_cascade_topk",
+    "bm25_cascade_topk", "bm25_prior_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -563,14 +563,17 @@ SELECT qid, rank, docid, score FROM (
 
 def _bm25_oracle_sql(
     queries, conjunctive: bool, model: str = "bm25", candidate_where: str = "",
-    depth: int = 10,
+    depth: int = 10, prior_expr: str | None = None,
 ) -> str:
     """candidate_where: extra predicate on the scored posting rows
     (metadata-filtered retrieval; statistics stay corpus-global).
     Queries may carry 'not_terms' (boolean MUST_NOT): docs containing
     any of them are excluded from that qid's results. depth: ranked
     cut (10 for the direct retrieval keys; deeper when the statement
-    feeds a post-ranking transform such as field collapsing)."""
+    feeds a post-ranking transform such as field collapsing).
+    prior_expr: optional static-prior addend in terms of sc.docid
+    (run_queries(prior=...) twin) added to sc.score before the
+    6dp-stable ranking."""
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
@@ -595,6 +598,9 @@ excl AS (SELECT DISTINCT nq.qid, p.doc_id AS docid
     )
     conj_filter = "AND sc.nhit = nt.n_terms" if conjunctive else ""
     contrib = _MODEL_CONTRIB_SQL[model]
+    final_score = (
+        f"(sc.score + {prior_expr})" if prior_expr else "sc.score"
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS term FROM documents
@@ -622,8 +628,8 @@ sc AS (
 SELECT qid, rank, docid, score FROM (
   SELECT sc.qid::bigint AS qid,
          row_number() OVER (PARTITION BY sc.qid
-                            ORDER BY round(sc.score, 6) DESC, sc.docid ASC)::int AS rank,
-         sc.docid, round(sc.score, 6) AS score
+                            ORDER BY round({final_score}, 6) DESC, sc.docid ASC)::int AS rank,
+         sc.docid, round({final_score}, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
 ) WHERE rank <= {depth}
 """
@@ -2078,6 +2084,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run_queries_impact(_get_impact(spark, sf), BM25_QUERIES, k=10)
 
+    def bm25_prior_topk(spark, sf):
+        """Static document priors (engine.run_queries(prior=...) —
+        Kraaij et al. SIGIR'02 / Terrier's document-prior feature):
+        score + ln(prior) on the FULL matched set before ranking,
+        prior = (1 + doc_id % 7) / 7 (a deterministic popularity
+        stand-in that reorders the fixture's rankings)."""
+        from terrier_ef_spark.query.engine import run_queries
+
+        idx = _get_index(spark, sf)
+        pf = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            ((1 + F.col("doc_id") % 7) / F.lit(7.0)).alias("prior"),
+        )
+        deep = run_queries(idx, BM25_QUERIES, k=100,
+                           strategy="term_major", prior=pf)
+        return _rerank_6dp(deep)
+
     def bm25_cascade_topk(spark, sf):
         """Two-stage cascade (query/cascade.py): the impact tier's
         integer first pass selects each query's top-30 candidate pool,
@@ -2721,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_postings_decoded": impact_postings_decoded,
         "bm25_impact_topk": bm25_impact_topk,
         "bm25_cascade_topk": bm25_cascade_topk,
+        "bm25_prior_topk": bm25_prior_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3068,6 +3092,10 @@ SELECT term, doc_id AS docid FROM (
         "impact_postings_decoded": _impact_decode_oracle_sql(),
         "bm25_impact_topk": _impact_topk_oracle_sql(BM25_QUERIES),
         "bm25_cascade_topk": _cascade_oracle_sql(BM25_QUERIES, depth=30),
+        "bm25_prior_topk": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False,
+            prior_expr="ln((1 + sc.docid % 7) / 7.0)",
+        ),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),

@@ -84,6 +84,8 @@ def run_queries(
     respect_deletes: bool = True,
     k1: float | None = None,
     b: float | None = None,
+    prior: DataFrame | None = None,
+    prior_weight: float = 1.0,
 ) -> DataFrame:
     """queries: [{'qid': int, 'terms': [str], 'mode':
     'disjunctive'|'conjunctive'[, 'not_terms': [str]]}]. not_terms are
@@ -132,6 +134,20 @@ def run_queries(
     query-major kernel seed their thresholds pre-filter, so they refuse
     rather than silently over-prune).
 
+    prior: optional (docid, prior) DataFrame of static query-
+    independent document priors (pagerank, recency, URL-depth — the
+    web priors of Kraaij, Westerveld & Hiemstra SIGIR'02; Terrier's
+    document-prior feature). Scores become
+    score + prior_weight * ln(prior) ON THE FULL MATCHED SET (the
+    prior joins the folded (qid, docid) scores BEFORE ranking, so a
+    strong prior can promote a doc into the top-k from any rank —
+    not a post-hoc re-rank of a fixed page). Priors must be > 0;
+    docs absent from the relation take the neutral prior 1
+    (ln 1 = 0). Same term-major-only discipline as doc_filter: BMW/
+    MaxScore term bounds and the query-major kernel's thresholds
+    know nothing of the additive prior, so pruning could discard
+    docs the prior would promote — they refuse instead.
+
     respect_deletes: when the index carries tombstones
     (index/maintenance.py delete_docs), exclude them from results via a
     left-anti join on the decoded posting rows. Same term-major-only
@@ -156,6 +172,18 @@ def run_queries(
             raise ValueError(
                 "doc_filter is relational (term-major only); the "
                 "query-major kernel does not support candidate filters"
+            )
+        strategy = "term_major"
+    if prior is not None:
+        if algo != "naive":
+            raise ValueError(
+                "prior runs on the exhaustive term-major scorer; "
+                f"algo={algo!r} bounds don't include the additive prior"
+            )
+        if strategy == "query_major":
+            raise ValueError(
+                "prior is relational (term-major only); the "
+                "query-major kernel does not support document priors"
             )
         strategy = "term_major"
     if any(q.get("not_terms") for q in queries):
@@ -220,6 +248,7 @@ def run_queries(
         return _run_queries_term_major(
             index, queries, k=k, model=model, doc_filter=doc_filter,
             exclude_docs=tombstones, k1=k1, b=b,
+            prior=prior, prior_weight=prior_weight,
         )
     return _run_queries_query_major(index, queries, k=k, algo=algo,
                                     k1=k1, b=b)
@@ -249,6 +278,8 @@ def _run_queries_term_major(
     exclude_docs: DataFrame | None = None,
     k1: float = bm25.K1,
     b: float = bm25.B,
+    prior: DataFrame | None = None,
+    prior_weight: float = 1.0,
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
@@ -287,7 +318,8 @@ def _run_queries_term_major(
             .select("qid", "docid")
         )
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model,
-                       exclude_pairs=exclude_pairs, k1=k1, b=b)
+                       exclude_pairs=exclude_pairs, k1=k1, b=b,
+                       prior=prior, prior_weight=prior_weight)
 
 
 def _score_rows(
@@ -300,6 +332,8 @@ def _score_rows(
     exclude_pairs: DataFrame | None = None,
     k1: float = bm25.K1,
     b: float = bm25.B,
+    prior: DataFrame | None = None,
+    prior_weight: float = 1.0,
 ) -> DataFrame:
     """Scoring tail of the term-major strategy: (term, docid, tf) rows
     -> lexicon + partitioned doclen joins -> Catalyst model contribution
@@ -351,6 +385,23 @@ def _score_rows(
     )
     if exclude_pairs is not None:
         scored = scored.join(exclude_pairs, ["qid", "docid"], "left_anti")
+    if prior is not None:
+        # static query-independent prior on the FOLDED scores, before
+        # ranking (one docid-keyed join of the matched set against the
+        # prior relation; missing docs take the neutral prior 1)
+        p = prior.select(
+            "docid", F.col("prior").cast("double").alias("_prior")
+        )
+        scored = (
+            scored.join(p, "docid", "left")
+            .withColumn(
+                "score",
+                F.col("score")
+                + F.lit(float(prior_weight))
+                * F.log(F.coalesce(F.col("_prior"), F.lit(1.0))),
+            )
+            .drop("_prior")
+        )
     res = scored.join(F.broadcast(qmeta_df), "qid").where(
         (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
     )
