@@ -142,7 +142,7 @@ _GATE_PRIORITY = [
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "dsir_logweights", "dsir_sample",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
-    "bm25_cascade_topk", "bm25_prior_topk",
+    "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -563,7 +563,7 @@ SELECT qid, rank, docid, score FROM (
 
 def _bm25_oracle_sql(
     queries, conjunctive: bool, model: str = "bm25", candidate_where: str = "",
-    depth: int = 10, prior_expr: str | None = None,
+    depth: int = 10, prior_expr: str | None = None, offset: int = 0,
 ) -> str:
     """candidate_where: extra predicate on the scored posting rows
     (metadata-filtered retrieval; statistics stay corpus-global).
@@ -573,7 +573,9 @@ def _bm25_oracle_sql(
     feeds a post-ranking transform such as field collapsing).
     prior_expr: optional static-prior addend in terms of sc.docid
     (run_queries(prior=...) twin) added to sc.score before the
-    6dp-stable ranking."""
+    6dp-stable ranking. offset: skip the first `offset` ranked rows
+    and renumber from 1 (the run_queries_page search_after twin: page
+    n of size k is offset=(n-1)*k, depth=n*k)."""
     vals = ", ".join(
         f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
     )
@@ -625,13 +627,13 @@ sc AS (
   WHERE true {candidate_where}
   GROUP BY 1, 2
 ){not_cte}
-SELECT qid, rank, docid, score FROM (
+SELECT qid, (rank - {offset})::int AS rank, docid, score FROM (
   SELECT sc.qid::bigint AS qid,
          row_number() OVER (PARTITION BY sc.qid
                             ORDER BY round({final_score}, 6) DESC, sc.docid ASC)::int AS rank,
          sc.docid, round({final_score}, 6) AS score
   FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
-) WHERE rank <= {depth}
+) WHERE rank > {offset} AND rank <= {depth}
 """
 
 
@@ -2101,6 +2103,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            strategy="term_major", prior=pf)
         return _rerank_6dp(deep)
 
+    def bm25_page2_topk(spark, sf):
+        """Stateless deep pagination (engine.run_queries_page — the
+        Elasticsearch search_after role): fetch page 1 (k=10), turn
+        each query's last (score, docid) into a cursor, fetch page 2.
+        The twin is the shared BM25 oracle at offset=10, depth=20 with
+        ranks renumbered — identical iff the cursor filter slices the
+        6dp-stable ranking exactly. Queries whose page 1 came back
+        short are exhausted and dropped from page 2."""
+        from terrier_ef_spark.query.engine import run_queries_page
+
+        idx = _get_index(spark, sf)
+        k = 10
+        p1 = run_queries_page(idx, BM25_QUERIES, k=k).collect()
+        by_qid: dict[int, list] = {}
+        for r in p1:
+            by_qid.setdefault(r["qid"], []).append(r)
+        after = {
+            qid: (rows[-1]["score"], rows[-1]["docid"])
+            for qid, rows in by_qid.items()
+            for rows in [sorted(rows, key=lambda r: r["rank"])]
+            if len(rows) == k
+        }
+        q2 = [q for q in BM25_QUERIES if q["qid"] in after]
+        return run_queries_page(idx, q2, k=k, after=after)
+
     def bm25_cascade_topk(spark, sf):
         """Two-stage cascade (query/cascade.py): the impact tier's
         integer first pass selects each query's top-30 candidate pool,
@@ -2745,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_impact_topk": bm25_impact_topk,
         "bm25_cascade_topk": bm25_cascade_topk,
         "bm25_prior_topk": bm25_prior_topk,
+        "bm25_page2_topk": bm25_page2_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3095,6 +3123,9 @@ SELECT term, doc_id AS docid FROM (
         "bm25_prior_topk": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False,
             prior_expr="ln((1 + sc.docid % 7) / 7.0)",
+        ),
+        "bm25_page2_topk": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False, offset=10, depth=20,
         ),
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),

@@ -254,6 +254,60 @@ def run_queries(
                                     k1=k1, b=b)
 
 
+def run_queries_page(
+    index: EFIndex,
+    queries: list[dict],
+    *,
+    k: int = 10,
+    after: dict[int, tuple[float, int]] | None = None,
+    model: str = "bm25",
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Stateless deep pagination — the Elasticsearch `search_after`
+    role. Pages are ordered by (round(score, 6) desc, docid asc) — the
+    engine's cross-engine-stable contract ordering — and a page's
+    cursor is simply its last row's (score, docid). `after` maps qid ->
+    that cursor; queries without an entry get their FIRST page.
+
+    Unlike offset pagination, the cursor filters the folded scores
+    BEFORE the rank window: every partition discards at-or-before-
+    cursor rows pre-sort, so page 10^6 costs the same as page 1 — no
+    offset-sized ranking state accumulates anywhere (the reason
+    search_after exists in distributed serving). Returns
+    (qid, rank, docid, score) with rank 1..k WITHIN the page and
+    scores 6dp-rounded.
+
+    Term-major exhaustive only (the same discipline as doc_filter:
+    pruning bounds seeded on absolute top-k scores would over-prune a
+    deep page whose scores are all below theta)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    for qid, cur in (after or {}).items():
+        if len(cur) != 2:
+            raise ValueError(
+                f"after[{qid}] must be a (score, docid) cursor: {cur!r}"
+            )
+    if k1 is None:
+        k1 = float(index.stats.get("k1", bm25.K1))
+    if b is None:
+        b = float(index.stats.get("b", bm25.B))
+    after_df = None
+    if after:
+        after_df = index.spark.createDataFrame(
+            [
+                (int(qid), round(float(s), 6), int(d))
+                for qid, (s, d) in after.items()
+            ],
+            "qid long, a_score double, a_docid long",
+        )
+    return _run_queries_term_major(
+        index, queries, k=k, model=model,
+        exclude_docs=index.deleted_docids(),
+        k1=k1, b=b, after_df=after_df, stable6=True,
+    )
+
+
 def _bm25_contrib_expr(num_docs: float, avgdl: float, tf, dl,
                        k1: float = bm25.K1, b: float = bm25.B):
     """Catalyst BM25 contribution (Robertson idf x tf-normalization) for
@@ -280,6 +334,8 @@ def _run_queries_term_major(
     b: float = bm25.B,
     prior: DataFrame | None = None,
     prior_weight: float = 1.0,
+    after_df: DataFrame | None = None,
+    stable6: bool = False,
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
@@ -319,7 +375,8 @@ def _run_queries_term_major(
         )
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model,
                        exclude_pairs=exclude_pairs, k1=k1, b=b,
-                       prior=prior, prior_weight=prior_weight)
+                       prior=prior, prior_weight=prior_weight,
+                       after_df=after_df, stable6=stable6)
 
 
 def _score_rows(
@@ -334,6 +391,8 @@ def _score_rows(
     b: float = bm25.B,
     prior: DataFrame | None = None,
     prior_weight: float = 1.0,
+    after_df: DataFrame | None = None,
+    stable6: bool = False,
 ) -> DataFrame:
     """Scoring tail of the term-major strategy: (term, docid, tf) rows
     -> lexicon + partitioned doclen joins -> Catalyst model contribution
@@ -405,6 +464,28 @@ def _score_rows(
     res = scored.join(F.broadcast(qmeta_df), "qid").where(
         (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
     )
+    if stable6:
+        # page-stable ordering: rank on the 6dp-rounded score (the
+        # contract convention) so cursors compare identically on every
+        # engine and across reruns
+        res = res.withColumn("score", F.round("score", 6))
+    if after_df is not None:
+        # search_after cursor: drop everything at-or-before the cursor
+        # in (score desc, docid asc) order BEFORE the rank window —
+        # each partition discards non-page rows pre-sort, so deep pages
+        # never accumulate offset-sized state anywhere
+        res = (
+            res.join(F.broadcast(after_df), "qid", "left")
+            .where(
+                F.col("a_score").isNull()
+                | (F.col("score") < F.col("a_score"))
+                | (
+                    (F.col("score") == F.col("a_score"))
+                    & (F.col("docid") > F.col("a_docid"))
+                )
+            )
+            .drop("a_score", "a_docid")
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     return (
         res.withColumn("rank", F.row_number().over(w))
