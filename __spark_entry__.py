@@ -140,7 +140,7 @@ _GATE_PRIORITY = [
     "pack_sequences", "qpp_predictors",
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
-    "dsir_logweights", "dsir_sample",
+    "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -2802,6 +2802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": lambda s, sf: textstats.tfidf_keywords(_docs(s, sf)),
         "zipf_fit": lambda s, sf: textstats.zipf_fit(_docs(s, sf)),
         "doc_perplexity": lambda s, sf: textstats.doc_perplexity(_docs(s, sf)),
+        "doc_perplexity_bigram": lambda s, sf: textstats.doc_perplexity_bigram(
+            _docs(s, sf)
+        ),
         "pack_sequences": lambda s, sf: chunking.pack_sequences(
             _docs(s, sf), seq_len=512, n_partitions=8
         ),
@@ -3223,6 +3226,7 @@ FROM events GROUP BY 1, 2
         "tfidf_keywords": textstats.tfidf_keywords_sql(),
         "zipf_fit": textstats.zipf_fit_sql(),
         "doc_perplexity": textstats.DOC_PERPLEXITY_SQL,
+        "doc_perplexity_bigram": textstats.doc_perplexity_bigram_sql(),
         "pack_sequences": chunking.pack_sequences_sql(512),
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,

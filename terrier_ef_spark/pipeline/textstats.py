@@ -768,3 +768,113 @@ SELECT doc_id, n_tokens,
        round(pow(2.0, log2(tot.c_total) - slc / n_tokens), 6) AS perplexity
 FROM per CROSS JOIN tot
 """
+
+
+def doc_perplexity_bigram(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(doc_id, n_bigrams, cross_entropy, perplexity): per-document
+    cross-entropy under the collection's additive-smoothed BIGRAM
+    language model — the order-2 upgrade of doc_perplexity's unigram
+    filter (the KenLM-perplexity quality-filter role of CCNet, Wenzek
+    et al. LREC 2020, which uses a 5-gram model; bigrams are where the
+    word-order signal starts and stay relational):
+
+        P(w2|w1) = (c(w1 w2) + alpha) / (c(w1 .) + alpha * V)
+        H(d)     = -(1/B_d) * sum over adjacent pairs log2 P(w2|w1)
+
+    with c(.) corpus bigram counts, c(w1 .) the left-context total,
+    V the distinct unigram vocabulary size, B_d the doc's bigram count
+    (tokens - 1). Smoothing is required (unlike the unigram filter) —
+    a doc's bigram may be unique to it, but never absent from the
+    corpus it is counted into, so alpha only shifts, never rescues, a
+    zero. Docs with < 2 tokens have no bigram distribution and are
+    excluded (the unigram filter covers them).
+
+    100 TB shape: bigrams come from one zip_with over the token array
+    (no positional self-join); one (doc, bigram, tf) aggregation, one
+    corpus-bigram-count join on the key that aggregation already
+    produced, one broadcast left-context relation join, V and nothing
+    else on a broadcast 1-row frame; two shuffles total. Rounded 6dp
+    for the oracle twin."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing): {alpha}")
+    toks = tokenize_expr(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b_: F.concat_ws(" ", a, b_),
+    )
+    big = docs.where(n >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    dtf = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = dtf.groupBy("bg").agg(F.sum("tf").alias("c12"))
+    c1 = (
+        c12.withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = docs.select(
+        F.explode(tokenize_expr(F.col("text"))).alias("term")
+    ).agg(F.countDistinct("term").cast("double").alias("v"))
+    rows = (
+        dtf.join(c12, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "tf",
+            F.log2(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    per = rows.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        (-F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")).alias("h"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("h"), 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.col("h")), 6).alias("perplexity"),
+    )
+
+
+def doc_perplexity_bigram_sql(alpha: float = 0.5) -> str:
+    """DuckDB twin of doc_perplexity_bigram."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_REP_TOKS} AS toks FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM base WHERE len(toks) >= 2
+), dtf AS (
+  SELECT doc_id, bg, count(*)::double AS tf FROM big GROUP BY 1, 2
+), c12 AS (
+  SELECT bg, sum(tf) AS c12 FROM dtf GROUP BY 1
+), c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT term)::double AS v
+  FROM (SELECT unnest({_REP_TOKS}) AS term FROM documents)
+), per AS (
+  SELECT dtf.doc_id,
+         sum(dtf.tf)::bigint AS n_bigrams,
+         -sum(dtf.tf * log2((c12.c12 + {alpha})
+                            / (c1.c1 + {alpha} * vocab.v))) / sum(dtf.tf) AS h
+  FROM dtf
+  JOIN c12 USING (bg)
+  JOIN c1 ON c1.w1 = split_part(dtf.bg, ' ', 1)
+  CROSS JOIN vocab
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       round(h, 6) AS cross_entropy,
+       round(pow(2.0, h), 6) AS perplexity
+FROM per
+"""
