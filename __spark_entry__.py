@@ -141,6 +141,7 @@ _GATE_PRIORITY = [
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
+    "streaming_queries",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -2709,6 +2710,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(h,) for h in hashes], "content_hash string"
         )
 
+    def streaming_queries(spark, sf):
+        """Streaming query serving (streaming/serving.py): the BM25
+        topics land as TWO query files, served one micro-batch each
+        (maxFilesPerTrigger=1) against the static index via
+        foreachBatch + the term-major scorer; per-epoch idempotent
+        result parts. Twin: the plain exhaustive BM25 oracle — stream
+        results must equal batch results exactly (deep k=100, 6dp
+        re-rank, the standard retrieval-key convention)."""
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from terrier_ef_spark.streaming.serving import (
+            read_stream_results,
+            run_query_stream,
+        )
+
+        idx = _get_index(spark, sf)
+        work = _tempfile.mkdtemp(prefix="sg_stream_q_")
+        try:
+            landing = os.path.join(work, "landing")
+            os.makedirs(landing)
+            halves = (BM25_QUERIES[:3], BM25_QUERIES[3:])
+            for name, qs in zip(("a", "b"), halves):
+                staging = os.path.join(work, "_stage_" + name)
+                spark.createDataFrame(
+                    [(q["qid"], q["terms"], q["mode"]) for q in qs],
+                    "qid long, terms array<string>, mode string",
+                ).coalesce(1).write.mode("overwrite").parquet(staging)
+                src = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+                _shutil.move(src, os.path.join(landing, name + ".parquet"))
+            res = run_query_stream(
+                spark, idx, landing, os.path.join(work, "out"),
+                k=100, max_files_per_trigger=1,
+            )
+            deep = read_stream_results(spark, res)
+            rows = [
+                (r["qid"], r["rank"], r["docid"], r["score"])
+                for r in deep.collect()
+            ]
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+        return _rerank_6dp(spark.createDataFrame(
+            rows, "qid long, rank int, docid long, score double"
+        ))
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -2791,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_decoded": direct_decoded,
         "events_window": events_window,
         "streaming_dedup": streaming_dedup,
+        "streaming_queries": streaming_queries,
         "token_counts": lambda s, sf: textstats.token_counts(_docs(s, sf)),
         "quality_score": lambda s, sf: textstats.quality_score(_docs(s, sf)),
         "lang_id": lambda s, sf: textstats.lang_id(_docs(s, sf)),
@@ -3210,6 +3258,7 @@ FROM post p JOIN lex l USING (term)
         "streaming_dedup": (
             "SELECT DISTINCT md5(text) AS content_hash FROM documents"
         ),
+        "streaming_queries": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "events_window": """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::bigint AS n, round(sum(value), 2) AS sum_value
