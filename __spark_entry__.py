@@ -144,7 +144,7 @@ _GATE_PRIORITY = [
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
-    "streaming_queries",
+    "streaming_queries", "complete_prefix",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -2090,6 +2090,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run_queries_impact(_get_impact(spark, sf), BM25_QUERIES, k=10)
 
+    def complete_prefix(spark, sf):
+        """Batched query autocompletion (query/expansion.py
+        suggest_completions — the Solr/ES suggester role): per-prefix
+        df-desc/term-asc top-5 lexicon completions from ONE pushed
+        StringStartsWith lexicon pass; 'zz' matches nothing."""
+        from terrier_ef_spark.query.expansion import suggest_completions
+
+        idx = _get_index(spark, sf)
+        return suggest_completions(
+            idx, ["s", "t", "c", "v", "zz"], n_suggest=5
+        )
+
     def bm25_prior_topk(spark, sf):
         """Static document priors (engine.run_queries(prior=...) —
         Kraaij et al. SIGIR'02 / Terrier's document-prior feature):
@@ -2823,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_cascade_topk": bm25_cascade_topk,
         "bm25_prior_topk": bm25_prior_topk,
         "bm25_page2_topk": bm25_page2_topk,
+        "complete_prefix": complete_prefix,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3181,6 +3194,21 @@ SELECT term, doc_id AS docid FROM (
         "bm25_page2_topk": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, offset=10, depth=20,
         ),
+        "complete_prefix": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+lex AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY 1),
+p(prefix) AS (VALUES ('s'), ('t'), ('c'), ('v'), ('zz')),
+m AS (
+  SELECT p.prefix, l.term, l.df
+  FROM p JOIN lex l ON l.term LIKE p.prefix || '%'
+)
+SELECT prefix, term, df FROM (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY df DESC, term ASC) AS r
+  FROM m
+) WHERE r <= 5
+""",
         "bm25_bo1_expanded": _prf_oracle_sql(BM25_QUERIES, model="bo1"),
         "bm25_rm3_expanded": _rm3_oracle_sql(BM25_QUERIES),
         "ltr_features_topk": _ltr_features_oracle_sql(BM25_QUERIES),

@@ -730,3 +730,59 @@ def run_more_like_this(
             "qid", F.col("new_rank").alias("rank"), "docid", "score"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched query autocompletion — the Solr/Elasticsearch suggester role
+# ---------------------------------------------------------------------------
+
+def suggest_completions(
+    index: EFIndex,
+    prefixes: list[str],
+    *,
+    n_suggest: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Autocompletion for a BATCH of typed prefixes: for each prefix
+    the lexicon terms starting with it, most-frequent-first (df desc,
+    term asc), top n_suggest, df >= min_df (the tail-noise cut every
+    production suggester applies). Returns (prefix, term, df).
+
+    Batch analogue of expand_prefix's single-prefix driver loop (the
+    spell_suggest generalization discipline): the WHOLE batch rides one
+    lexicon pass — the OR of the per-prefix StringStartsWith filters is
+    pushed to the term-range-sorted lexicon parquet (each prefix prunes
+    to its own row-group range), survivors are labeled by a broadcast
+    literal frame of prefixes (a nested-loop broadcast join over the
+    already-pruned set — len(prefixes) comparisons per surviving term),
+    and one window ranks per prefix. No per-prefix jobs, no collect: a
+    pruned scan + broadcast join at a 10^9-term lexicon."""
+    from functools import reduce
+    from operator import or_
+
+    if not prefixes:
+        raise ValueError("no prefixes")
+    if any(not p for p in prefixes):
+        raise ValueError("empty prefix would expand the whole lexicon")
+    if n_suggest < 1:
+        raise ValueError(f"n_suggest must be >= 1: {n_suggest}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    uniq = sorted(set(prefixes))
+    spark = index.spark
+    pf = spark.createDataFrame([(p,) for p in uniq], "prefix string")
+    lex = index.lexicon.select(
+        "term", F.col("df").cast("long").alias("df")
+    ).where(
+        reduce(or_, [F.col("term").startswith(p) for p in uniq])
+        & (F.col("df") >= min_df)
+    )
+    labeled = lex.join(
+        F.broadcast(pf), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        labeled.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_suggest)
+        .select("prefix", "term", "df")
+    )

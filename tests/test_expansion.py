@@ -488,3 +488,50 @@ def test_more_like_this(spark, tmp_path_factory):
         more_like_this_terms(
             idx, [{"qid": 1, "docid": 0}], max_terms=0, direct=direct
         )
+
+
+def test_suggest_completions(small_index, small_oracle, spark):
+    """Batched autocompletion: per-prefix df-desc/term-asc top-n from
+    one lexicon pass, vs a plain dict mirror over the oracle index."""
+    from terrier_ef_spark.query.expansion import suggest_completions
+
+    # pick two live prefixes from the vocabulary + one with no matches
+    vocab = sorted(small_oracle.postings)
+    p1, p2 = vocab[0][:2], vocab[len(vocab) // 2][:2]
+    prefixes = [p1, p2, "zzzz"]
+    n = 5
+    got = {}
+    rows = suggest_completions(small_index, prefixes, n_suggest=n).collect()
+    for r in rows:
+        got.setdefault(r["prefix"], []).append((r["term"], r["df"]))
+    for p in got:
+        got[p].sort(key=lambda td: (-td[1], td[0]))
+    want = {}
+    for p in (p1, p2):
+        cands = [
+            (t, len(small_oracle.postings[t]))
+            for t in vocab
+            if t.startswith(p)
+        ]
+        cands.sort(key=lambda td: (-td[1], td[0]))
+        if cands:
+            want[p] = cands[:n]
+    assert got == want
+    assert "zzzz" not in got
+    # min_df cuts the tail: every surviving df respects the floor
+    floor = max(df for _, df in want[p1]) if want.get(p1) else 1
+    rows2 = suggest_completions(
+        small_index, [p1], n_suggest=n, min_df=floor
+    ).collect()
+    assert rows2 and all(r["df"] >= floor for r in rows2)
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no prefixes"):
+        suggest_completions(small_index, [])
+    with _pytest.raises(ValueError, match="empty prefix"):
+        suggest_completions(small_index, ["ab", ""])
+    with _pytest.raises(ValueError, match="n_suggest"):
+        suggest_completions(small_index, ["ab"], n_suggest=0)
+    with _pytest.raises(ValueError, match="min_df"):
+        suggest_completions(small_index, ["ab"], min_df=0)
