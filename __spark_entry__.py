@@ -112,6 +112,15 @@ BM25_CONJ_QUERIES = [
 ]
 ANN_K = 10
 
+# stored-query fixture for the percolator key: both modes over the
+# BM25 topics' vocabulary
+PERCOLATE_QUERIES = [
+    {"qid": 1, "terms": ["table", "spark"], "mode": "disjunctive"},
+    {"qid": 2, "terms": ["table", "spark"], "mode": "conjunctive"},
+    {"qid": 3, "terms": ["window", "merge", "hash"], "mode": "conjunctive"},
+    {"qid": 4, "terms": ["zzzmissing"], "mode": "disjunctive"},
+]
+
 # The driver's correctness gate evaluates keys in dict order and has a
 # finite per-round window (~50 keys). DETERMINISTIC ROTATION (round-4
 # ADVICE): least-recently-driver-verified first — keys with NO driver
@@ -144,7 +153,8 @@ _GATE_PRIORITY = [
     "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
-    "streaming_queries", "complete_prefix",
+    "streaming_queries", "complete_prefix", "percolate_matches",
+    "score_explain",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -783,6 +793,57 @@ SELECT qid, rank, docid, score FROM (
   FROM sc
 ) WHERE rank <= {k}
 """
+
+
+def _explain_oracle_sql(queries) -> str:
+    """Twin of query/explain.py explain_scores over each query's
+    6dp-stable BM25 top-1 document: the retrieval CTE picks the pair,
+    the evidence rows carry (tf, doclen, df, cf, contrib)."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+), top1 AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC) AS r
+    FROM sc
+  ) WHERE r = 1
+)
+SELECT q.qid::bigint AS qid, t.docid, q.term,
+       p.tf::bigint AS tf, dl.doclen::bigint AS doclen,
+       l.df::bigint AS df, l.cf::bigint AS cf,
+       round({contrib}, 6) AS contrib
+FROM q JOIN lex l USING (term) JOIN post p USING (term)
+     JOIN dl ON dl.doc_id = p.doc_id
+     JOIN top1 t ON t.qid = q.qid AND t.docid = p.doc_id
+     CROSS JOIN st
+"""
+
+
+def _percolate_oracle_sql() -> str:
+    from terrier_ef_spark.query.percolate import percolate_sql
+
+    return percolate_sql(PERCOLATE_QUERIES, TOK)
 
 
 def _facet_oracle_sql(queries, top_facets: int = 5) -> str:
@@ -2090,6 +2151,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run_queries_impact(_get_impact(spark, sf), BM25_QUERIES, k=10)
 
+    def score_explain(spark, sf):
+        """Score explanation (query/explain.py — the Lucene
+        Explanation role): per-term evidence (tf, doclen, df, cf,
+        contribution) for each BM25 topic's 6dp-stable top-1 doc;
+        the explain path shares the scorer's arithmetic literally."""
+        from terrier_ef_spark.query.explain import explain_scores
+
+        top = _bm25(spark, sf, BM25_QUERIES, algo="naive",
+                    strategy="term_major").where(F.col("rank") == 1)
+        pairs = [(r["qid"], r["docid"]) for r in top.collect()]
+        return explain_scores(_get_index(spark, sf), BM25_QUERIES, pairs)
+
+    def percolate_matches(spark, sf):
+        """Percolation / reverse search (query/percolate.py — the
+        Elasticsearch percolator role): stored disjunctive AND
+        conjunctive term queries matched against the documents
+        relation; distinct-term presence counts (tf-independent)."""
+        from terrier_ef_spark.query.percolate import percolate
+
+        return percolate(_docs(spark, sf), PERCOLATE_QUERIES)
+
     def complete_prefix(spark, sf):
         """Batched query autocompletion (query/expansion.py
         suggest_completions — the Solr/ES suggester role): per-prefix
@@ -2836,6 +2918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prior_topk": bm25_prior_topk,
         "bm25_page2_topk": bm25_page2_topk,
         "complete_prefix": complete_prefix,
+        "percolate_matches": percolate_matches,
+        "score_explain": score_explain,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3194,6 +3278,8 @@ SELECT term, doc_id AS docid FROM (
         "bm25_page2_topk": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False, offset=10, depth=20,
         ),
+        "percolate_matches": _percolate_oracle_sql(),
+        "score_explain": _explain_oracle_sql(BM25_QUERIES),
         "complete_prefix": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 lex AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY 1),
