@@ -154,7 +154,7 @@ _GATE_PRIORITY = [
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
     "streaming_queries", "complete_prefix", "percolate_matches",
-    "score_explain",
+    "score_explain", "bm25_tiered_topk",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -837,6 +837,75 @@ FROM q JOIN lex l USING (term) JOIN post p USING (term)
      JOIN dl ON dl.doc_id = p.doc_id
      JOIN top1 t ON t.qid = q.qid AND t.docid = p.doc_id
      CROSS JOIN st
+"""
+
+
+def _tiered_oracle_sql(queries, top_n: int = 8, k: int = 10) -> str:
+    """Twin of query/tiered.py run_queries_tiered over a tf-top-N
+    pruned tier: per-query pruned match counts route to the pruned
+    ranking (count >= k) or the full ranking, both 6dp-stable; the
+    tier column carries the serving provenance."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post0 AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), post AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS rk
+    FROM post0
+  ) WHERE rk <= {top_n}
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lexp AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), lexf AS (
+  SELECT term, count(*)::double AS df FROM post0 GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+scp AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lexp l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+), scf AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lexf l USING (term) JOIN post0 p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+), cnt AS (
+  SELECT qid, count(*) AS n FROM scp GROUP BY 1
+), rp AS (
+  SELECT qid, rank, docid, score FROM (
+    SELECT qid::bigint AS qid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+           docid, round(score, 6) AS score
+    FROM scp
+  ) WHERE rank <= {k}
+), rf AS (
+  SELECT qid, rank, docid, score FROM (
+    SELECT qid::bigint AS qid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, docid ASC)::int AS rank,
+           docid, round(score, 6) AS score
+    FROM scf
+  ) WHERE rank <= {k}
+)
+SELECT rp.qid, rp.rank, rp.docid, rp.score, 'pruned' AS tier
+FROM rp JOIN cnt ON cnt.qid = rp.qid WHERE cnt.n >= {k}
+UNION ALL
+SELECT rf.qid, rf.rank, rf.docid, rf.score, 'full' AS tier
+FROM rf LEFT JOIN cnt ON cnt.qid = rf.qid
+WHERE coalesce(cnt.n, 0) < {k}
 """
 
 
@@ -2586,25 +2655,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return dedup.simhash_near_dups(d)
 
-    def _get_pruned(spark, sf, top_n=100):
-        """Non-positional blocked index -> static prune (top_n by tf)."""
+    def _get_pruned_full(spark, sf):
+        """The blocked full index the pruned tiers derive from."""
         from terrier_ef_spark.corpus import corpus_from_documents
         from terrier_ef_spark.index.builder import build_index
-        from terrier_ef_spark.index.prune import prune_index
 
-        key = ("pruned", os.path.abspath(sf))
+        key = ("pruned_full", os.path.abspath(sf))
         if key not in _INDEX_CACHE:
             out = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 ".idx_cache",
                 "prune_" + (os.path.basename(sf.rstrip("/")) or "idx"),
             )
-            full = build_index(
+            _INDEX_CACHE[key] = build_index(
                 spark, corpus_from_documents(spark, sf),
                 os.path.join(out, "full"), block_bits=16, n_partitions=16,
             )
+        return _INDEX_CACHE[key]
+
+    def _get_pruned(spark, sf, top_n=100):
+        """Non-positional blocked index -> static prune (top_n by tf)."""
+        from terrier_ef_spark.index.prune import prune_index
+
+        key = ("pruned", top_n, os.path.abspath(sf))
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".idx_cache",
+                "prune_" + (os.path.basename(sf.rstrip("/")) or "idx"),
+            )
             _INDEX_CACHE[key] = prune_index(
-                full, os.path.join(out, "pruned"), top_n, n_partitions=16
+                _get_pruned_full(spark, sf),
+                os.path.join(out, f"pruned{top_n}"), top_n, n_partitions=16,
             )
         return _INDEX_CACHE[key]
 
@@ -2627,6 +2709,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _get_pruned(spark, sf), BM25_QUERIES, k=100, strategy="term_major"
         )
         return _rerank_6dp(deep)
+
+    def bm25_tiered_topk(spark, sf):
+        """Multi-tier serving with coverage fallback (query/tiered.py
+        — the Risvik et al. 2003 tiered-index architecture): a top_n=8
+        pruned first tier serves queries whose tier page reaches 10
+        results; under-covered queries fall back to the full index.
+        Deep fetch (k=100) with the routing decision pinned to the
+        10-result page (fallback_below), then the 6dp-stable re-rank
+        preserving each row's serving-tier provenance."""
+        from pyspark.sql import Window
+
+        from terrier_ef_spark.query.tiered import run_queries_tiered
+
+        tier = _get_pruned(spark, sf, top_n=8)
+        full = _get_pruned_full(spark, sf)
+        deep = run_queries_tiered(
+            tier, full, BM25_QUERIES, k=100, fallback_below=10
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score_r"), F.asc("docid")
+        )
+        return (
+            deep.withColumn("score_r", F.round("score", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("qid", "rank", "docid",
+                    F.col("score_r").alias("score"), "tier")
+        )
 
     def _get_maintenance(spark, sf):
         """Blocked index with doc_id % 7 == 3 tombstoned, plus its
@@ -2920,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_prefix": complete_prefix,
         "percolate_matches": percolate_matches,
         "score_explain": score_explain,
+        "bm25_tiered_topk": bm25_tiered_topk,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3280,6 +3391,7 @@ SELECT term, doc_id AS docid FROM (
         ),
         "percolate_matches": _percolate_oracle_sql(),
         "score_explain": _explain_oracle_sql(BM25_QUERIES),
+        "bm25_tiered_topk": _tiered_oracle_sql(BM25_QUERIES),
         "complete_prefix": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 lex AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY 1),
