@@ -102,10 +102,13 @@ def dsir_logweights(
         raise ValueError(f"buckets must be >= 2: {buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (smoothing): {alpha}")
-    if target.limit(1).count() == 0:
-        raise ValueError("target corpus is empty — no distribution to match")
     raw_feats = _feature_buckets(docs, buckets)
     tgt_feats = _feature_buckets(target, buckets)
+    # guard on FEATURES, not rows: a target whose texts all tokenize
+    # to nothing has no distribution either, and would otherwise
+    # null-propagate into silently-neutral weights
+    if tgt_feats.limit(1).count() == 0:
+        raise ValueError("target corpus is empty — no distribution to match")
     raw_m = _bucket_model(raw_feats, buckets, alpha)
     tgt_m = _bucket_model(tgt_feats, buckets, alpha)
     per = raw_feats.groupBy("doc_id", "bucket").agg(

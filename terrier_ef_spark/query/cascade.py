@@ -59,8 +59,8 @@ def run_queries_cascade(
     k: int = 10,
     depth: int = 100,
     model: str = "bm25",
-    k1: float = bm25.K1,
-    b: float = bm25.B,
+    k1: float | None = None,
+    b: float | None = None,
     selective: bool | None = None,
 ) -> DataFrame:
     """Disjunctive top-k through the two-stage cascade.
@@ -81,6 +81,14 @@ def run_queries_cascade(
         raise ValueError(f"k must be >= 1: {k}")
     if depth < k:
         raise ValueError(f"depth must be >= k: depth={depth} k={k}")
+    # parameter resolution mirrors run_queries: explicit args win, else
+    # the values recorded at build time (which also quantized the
+    # tier), else the module defaults — a tuned build cascades
+    # consistently with zero caller changes
+    if k1 is None:
+        k1 = float(index.stats.get("k1", bm25.K1))
+    if b is None:
+        b = float(index.stats.get("b", bm25.B))
     for key in ("num_docs", "num_postings"):
         if int(impact.stats[key]) != int(index.stats[key]):
             raise ValueError(

@@ -447,17 +447,29 @@ def _score_rows(
     if prior is not None:
         # static query-independent prior on the FOLDED scores, before
         # ranking (one docid-keyed join of the matched set against the
-        # prior relation; missing docs take the neutral prior 1)
-        p = prior.select(
-            "docid", F.col("prior").cast("double").alias("_prior")
+        # prior relation; missing docs take the neutral prior 1).
+        # Duplicate docid rows fold to max() — duplicate-tolerant like
+        # the doc_filter semi join, deterministic under conflicts; a
+        # non-positive prior fails the job (raise_error INSIDE the
+        # score expression, so column pruning can't eliminate the
+        # check) rather than silently nulling the score through ln(<=0)
+        p = prior.groupBy("docid").agg(
+            F.max(F.col("prior").cast("double")).alias("_prior")
+        )
+        lnp = (
+            F.when(F.col("_prior").isNull(), F.lit(0.0))
+            .when(F.col("_prior") > 0, F.log(F.col("_prior")))
+            .otherwise(
+                F.raise_error(
+                    F.lit("document priors must be > 0 (ln-prior boost)")
+                )
+            )
         )
         scored = (
             scored.join(p, "docid", "left")
             .withColumn(
                 "score",
-                F.col("score")
-                + F.lit(float(prior_weight))
-                * F.log(F.coalesce(F.col("_prior"), F.lit(1.0))),
+                F.col("score") + F.lit(float(prior_weight)) * lnp,
             )
             .drop("_prior")
         )

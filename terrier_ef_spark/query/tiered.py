@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from terrier_ef_spark.index.reader import EFIndex
-from terrier_ef_spark.query.engine import RESULT_SCHEMA, run_queries
+from terrier_ef_spark.query.engine import run_queries
 
 
 def run_queries_tiered(
@@ -67,20 +67,28 @@ def run_queries_tiered(
                 "collection statistics"
             )
     t_res = run_queries(tier, queries, k=k, strategy="term_major")
-    # bounded collect: per-qid result counts (<= len(queries) rows)
-    counts = {
-        r["qid"]: r["n"]
-        for r in t_res.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # bounded collect of the whole tier page (<= len(queries) * k
+    # rows — the PRF/cascade literal-frame discipline): the page is
+    # read twice (routing counts + the served rows), and a literal
+    # frame stops Spark from re-running the tier's scoring lineage
+    # for the second read
+    t_rows = [
+        (int(r["qid"]), int(r["rank"]), int(r["docid"]), float(r["score"]))
+        for r in t_res.collect()
+    ]
+    counts: dict[int, int] = {}
+    for qid, *_ in t_rows:
+        counts[qid] = counts.get(qid, 0) + 1
     fallback = [
         q for q in queries if counts.get(int(q["qid"]), 0) < fallback_below
     ]
-    served = t_res
+    fb_qids = {int(q["qid"]) for q in fallback}
+    spark = tier.spark
+    served = spark.createDataFrame(
+        [r for r in t_rows if r[0] not in fb_qids],
+        "qid long, rank int, docid long, score double",
+    ).withColumn("tier", F.lit("pruned"))
     if fallback:
-        fb_qids = {int(q["qid"]) for q in fallback}
-        served = t_res.where(~F.col("qid").isin(sorted(fb_qids)))
         f_res = run_queries(full, fallback, k=k, strategy="term_major")
-        return served.withColumn("tier", F.lit("pruned")).unionByName(
-            f_res.withColumn("tier", F.lit("full"))
-        )
-    return served.withColumn("tier", F.lit("pruned"))
+        return served.unionByName(f_res.withColumn("tier", F.lit("full")))
+    return served

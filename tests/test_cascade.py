@@ -162,3 +162,30 @@ def test_guards(cascade_setup, spark, tmp_path):
     imp2 = build_impact_index(other, str(tmp_path / "other_imp"), bits=8)
     with pytest.raises(ValueError, match="does not derive"):
         run_queries_cascade(imp2, idx, QUERIES, k=1, depth=1)
+
+
+def test_cascade_inherits_build_params(spark, tmp_path):
+    """A k1/b-tuned build cascades consistently: stage 2 defaults to
+    the stats-recorded parameters (which also quantized the tier), so
+    full-depth cascade == exhaustive exact on the tuned index."""
+    from terrier_ef_spark.index.builder import build_index
+
+    rows = [("r", f"f{d}", "c0", "t", t, d) for d, t in sorted(DOCS.items())]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "tuned"), log2_quantum=3,
+        n_partitions=2, k1=2.0, b=0.3,
+    )
+    imp = build_impact_index(idx, str(tmp_path / "tuned_imp"), bits=8)
+    got = _rows(run_queries_cascade(imp, idx, QUERIES, k=5, depth=len(DOCS)))
+    want = _rows(run_queries(idx, QUERIES, k=5, strategy="term_major"))
+    assert got == want
+    # and it differs from the default-parameter scoring (the tune bites)
+    default_scores = _rows(
+        run_queries(idx, QUERIES, k=5, strategy="term_major",
+                    k1=1.2, b=0.75)
+    )
+    assert got != default_scores

@@ -154,3 +154,14 @@ def test_guards(frames, spark):
         dsir_sample(docs, tgt, n=0)
     with pytest.raises(ValueError, match="target corpus is empty"):
         dsir_logweights(docs, docs.where("lang = 'nope'"))
+
+
+def test_featureless_target_rejected(spark):
+    """A target with rows but no tokenizable features has no
+    distribution either — refused, not silently neutral."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "xx"), (1, "...!!!", "en")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="target corpus is empty"):
+        dsir_logweights(docs, docs.where("lang = 'en'"))

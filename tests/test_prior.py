@@ -116,3 +116,28 @@ def test_prior_guards(prior_idx, spark):
         run_queries(prior_idx, QUERIES, algo="bmw", prior=pf)
     with pytest.raises(ValueError, match="term-major only"):
         run_queries(prior_idx, QUERIES, strategy="query_major", prior=pf)
+
+
+def test_duplicate_prior_rows_tolerated(prior_idx, spark):
+    """Duplicate docid rows in the prior relation fold (max) instead
+    of fanning out the scored rows into duplicate results."""
+    dup = spark.createDataFrame(
+        [(0, 2.0), (0, 2.0), (1, 3.0)], "docid long, prior double"
+    )
+    single = spark.createDataFrame(
+        [(0, 2.0), (1, 3.0)], "docid long, prior double"
+    )
+    a = _res(run_queries(prior_idx, QUERIES, k=5, strategy="term_major",
+                         prior=dup))
+    b = _res(run_queries(prior_idx, QUERIES, k=5, strategy="term_major",
+                         prior=single))
+    assert a == b
+    docids = [(q, d) for q, _, d, _ in a]
+    assert len(set(docids)) == len(docids)
+
+
+def test_nonpositive_prior_raises(prior_idx, spark):
+    bad = spark.createDataFrame([(0, 0.0)], "docid long, prior double")
+    with pytest.raises(Exception, match="must be > 0"):
+        run_queries(prior_idx, QUERIES, k=5, strategy="term_major",
+                    prior=bad).collect()
