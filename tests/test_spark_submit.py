@@ -275,3 +275,56 @@ def test_submit_query_server_sdm_mode(small_index):
             abs(r["score"] - g["score"]) < 2e-6
             for r, g in zip(want, got)
         )
+
+
+@pytest.mark.slow
+def test_spark_submit_impact_cascade(tmp_path):
+    """Tier ship path: --impact-out derives the quantized tier in the
+    build job; submit_query --impact serves through the cascade, and
+    at depth >= corpus the run equals the plain exact run."""
+    spark_home = os.path.dirname(os.path.abspath(__import__("pyspark").__file__))
+    spark_submit = os.path.join(spark_home, "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = shutil.which("spark-submit")
+    if not spark_submit:
+        pytest.skip("spark-submit not available")
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_pyfiles import make_zip
+
+    zip_path = make_zip(str(tmp_path / "terrier_ef_spark.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    common = [spark_submit, "--master", "local[4]",
+              "--conf", "spark.sql.shuffle.partitions=8",
+              "--py-files", zip_path]
+    build = subprocess.run(
+        common + [os.path.join(REPO, "tools", "submit_build.py"),
+                  "--synth-docs", "60", "--out", str(tmp_path / "idx"),
+                  "--partitions", "4", "--block-bits", "5",
+                  "--impact-out", str(tmp_path / "imp")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert build.returncode == 0, build.stderr[-2000:]
+    line = [ln for ln in build.stdout.splitlines() if ln.startswith("{")][-1]
+    assert "impact_sec" in json.loads(line)
+
+    qfile = tmp_path / "topics.tsv"
+    qfile.write_text("1\ttable value\n2\tmerge\n")
+
+    def _run(extra):
+        p = subprocess.run(
+            common + [os.path.join(REPO, "tools", "submit_query.py"),
+                      "--index", str(tmp_path / "idx"),
+                      "--queries-file", str(qfile), "--k", "5",
+                      "--format", "trec", "--tag", "casc"] + extra,
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [ln for ln in p.stdout.splitlines() if ln.endswith("casc")]
+
+    cascade = _run(["--impact", str(tmp_path / "imp"), "--depth", "100"])
+    exact = _run(["--algo", "naive"])
+    assert cascade and cascade == exact

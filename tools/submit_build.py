@@ -54,6 +54,11 @@ def main() -> None:
                          "built index; result replaces the query target")
     ap.add_argument("--merge-out", default=None,
                     help="output dir for --merge-with (required with it)")
+    ap.add_argument("--impact-out", default=None,
+                    help="also derive the quantized impact serving tier "
+                    "here (index/impact.py; serve via submit_query "
+                    "--impact)")
+    ap.add_argument("--impact-bits", type=int, default=8)
     ap.add_argument("--export-prefix", default=None,
                     help="also export the final index to the reference's "
                          "Terrier-layout bitfiles at this path prefix")
@@ -143,6 +148,16 @@ def main() -> None:
                             n_partitions=args.partitions)
         out["compact_sec"] = round(time.time() - t0, 3)
         out["live_docs"] = idx.stats["num_docs"]
+
+    if args.impact_out:
+        from terrier_ef_spark.index.impact import build_impact_index
+
+        t0 = time.time()
+        imp = build_impact_index(idx, args.impact_out,
+                                 bits=args.impact_bits,
+                                 n_partitions=args.partitions)
+        out["impact_sec"] = round(time.time() - t0, 3)
+        out["impact_gmax"] = imp.stats["impact_gmax"]
 
     if args.export_prefix:
         from terrier_ef_spark.index.export import export_terrier_bitfiles

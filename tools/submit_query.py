@@ -23,6 +23,13 @@ same engine.
 (query/sdm.py: unigram + ordered-bigram + unordered-window Dirichlet
 features over the positional index); mutually exclusive with --ql.
 
+--impact DIR serves through the two-stage cascade: the quantized
+impact tier at DIR (tools/submit_build.py --impact-out, or
+index/impact.py build_impact_index) answers the integer first pass,
+and only its top --depth candidates are re-scored exactly
+(query/cascade.py). Mutually exclusive with --ql/--sdm; qtf weights
+do not apply (the tier has no weight channel).
+
 --server keeps the session alive and answers topics from stdin
 (`qid<TAB>query` per line, EOF ends); each topic's results are
 followed by one blank line (the end-of-results frame) and flushed
@@ -117,7 +124,19 @@ def _answer(idx, batch, args, out, *, terminator: bool = False,
             docno_cache: dict | None = None) -> None:
     from terrier_ef_spark.query.engine import run_queries, with_docno
 
-    if getattr(args, "sdm", False):
+    if getattr(args, "impact", None):
+        from terrier_ef_spark.index.impact import ImpactIndex
+        from terrier_ef_spark.query.cascade import run_queries_cascade
+
+        imp = getattr(args, "_impact_idx", None)
+        if imp is None:
+            imp = ImpactIndex(idx.spark, args.impact)
+            args._impact_idx = imp  # load once per process (--server)
+        res = run_queries_cascade(
+            imp, idx, batch, k=args.k, depth=args.depth,
+            k1=args.k1, b=args.b,
+        )
+    elif getattr(args, "sdm", False):
         from terrier_ef_spark.query.sdm import run_queries_sdm
 
         res = run_queries_sdm(idx, batch, k=args.k)
@@ -181,11 +200,19 @@ def main() -> None:
                     "Dirichlet features; needs a positional index)")
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
+    ap.add_argument("--impact", default=None,
+                    help="impact-index dir: serve through the two-stage "
+                    "cascade (integer tier first pass, exact re-rank of "
+                    "its top --depth candidates)")
+    ap.add_argument("--depth", type=int, default=100,
+                    help="cascade stage-1 candidate pool per query")
     ap.add_argument("--format", default="trec", choices=["trec", "json"])
     ap.add_argument("--tag", default="spark-ef")
     args = ap.parse_args()
     if args.sdm and args.ql:
         ap.error("--sdm and --ql are mutually exclusive")
+    if args.impact and (args.sdm or args.ql):
+        ap.error("--impact is mutually exclusive with --sdm/--ql")
 
     from pyspark.sql import SparkSession
 
