@@ -353,6 +353,18 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
         dts.append(time.time() - t0)
     out["bm25_impact_sec"] = min(dts)
     out["bm25_impact_qps"] = len(batch) / min(dts)
+
+    # two-stage cascade on the same batch: integer tier first pass
+    # (depth 100) + exact re-rank of the bounded candidate pool
+    from terrier_ef_spark.query.cascade import run_queries_cascade
+
+    run_queries_cascade(iidx, idx, batch, k=10, depth=100).count()  # warm
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        run_queries_cascade(iidx, idx, batch, k=10, depth=100).count()
+        dts.append(time.time() - t0)
+    out["bm25_cascade_sec"] = min(dts)
     shutil.rmtree(workdir + "_imp", ignore_errors=True)
 
     spark.stop()
@@ -443,6 +455,7 @@ def main():
         "ltr_features32": round(result["ltr_features32_sec"], 3),
         "impact_build": round(result["impact_build_sec"], 3),
         "bm25_impact_batch24": round(result["bm25_impact_sec"], 3),
+        "bm25_cascade_batch24": round(result["bm25_cascade_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
