@@ -154,7 +154,7 @@ _GATE_PRIORITY = [
     "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
     "streaming_queries", "complete_prefix", "percolate_matches",
-    "score_explain", "bm25_tiered_topk",
+    "score_explain", "bm25_tiered_topk", "hard_negatives",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -906,6 +906,43 @@ UNION ALL
 SELECT rf.qid, rf.rank, rf.docid, rf.score, 'full' AS tier
 FROM rf LEFT JOIN cnt ON cnt.qid = rf.qid
 WHERE coalesce(cnt.n, 0) < {k}
+"""
+
+
+def _negatives_oracle_sql(queries, n_neg: int = 5) -> str:
+    """Twin of pipeline/negatives.py mine_hard_negatives with the
+    relational qrels rule docid % 4 == 1: 6dp-stable ranking minus the
+    positives, renumbered top n_neg per query."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    contrib = _MODEL_CONTRIB_SQL["bm25"]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT term, doc_id, count(*)::double AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::double AS doclen FROM tok GROUP BY 1
+), st AS (
+  SELECT (SELECT count(*) FROM documents)::double AS n, avg(doclen) AS avgdl
+  FROM dl
+), lex AS (
+  SELECT term, count(*)::double AS df FROM post GROUP BY 1
+), q(qid, term) AS (VALUES {vals}),
+sc AS (
+  SELECT q.qid, p.doc_id AS docid, sum({contrib}) AS score
+  FROM q JOIN lex l USING (term) JOIN post p USING (term)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT qid, neg_rank, docid, score FROM (
+  SELECT qid::bigint AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid ASC)::int AS neg_rank,
+         docid, round(score, 6) AS score
+  FROM sc WHERE docid % 4 <> 1
+) WHERE neg_rank <= {n_neg}
 """
 
 
@@ -2232,6 +2269,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = [(r["qid"], r["docid"]) for r in top.collect()]
         return explain_scores(_get_index(spark, sf), BM25_QUERIES, pairs)
 
+    def hard_negatives(spark, sf):
+        """DPR-style hard-negative mining (pipeline/negatives.py):
+        each BM25 topic's top-5 NON-relevant docs from the deep page,
+        with the relational qrels rule docid % 4 == 1 marking the
+        positives for every query."""
+        from terrier_ef_spark.pipeline.negatives import mine_hard_negatives
+
+        idx = _get_index(spark, sf)
+        qids = spark.createDataFrame(
+            [(q["qid"],) for q in BM25_QUERIES], "qid long"
+        )
+        pos = qids.crossJoin(
+            _docs(spark, sf)
+            .where(F.col("doc_id") % 4 == 1)
+            .select(F.col("doc_id").alias("docid"))
+        )
+        return mine_hard_negatives(idx, BM25_QUERIES, pos, n_neg=5)
+
     def percolate_matches(spark, sf):
         """Percolation / reverse search (query/percolate.py — the
         Elasticsearch percolator role): stored disjunctive AND
@@ -3031,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": percolate_matches,
         "score_explain": score_explain,
         "bm25_tiered_topk": bm25_tiered_topk,
+        "hard_negatives": hard_negatives,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3392,6 +3448,7 @@ SELECT term, doc_id AS docid FROM (
         "percolate_matches": _percolate_oracle_sql(),
         "score_explain": _explain_oracle_sql(BM25_QUERIES),
         "bm25_tiered_topk": _tiered_oracle_sql(BM25_QUERIES),
+        "hard_negatives": _negatives_oracle_sql(BM25_QUERIES),
         "complete_prefix": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 lex AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY 1),
