@@ -155,6 +155,7 @@ _GATE_PRIORITY = [
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
     "streaming_queries", "complete_prefix", "percolate_matches",
     "score_explain", "bm25_tiered_topk", "hard_negatives",
+    "code_token_counts",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -943,6 +944,23 @@ SELECT qid, neg_rank, docid, score FROM (
          docid, round(score, 6) AS score
   FROM sc WHERE docid % 4 <> 1
 ) WHERE neg_rank <= {n_neg}
+"""
+
+
+def _code_tokens_oracle_sql() -> str:
+    from terrier_ef_spark.tokenizer import tokenize_code_sql_duckdb
+
+    toks = tokenize_code_sql_duckdb("t")
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         concat_ws(' ', 'getUserName HTTPServer2 parseJSONFile',
+                   'loadConfigV' || (doc_id % 13)::VARCHAR, text) AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM c
+)
+SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2
 """
 
 
@@ -2287,6 +2305,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mine_hard_negatives(idx, BM25_QUERIES, pos, n_neg=5)
 
+    def code_token_counts(spark, sf):
+        """Code-aware tokenization (tokenizer='code': camelCase /
+        acronym / snake_case identifier splitting, the analyzer a
+        source-code corpus needs): per-(doc, term) counts over text
+        prefixed with deterministic camel identifiers so the splitting
+        rules are actually exercised. The twin re-expresses the
+        lookaround boundaries as RE2 capture-group replacements — a
+        different formulation, so hash agreement verifies the split
+        semantics, not just the regex engine."""
+        from terrier_ef_spark.tokenizer import make_tokenizer
+
+        tok = make_tokenizer("code")
+        camel = F.concat_ws(
+            " ",
+            F.lit("getUserName HTTPServer2 parseJSONFile"),
+            F.concat(F.lit("loadConfigV"),
+                     (F.col("doc_id") % 13).cast("string")),
+            F.col("text"),
+        )
+        return (
+            _docs(spark, sf)
+            .select("doc_id", F.explode(tok(camel)).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
     def percolate_matches(spark, sf):
         """Percolation / reverse search (query/percolate.py — the
         Elasticsearch percolator role): stored disjunctive AND
@@ -3087,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": score_explain,
         "bm25_tiered_topk": bm25_tiered_topk,
         "hard_negatives": hard_negatives,
+        "code_token_counts": code_token_counts,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3449,6 +3494,7 @@ SELECT term, doc_id AS docid FROM (
         "score_explain": _explain_oracle_sql(BM25_QUERIES),
         "bm25_tiered_topk": _tiered_oracle_sql(BM25_QUERIES),
         "hard_negatives": _negatives_oracle_sql(BM25_QUERIES),
+        "code_token_counts": _code_tokens_oracle_sql(),
         "complete_prefix": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 lex AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY 1),

@@ -50,6 +50,27 @@ def tokenize_code_udf(content: pd.Series) -> pd.Series:
     return toks.map(lambda xs: [x for x in xs if x])
 
 
+def tokenize_code_sql_duckdb(col: str) -> str:
+    """The DuckDB twin of tokenize_code_udf. RE2 has no lookarounds,
+    so the camel boundaries are re-expressed as two sequential
+    capture-group replacements — a DIFFERENT formulation that must
+    produce the same split points: rule 1 breaks lower/digit->Upper
+    ('parseJSON' -> 'parse JSON'), rule 2 breaks an acronym's last
+    capital from a following word ('HTTPServer' -> 'HTTP Server').
+    Sequential global non-overlapping replaces insert a break at every
+    boundary the lookaround alternation finds (boundaries two apart
+    never share a consumed character; the two rules never destroy each
+    other's matches because an inserted space only lands where a split
+    already happens). Agreement is enforced by the contract hash over
+    adversarial identifiers and by the unit mirror."""
+    r1 = f"regexp_replace({col}, '([a-z0-9])([A-Z])', '\\1 \\2', 'g')"
+    r2 = f"regexp_replace({r1}, '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({r2}),"
+        f" '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )
+
+
 def make_tokenizer(
     base: str = "simple",
     stopwords: list[str] | None = None,

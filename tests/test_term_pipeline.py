@@ -180,3 +180,36 @@ def test_qtf_weight_changes_ranking_like_explicit_weights(small_index):
     assert [(r["docid"], round(r["score"], 9)) for r in got] == [
         (r["docid"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_code_tokenizer_twin_formulations_agree():
+    """The DuckDB twin re-expresses the lookaround camel boundaries as
+    RE2 capture-group replacements; both formulations must split every
+    adversarial identifier identically."""
+    import re
+
+    import duckdb
+
+    from terrier_ef_spark.tokenizer import (
+        _CAMEL_RE,
+        TOKEN_SPLIT_RE,
+        tokenize_code_sql_duckdb,
+    )
+
+    cases = [
+        "getUserName", "HTTPServer2", "parseJSONFile123",
+        "snake_case_id", "AAAa", "aXbYc", "XMLHttpRequest",
+        "simpleword", "ABcDEf", "mixedCASEToken", "a1A2b", "",
+        "IOError", "getX", "loadConfigV7",
+    ]
+    con = duckdb.connect()
+    for c in cases:
+        want = [
+            t for t in re.split(
+                TOKEN_SPLIT_RE, re.sub(_CAMEL_RE, " ", c).lower()
+            ) if t
+        ]
+        got = con.execute(
+            f"SELECT {tokenize_code_sql_duckdb('?')}", [c]
+        ).fetchone()[0]
+        assert got == want, c
