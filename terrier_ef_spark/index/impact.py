@@ -69,7 +69,26 @@ class ImpactIndex:
 
     @property
     def postings(self) -> DataFrame:
+        if getattr(self, "_postings_cached", None) is not None:
+            return self._postings_cached
         return self.spark.read.parquet(os.path.join(self.root, "postings"))
+
+    def enable_serving_cache(self) -> None:
+        """Pin the impact postings in Spark's in-memory columnar cache
+        for a read-only serving session — the EFIndex serving-cache
+        discipline (reader.py): single-topic latency on the tier is
+        parquet job overhead, not decode. Distributed executor-side
+        cache (spills to disk at scale), not a driver collect. The
+        tier is immutable by construction (rebuilt from the source
+        index, never edited in place), so there is no lifecycle-verb
+        staleness caveat."""
+        from pyspark import StorageLevel
+
+        df = self.spark.read.parquet(
+            os.path.join(self.root, "postings")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # materialize now, not on the first topic
+        self._postings_cached = df
 
 
 def build_impact_index(

@@ -136,3 +136,25 @@ def test_tombstoned_index_refused(spark, tmp_path_factory):
     delete_docs(idx, [0])
     with pytest.raises(ValueError, match="tombstone"):
         build_impact_index(idx, str(root / "imp"))
+
+
+def test_impact_serving_cache_identity(impact_setup):
+    """enable_serving_cache pins the postings; decoded rows and query
+    results are identical before and after."""
+    idx, imp = impact_setup
+    q = [{"qid": 1, "terms": ["spark", "table"]}]
+    before = sorted(
+        (r["qid"], r["rank"], r["docid"], r["score"])
+        for r in run_queries_impact(imp, q, k=5).collect()
+    )
+    imp.enable_serving_cache()
+    try:
+        assert imp.postings.is_cached
+        after = sorted(
+            (r["qid"], r["rank"], r["docid"], r["score"])
+            for r in run_queries_impact(imp, q, k=5).collect()
+        )
+        assert after == before
+    finally:
+        imp._postings_cached.unpersist()
+        imp._postings_cached = None

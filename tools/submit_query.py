@@ -257,6 +257,11 @@ def main() -> None:
         # per-topic cost is otherwise parquet job overhead, not decode)
         # — plus the per-index doclen broadcast warmed by query one.
         idx.enable_serving_cache()
+        if args.impact:
+            from terrier_ef_spark.index.impact import ImpactIndex
+
+            args._impact_idx = ImpactIndex(idx.spark, args.impact)
+            args._impact_idx.enable_serving_cache()
         docno_cache: dict = {}
         for line in sys.stdin:
             line = line.strip()
