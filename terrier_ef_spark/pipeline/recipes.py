@@ -88,3 +88,77 @@ def clean_corpus(
     )
     survivors = docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
     return survivors, ledger
+
+
+def curate_training_corpus(
+    docs: DataFrame,
+    *,
+    bench: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    dedup_threshold: float = 0.5,
+    target: DataFrame | None = None,
+    select_n: int | None = None,
+    dsir_buckets: int = 4096,
+    mixture_by: str | None = None,
+    temperature: float = 1.0,
+    budget_frac: float = 1.0,
+    seq_len: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The full LLM-data curation composition, wired entirely from the
+    gate-verified stage operators:
+
+        clean_corpus (near-dup clusters -> C4/Gopher quality ->
+        benchmark decontamination, attributed ledger)
+          -> [target + select_n]  DSIR importance selection
+             (pipeline/dsir.dsir_sample: keep the select_n survivors
+              that look most like the target corpus)
+          -> [mixture_by]         temperature mixture sampling
+             (pipeline/sampling.mixture_sample: n^(1/T) domain rates
+              inside a budget_frac budget)
+          -> [seq_len]            GPT-style sequence packing
+             (pipeline/chunking.pack_sequences)
+
+    Returns (result, ledger). Without seq_len the result is the
+    selected documents frame; with seq_len it is the packed
+    (block, doc segment) table. The ledger extends clean_corpus's with
+    'dsir_rejected' and 'mixture_sampled_out' rows, so every document
+    that entered the pipeline has either a survivor row or an
+    attributed drop — the no-silent-drops rule the cleaning recipe
+    established, carried through selection and sampling.
+
+    Each optional stage is a semi/anti join keyed on doc_id over the
+    previous stage's survivors; the composition adds no shuffle shape
+    beyond its parts."""
+    survivors, ledger = clean_corpus(
+        docs, bench=bench, pairs=pairs, dedup_threshold=dedup_threshold
+    )
+    if (target is None) != (select_n is None):
+        raise ValueError("DSIR selection needs BOTH target and select_n")
+    if target is not None:
+        from terrier_ef_spark.pipeline.dsir import dsir_sample
+
+        picked = dsir_sample(
+            survivors, target, n=select_n, buckets=dsir_buckets
+        ).select("doc_id")
+        dropped = survivors.join(picked, "doc_id", "left_anti").select(
+            "doc_id", F.lit("dsir_rejected").alias("dropped_by")
+        )
+        ledger = ledger.unionByName(dropped)
+        survivors = survivors.join(picked, "doc_id", "left_semi")
+    if mixture_by is not None:
+        from terrier_ef_spark.pipeline.sampling import mixture_sample
+
+        kept = mixture_sample(
+            survivors, by=mixture_by, temperature=temperature,
+            budget_frac=budget_frac,
+        ).select("doc_id")
+        dropped = survivors.join(kept, "doc_id", "left_anti").select(
+            "doc_id", F.lit("mixture_sampled_out").alias("dropped_by")
+        )
+        ledger = ledger.unionByName(dropped)
+        survivors = survivors.join(kept, "doc_id", "left_semi")
+    if seq_len is not None:
+        from terrier_ef_spark.pipeline.chunking import pack_sequences
+
+        return pack_sequences(survivors, seq_len=seq_len), ledger
+    return survivors, ledger

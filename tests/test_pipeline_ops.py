@@ -697,3 +697,48 @@ def test_doc_perplexity_excludes_empty(spark):
     )
     ids = {r["doc_id"] for r in doc_perplexity(docs).collect()}
     assert ids == {0}
+
+
+def test_curate_training_corpus_recipe(spark):
+    """Full curation composition: cleaning -> DSIR selection ->
+    mixture sampling -> packing, with every entering doc either a
+    survivor or carrying an attributed drop row."""
+    from terrier_ef_spark.pipeline.recipes import curate_training_corpus
+
+    def _long(tag, i0=0):
+        return " ".join(
+            f"the {tag}{i} has part{i} and value{i} in slot{i}"
+            for i in range(i0, i0 + 8)
+        )
+
+    rows = [(d, _long(f"w{d}"), "en" if d % 2 == 0 else "de")
+            for d in range(10)]
+    rows.append((10, rows[0][1], "en"))   # near-dup of doc 0
+    rows.append((11, "tiny doc", "en"))   # quality failure
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = docs.where("lang = 'en' AND doc_id < 4")
+
+    selected, ledger = curate_training_corpus(
+        docs, target=target, select_n=6, dsir_buckets=64,
+        mixture_by="lang", temperature=2.0, budget_frac=0.9,
+    )
+    kept = {r["doc_id"] for r in selected.collect()}
+    dropped = {r["doc_id"]: r["dropped_by"] for r in ledger.collect()}
+    # full attribution: every doc is kept XOR dropped
+    assert kept.isdisjoint(dropped)
+    assert kept | set(dropped) == {r[0] for r in rows}
+    assert dropped[11].startswith("quality:")
+    assert "near_duplicate" in {dropped.get(0), dropped.get(10)}
+    assert sum(1 for v in dropped.values() if v == "dsir_rejected") >= 1
+    # packing stage: block table instead of docs
+    packed, ledger2 = curate_training_corpus(
+        docs, target=target, select_n=6, dsir_buckets=64, seq_len=16,
+    )
+    assert {"chunk_id", "doc_id", "doc_start", "doc_end"} <= set(
+        packed.columns
+    )
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BOTH target and select_n"):
+        curate_training_corpus(docs, target=target)
