@@ -155,7 +155,7 @@ _GATE_PRIORITY = [
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
     "streaming_queries", "complete_prefix", "percolate_matches",
     "score_explain", "bm25_tiered_topk", "hard_negatives",
-    "code_token_counts",
+    "code_token_counts", "event_sessions",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -3062,6 +3062,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "qid long, rank int, docid long, score double"
         ))
 
+    def event_sessions(spark, sf):
+        """Gap-based sessionization (streaming/events.py sessionize —
+        the gaps-and-islands pattern, one exchange): per-(user,
+        session) start/end/count/sum over the events table at a
+        30-minute gap."""
+        from terrier_ef_spark.streaming.events import sessionize
+
+        return sessionize(
+            spark.read.parquet(f"{sf}/events.parquet"), 30
+        )
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -3149,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": proximity_tv,
         "direct_decoded": direct_decoded,
         "events_window": events_window,
+        "event_sessions": event_sessions,
         "streaming_dedup": streaming_dedup,
         "streaming_queries": streaming_queries,
         "token_counts": lambda s, sf: textstats.token_counts(_docs(s, sf)),
@@ -3242,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from terrier_ef_spark.query import snippets as snippets_mod
+    from terrier_ef_spark.streaming import events as stream_events
 
     # PII twin: plant the same doc_id-derived PII strings the Spark
     # wrapper plants (pii_redaction_q), then redact with the shared
@@ -3591,6 +3604,7 @@ FROM post p JOIN lex l USING (term)
             "SELECT DISTINCT md5(text) AS content_hash FROM documents"
         ),
         "streaming_queries": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
+        "event_sessions": stream_events.sessionize_sql(30),
         "events_window": """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::bigint AS n, round(sum(value), 2) AS sum_value

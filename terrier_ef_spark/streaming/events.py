@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = "ts timestamp, event_type string, value double"
@@ -71,3 +71,82 @@ def run_events_stream(
     )
     query.awaitTermination()
     return spark.read.parquet(os.path.join(out_dir, "windows"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization — the classic event-analytics operator
+    (a new session starts when a user's inter-event gap exceeds
+    `gap_minutes`): returns one row per (user_id, session) with
+    session_start / session_end / n_events / sum_value, sessions
+    numbered 1..n per user in time order.
+
+    Relational shape: the gaps-and-islands pattern — one lag window to
+    flag session starts, one running-sum window to number sessions,
+    one aggregation; everything partitions on user_id, so the three
+    steps ride ONE hash exchange (Catalyst reuses the partitioning
+    across the two windows and the groupBy). No per-user skew beyond
+    the user's own event count; for the streaming analogue use
+    applyInPandasWithState or Spark's native session_window — this is
+    the batch/backfill twin with an exact SQL oracle.
+
+    Ties: events sharing a timestamp order by event_id (deterministic
+    cross-engine); a same-timestamp event never opens a session (gap 0
+    <= any non-negative threshold)."""
+    if gap_minutes < 0:
+        raise ValueError(f"gap_minutes must be >= 0: {gap_minutes}")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = secs - F.lag(secs).over(w_ord)
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("session", F.sum("new_sess").over(w_run))
+    return (
+        sess.groupBy("user_id", "session")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("session").cast("int").alias("session"),
+            "session_start", "session_end", "n_events", "sum_value",
+        )
+    )
+
+
+SESSIONIZE_SQL_TMPL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_sec}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session
+  FROM flagged
+)
+SELECT user_id, session::int AS session,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::bigint AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY 1, 2
+"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    """DuckDB twin of sessionize."""
+    return SESSIONIZE_SQL_TMPL.format(gap_sec=gap_minutes * 60)

@@ -94,3 +94,45 @@ def test_watermark_window_semantics(spark, tmp_path):
     # the closed click window was NOT re-emitted or modified
     assert rows3[("2024-01-01 10:00:00", "click")] == (3, 13.0)
     assert rows3[("2024-01-01 10:30:00", "tick")] == (1, 0.0)
+
+
+def test_sessionize_hand_built(spark):
+    """Gap-based sessionization: boundary gap == threshold does NOT
+    split (strict > semantics), a longer gap does, users independent,
+    same-timestamp ties order by event_id."""
+    from datetime import datetime, timedelta
+
+    from terrier_ef_spark.streaming.events import sessionize
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: three events 10 min apart (one session), then a
+        # 31-min gap (new session)
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + timedelta(minutes=10), 2.0),
+        (3, 1, t0 + timedelta(minutes=20), 3.0),
+        (4, 1, t0 + timedelta(minutes=51), 4.0),
+        # user 2: gap EXACTLY 30 min -> same session
+        (5, 2, t0, 10.0),
+        (6, 2, t0 + timedelta(minutes=30), 20.0),
+        # user 2: same-timestamp tie rides event_id order, no split
+        (7, 2, t0 + timedelta(minutes=30), 30.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["session"]): (
+            r["n_events"], r["sum_value"], r["session_start"]
+        )
+        for r in sessionize(ev, 30).collect()
+    }
+    assert got == {
+        (1, 1): (3, 6.0, "2026-01-01 12:00:00"),
+        (1, 2): (1, 4.0, "2026-01-01 12:51:00"),
+        (2, 1): (3, 60.0, "2026-01-01 12:00:00"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gap_minutes"):
+        sessionize(ev, -1)
