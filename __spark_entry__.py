@@ -155,7 +155,7 @@ _GATE_PRIORITY = [
     "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
     "streaming_queries", "complete_prefix", "percolate_matches",
     "score_explain", "bm25_tiered_topk", "hard_negatives",
-    "code_token_counts", "event_sessions",
+    "code_token_counts", "event_sessions", "funnel_steps",
     "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
     "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
     "media_audio_features", "media_frame_stats",
@@ -3073,6 +3073,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/events.parquet"), 30
         )
 
+    def funnel_steps(spark, sf):
+        """Ordered-funnel analysis (streaming/events.py funnel_counts):
+        view -> click -> purchase within 120 minutes of the first view
+        — sequence-enforced per-step user counts + step conversions;
+        the fixture window leaves step 3 at zero users, exercising the
+        all-steps-report rule."""
+        from terrier_ef_spark.streaming.events import funnel_counts
+
+        return funnel_counts(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            ["view", "click", "purchase"], within_minutes=120,
+        )
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -3161,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_decoded": direct_decoded,
         "events_window": events_window,
         "event_sessions": event_sessions,
+        "funnel_steps": funnel_steps,
         "streaming_dedup": streaming_dedup,
         "streaming_queries": streaming_queries,
         "token_counts": lambda s, sf: textstats.token_counts(_docs(s, sf)),
@@ -3605,6 +3619,9 @@ FROM post p JOIN lex l USING (term)
         ),
         "streaming_queries": _bm25_oracle_sql(BM25_QUERIES, conjunctive=False),
         "event_sessions": stream_events.sessionize_sql(30),
+        "funnel_steps": stream_events.funnel_sql(
+            ["view", "click", "purchase"], 120
+        ),
         "events_window": """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::bigint AS n, round(sum(value), 2) AS sum_value

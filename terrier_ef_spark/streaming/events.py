@@ -150,3 +150,114 @@ FROM sess GROUP BY 1, 2
 def sessionize_sql(gap_minutes: int = 30) -> str:
     """DuckDB twin of sessionize."""
     return SESSIONIZE_SQL_TMPL.format(gap_sec=gap_minutes * 60)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within_minutes: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (the product-analytics staple): how many
+    users reach each step IN SEQUENCE. A user's step-k time is their
+    EARLIEST event of that type at-or-after their step-(k-1) time
+    (equal timestamps count — an instantaneous follow-up converts);
+    within_minutes, when set, bounds the WHOLE funnel from the user's
+    step-1 time. Returns (step_idx, step, n_users, conversion) with
+    conversion = this step's users / previous step's (6dp, step 1 = 1).
+
+    Relational shape: one filtered min-aggregation per step, each
+    joined to the previous step's (user, time) frame on user_id —
+    len(steps) shuffles on the same key (Catalyst reuses the hash
+    partitioning down the chain), then one union of the per-step user
+    frames and one count. No window over all events, no self-join of
+    the full event table: each stage touches only its own event type's
+    rows."""
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps: {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
+    if within_minutes is not None and within_minutes <= 0:
+        raise ValueError(f"within_minutes must be > 0: {within_minutes}")
+    cur = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .withColumn("t1", F.col("t"))
+    )
+    frames = [cur.select("user_id").withColumn("idx", F.lit(1))]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .select("user_id", F.col("ts").alias("t_next"))
+            .join(cur.select("user_id", "t", "t1"), "user_id")
+            .where(F.col("t_next") >= F.col("t"))
+        )
+        if within_minutes is not None:
+            nxt = nxt.where(
+                F.unix_timestamp(F.col("t_next").cast("timestamp"))
+                <= F.unix_timestamp(F.col("t1").cast("timestamp"))
+                + within_minutes * 60
+            )
+        cur = (
+            nxt.groupBy("user_id", "t1")
+            .agg(F.min("t_next").alias("t"))
+            .select("user_id", "t", "t1")
+        )
+        frames.append(cur.select("user_id").withColumn("idx", F.lit(i)))
+    uni = frames[0]
+    for f in frames[1:]:
+        uni = uni.unionByName(f)
+    # every step emits a row even with zero users (a funnel report
+    # with silently missing steps misreads as complete)
+    spark = events.sparkSession
+    step_frame = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps, start=1)],
+        "idx int, step string",
+    )
+    counts = step_frame.join(
+        uni.groupBy("idx").agg(F.count(F.lit(1)).alias("n")), "idx", "left"
+    ).withColumn("n_users", F.coalesce("n", F.lit(0)))
+    w = Window.orderBy("idx")
+    prev = F.lag("n_users").over(w)
+    conv = (
+        F.when(prev.isNull(), F.lit(1.0))
+        .when(prev > 0, F.round(F.col("n_users") / prev, 6))
+        .otherwise(F.lit(0.0))
+    )
+    return counts.withColumn("conversion", conv).select(
+        F.col("idx").cast("int").alias("step_idx"), "step",
+        F.col("n_users").cast("long").alias("n_users"), "conversion",
+    )
+
+
+def funnel_sql(steps: list[str], within_minutes: int | None = None) -> str:
+    """DuckDB twin of funnel_counts."""
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM events"
+        f" WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        win = (
+            f" AND epoch(e.ts) <= epoch(p.t1) + {within_minutes * 60}"
+            if within_minutes is not None else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t, p.t1 AS t1"
+            f" FROM events e JOIN s{i-1} p USING (user_id)"
+            f" WHERE e.event_type = '{step}' AND e.ts >= p.t{win}"
+            f" GROUP BY 1, 3)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS idx, '{s}' AS step, count(*) AS n FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+cnt AS ({unions})
+SELECT idx::int AS step_idx, step, n::bigint AS n_users,
+       CASE WHEN lag(n) OVER (ORDER BY idx) IS NULL THEN 1.0
+            WHEN lag(n) OVER (ORDER BY idx) > 0
+              THEN round(n::double / lag(n) OVER (ORDER BY idx), 6)
+            ELSE 0.0 END AS conversion
+FROM cnt
+"""

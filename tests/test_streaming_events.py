@@ -136,3 +136,56 @@ def test_sessionize_hand_built(spark):
 
     with _pytest.raises(ValueError, match="gap_minutes"):
         sessionize(ev, -1)
+
+
+def test_funnel_hand_built(spark):
+    """Ordered funnel: sequence enforced (a click BEFORE the first
+    view doesn't count), equal timestamps convert, the whole-funnel
+    window drops late steps, zero-user steps still report."""
+    from datetime import datetime, timedelta
+
+    from terrier_ef_spark.streaming.events import funnel_counts
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view -> click (same ts) -> purchase: full funnel
+        (1, 1, t0, "view"), (2, 1, t0, "click"),
+        (3, 1, t0 + timedelta(minutes=5), "purchase"),
+        # user 2: click BEFORE the view — never reaches step 2
+        (4, 2, t0, "click"), (5, 2, t0 + timedelta(minutes=1), "view"),
+        # user 3: view -> click, but purchase outside the 60-min window
+        (6, 3, t0, "view"), (7, 3, t0 + timedelta(minutes=10), "click"),
+        (8, 3, t0 + timedelta(minutes=90), "purchase"),
+        # user 4: never views
+        (9, 4, t0, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step_idx"]: (r["step"], r["n_users"], r["conversion"])
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], within_minutes=60
+        ).collect()
+    }
+    assert got == {
+        1: ("view", 3, 1.0),
+        2: ("click", 2, round(2 / 3, 6)),
+        3: ("purchase", 1, 0.5),
+    }
+    # zero-user step still reports, conversion 0 after it
+    got2 = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(
+            ev, ["view", "error", "purchase"], within_minutes=60
+        ).collect()
+    }
+    assert got2 == {1: 3, 2: 0, 3: 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2 steps"):
+        funnel_counts(ev, ["view"])
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel_counts(ev, ["view", "view"])
+    with _pytest.raises(ValueError, match="within_minutes"):
+        funnel_counts(ev, ["view", "click"], within_minutes=0)
