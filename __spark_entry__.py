@@ -125,40 +125,43 @@ PERCOLATE_QUERIES = [
 # finite per-round window (~50 keys). DETERMINISTIC ROTATION (round-4
 # ADVICE): least-recently-driver-verified first — keys with NO driver
 # row in any CORRECTNESS_r*.json lead, then keys whose latest row is
-# oldest. Round-5 final head (60 candidates for the ~50 slots) =
-#   (a) the 38 round-5 NEW keys (never driver-gated: the QL family,
+# oldest. Round-5 final head (68 candidates for the ~50 slots) =
+#   (a) the 46 round-5 NEW keys (never driver-gated: the QL family,
 #       8 new weighting models, Bo2/RM3, SDM, comb fusion, LTR
 #       features, unigram+bigram perplexity, eval metrics, sequence
 #       packing, QPP, CORI selective search, collapsing, spelling,
 #       facets, mixture + DSIR sampling, streaming query serving,
-#       impact tier, cascade, MLT, priors, search_after paging),
+#       impact tier, cascade, MLT, priors, search_after paging,
+#       autocompletion, percolation, score explanation, tiered
+#       serving, hard negatives, code-tokenizer counts,
+#       sessionization, funnels),
 #   (b) the 2 media keys, whose r04 rows were rows-only (err:
 #       "no_oracle") and which now carry pinned-literal oracle twins
 #       (terrier_ef_spark/media_oracle.py), and
 #   (c) the 20 keys whose latest driver row is r03 (judge-re-verified
 #       at r04).
-# With a 50-slot window the last ~10 of group (c) fall outside
-# (fingerprint .. dedup_clusters): all carry r03 driver rows AND an
-# r04 judge gate re-run, the freshest evidence available for them.
-# Every key outside the head carries an r04 driver row.
+# With a 50-slot window groups (b)+(c) and the last few of (a) fall
+# outside; every never-gated key outside the window was hash-verified
+# by this session's full tools/check_contract.py sweeps (the driver's
+# exact compare) recorded in BASELINE addenda 6-7, every group-(c) key
+# carries an r03 driver row AND an r04 judge gate re-run, and every
+# other key carries an r04 driver row.
 _GATE_PRIORITY = [
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
-    "bm25_bo2_expanded",
-    "ifb2_disjunctive", "in_expb2_disjunctive", "bb2_disjunctive",
-    "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
+    "bm25_bo2_expanded", "ifb2_disjunctive", "in_expb2_disjunctive",
+    "bb2_disjunctive", "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
-    "pack_sequences", "qpp_predictors",
-    "cori_shard_selection", "bm25_selective_topk", "collapse_topk",
-    "spell_suggest", "facet_counts", "mixture_rates", "mixture_sample",
-    "dsir_logweights", "dsir_sample", "doc_perplexity_bigram",
-    "streaming_queries", "complete_prefix", "percolate_matches",
-    "score_explain", "bm25_tiered_topk", "hard_negatives",
-    "code_token_counts", "event_sessions", "funnel_steps",
-    "impact_postings_decoded", "bm25_impact_topk", "mlt_topk",
-    "bm25_cascade_topk", "bm25_prior_topk", "bm25_page2_topk",
-    "media_audio_features", "media_frame_stats",
+    "pack_sequences", "qpp_predictors", "cori_shard_selection",
+    "bm25_selective_topk", "collapse_topk", "spell_suggest",
+    "facet_counts", "mixture_rates", "mixture_sample", "dsir_logweights",
+    "dsir_sample", "doc_perplexity_bigram", "streaming_queries",
+    "complete_prefix", "percolate_matches", "score_explain",
+    "bm25_tiered_topk", "hard_negatives", "code_token_counts",
+    "event_sessions", "funnel_steps", "impact_postings_decoded",
+    "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk", "bm25_prior_topk",
+    "bm25_page2_topk", "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
     "streaming_dedup", "token_counts", "quality_score", "lang_id",
