@@ -159,7 +159,8 @@ _GATE_PRIORITY = [
     "dsir_sample", "doc_perplexity_bigram", "streaming_queries",
     "complete_prefix", "percolate_matches", "score_explain",
     "bm25_tiered_topk", "hard_negatives", "code_token_counts",
-    "event_sessions", "funnel_steps", "impact_postings_decoded",
+    "event_sessions", "funnel_steps", "retention_cohorts",
+    "impact_postings_decoded",
     "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk", "bm25_prior_topk",
     "bm25_page2_topk", "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
@@ -3089,6 +3090,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["view", "click", "purchase"], within_minutes=120,
         )
 
+    def retention_cohorts(spark, sf):
+        """Cohort retention matrix (streaming/events.py — epoch-week
+        arithmetic, no calendar-week locale divergence): users
+        cohorted by first-event week, distinct active members per
+        (cohort, week offset)."""
+        from terrier_ef_spark.streaming.events import (
+            retention_cohorts as _ret,
+        )
+
+        return _ret(spark.read.parquet(f"{sf}/events.parquet"))
+
     def events_window(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -3178,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": events_window,
         "event_sessions": event_sessions,
         "funnel_steps": funnel_steps,
+        "retention_cohorts": retention_cohorts,
         "streaming_dedup": streaming_dedup,
         "streaming_queries": streaming_queries,
         "token_counts": lambda s, sf: textstats.token_counts(_docs(s, sf)),
@@ -3625,6 +3638,7 @@ FROM post p JOIN lex l USING (term)
         "funnel_steps": stream_events.funnel_sql(
             ["view", "click", "purchase"], 120
         ),
+        "retention_cohorts": stream_events.RETENTION_SQL,
         "events_window": """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*)::bigint AS n, round(sum(value), 2) AS sum_value

@@ -261,3 +261,59 @@ SELECT idx::int AS step_idx, step, n::bigint AS n_users,
             ELSE 0.0 END AS conversion
 FROM cnt
 """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix — the third classic event-analytics
+    report (with sessionization and funnels): users grouped by the
+    epoch-week of their FIRST event, and for each later week the count
+    of cohort members still active. Week boundaries are pure epoch
+    arithmetic (floor(days-since-1970 / 7)), not calendar weeks —
+    engine-neutral, no locale/ISO-week divergence.
+
+    Returns (cohort_week, week_offset, n_users): cohort_week the
+    cohort's epoch-week, week_offset 0..n weeks after it (offset 0 is
+    the cohort size), n_users distinct active members.
+
+    Shape: one min-aggregation per user, one distinct over (user,
+    day), one join on user_id, one count-distinct fold — two exchanges
+    on user_id plus the final matrix aggregation (cohort x offset
+    cells, a bounded report frame)."""
+    epoch = F.lit("1970-01-01")
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    act = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    joined = act.join(first, "user_id").select(
+        "user_id",
+        F.floor(F.datediff(F.col("d0"), epoch) / 7).alias("cohort_week"),
+        F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).alias(
+            "week_offset"
+        ),
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("int").alias("week_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts::DATE) AS d0 FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+)
+SELECT floor(datediff('day', DATE '1970-01-01', d0) / 7)::bigint
+         AS cohort_week,
+       floor(datediff('day', d0, d) / 7)::int AS week_offset,
+       count(DISTINCT user_id)::bigint AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""

@@ -189,3 +189,39 @@ def test_funnel_hand_built(spark):
         funnel_counts(ev, ["view", "view"])
     with _pytest.raises(ValueError, match="within_minutes"):
         funnel_counts(ev, ["view", "click"], within_minutes=0)
+
+
+def test_retention_cohorts_hand_built(spark):
+    """Epoch-week cohorts: offset 0 equals cohort size, a user active
+    in two later weeks appears in both cells, distinct days dedup
+    within a week."""
+    from datetime import datetime, timedelta
+
+    from terrier_ef_spark.streaming.events import retention_cohorts
+
+    # 2026-01-05 is epoch day 20458 -> epoch week 2922 (floor/7)
+    t0 = datetime(2026, 1, 5, 10, 0, 0)
+    rows = [
+        # users 1 and 2 join in week W; user 1 returns in W+1 and W+2
+        (1, 1, t0), (2, 2, t0 + timedelta(days=1)),
+        (3, 1, t0 + timedelta(days=8)),
+        (4, 1, t0 + timedelta(days=9)),    # same week as day 8
+        (5, 1, t0 + timedelta(days=15)),
+        # user 3 joins two weeks later
+        (6, 3, t0 + timedelta(days=14)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    w = 20458 // 7
+    w3 = (20458 + 14) // 7
+    assert got == {
+        (w, 0): 2,   # users 1, 2
+        (w, 1): 1,   # user 1 (two active days, one cell)
+        (w, 2): 1,   # user 1
+        (w3, 0): 1,  # user 3's own cohort
+    }
