@@ -50,6 +50,14 @@ MLT_QUERIES = [
     {"qid": 3, "docid": 137},
 ]
 
+# significant-terms topics (query/significant.py): which terms are
+# over-represented (JLH lift) in each query's match set vs the corpus
+SIG_QUERIES = [
+    {"qid": 1, "terms": ["spark"]},
+    {"qid": 2, "terms": ["merge", "hash"]},
+    {"qid": 3, "terms": ["customer"]},
+]
+
 # "did you mean" topics (query/expansion.py suggest_corrections):
 # each qid mixes misspelled terms (suggestions expected) with known
 # ('spark') or unfixable ('zzqx') terms (no rows expected for those)
@@ -160,7 +168,7 @@ _GATE_PRIORITY = [
     "complete_prefix", "percolate_matches", "score_explain",
     "bm25_tiered_topk", "hard_negatives", "code_token_counts",
     "event_sessions", "funnel_steps", "retention_cohorts",
-    "impact_postings_decoded",
+    "significant_terms", "impact_postings_decoded",
     "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk", "bm25_prior_topk",
     "bm25_page2_topk", "media_audio_features", "media_frame_stats",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
@@ -1007,6 +1015,56 @@ SELECT qid, facet, value, n_docs, rank FROM (
                             ORDER BY n_docs DESC, value ASC)::int AS rank
   FROM cnt
 ) WHERE rank <= {top_facets}
+"""
+
+
+def _significant_oracle_sql(
+    queries, top_terms: int = 10, min_fg_df: int = 2
+) -> str:
+    """Twin of query/significant.py significant_terms: disjunctive
+    match set -> per-(qid, term) foreground df -> JLH lift
+    (fg% - bg%) * (fg% / bg%) at 6dp vs the collection df, query terms
+    excluded, over-represented candidates only, top terms per qid."""
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in dict.fromkeys(q["terms"])
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+), post AS (
+  SELECT DISTINCT term, doc_id FROM tok
+), lex AS (
+  SELECT term, count(*)::bigint AS df FROM post GROUP BY 1
+), st AS (
+  SELECT count(*)::double AS n FROM documents
+), q(qid, term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT q.qid, p.doc_id FROM q JOIN post p USING (term)
+),
+fg AS (
+  SELECT qid, count(*)::double AS fg_size FROM matched GROUP BY 1
+),
+cand AS (
+  SELECT m.qid, p.term, count(*)::bigint AS fg_df
+  FROM matched m JOIN post p ON p.doc_id = m.doc_id GROUP BY 1, 2
+),
+sc AS (
+  SELECT c.qid, c.term, c.fg_df, l.df AS bg_df,
+         (c.fg_df::double / f.fg_size) AS fgp,
+         (l.df::double / st.n) AS bgp
+  FROM cand c JOIN lex l USING (term) JOIN fg f USING (qid) CROSS JOIN st
+  WHERE c.fg_df >= {min_fg_df}
+    AND NOT EXISTS (SELECT 1 FROM q WHERE q.qid = c.qid AND q.term = c.term)
+)
+SELECT qid, term, fg_df, bg_df, score, rank FROM (
+  SELECT qid::bigint AS qid, term, fg_df, bg_df,
+         round((fgp - bgp) * (fgp / bgp), 6) AS score,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round((fgp - bgp) * (fgp / bgp), 6) DESC, term ASC
+         )::int AS rank
+  FROM sc WHERE fgp > bgp
+) WHERE rank <= {top_terms}
 """
 
 
@@ -2444,6 +2502,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep.join(F.broadcast(src), ["qid", "docid"], "left_anti"))
 
+    def significant_terms_q(spark, sf):
+        """Significant-terms aggregation (query/significant.py — the
+        Elasticsearch significant_terms role): JLH-scored foreground-
+        vs-background term lift over each query's disjunctive match
+        set, gathered from the direct index (foreground blobs only
+        decoded), query terms excluded, >=2 foreground docs, top-10
+        per qid at 6dp."""
+        from terrier_ef_spark.index.direct import build_direct
+        from terrier_ef_spark.query.significant import significant_terms
+
+        idx = _get_index(spark, sf)
+        direct = build_direct(idx, n_partitions=8)
+        return significant_terms(
+            idx, SIG_QUERIES, top_terms=10, min_fg_df=2, direct=direct
+        )
+
     def spell_suggest(spark, sf):
         """Batched "did you mean" (query/expansion.py
         suggest_corrections — the Lucene DirectSpellChecker role):
@@ -3159,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": collapse_topk,
         "spell_suggest": spell_suggest,
         "mlt_topk": mlt_topk,
+        "significant_terms": significant_terms_q,
         "facet_counts": facet_counts_q,
         "impact_postings_decoded": impact_postings_decoded,
         "bm25_impact_topk": bm25_impact_topk,
@@ -3522,6 +3597,7 @@ SELECT term, doc_id AS docid FROM (
         "collapse_topk": _collapse_oracle_sql(BM25_QUERIES),
         "spell_suggest": _spell_oracle_sql(SPELL_QUERIES),
         "mlt_topk": _mlt_oracle_sql(MLT_QUERIES),
+        "significant_terms": _significant_oracle_sql(SIG_QUERIES),
         "facet_counts": _facet_oracle_sql(BM25_QUERIES),
         "impact_postings_decoded": _impact_decode_oracle_sql(),
         "bm25_impact_topk": _impact_topk_oracle_sql(BM25_QUERIES),
