@@ -133,8 +133,8 @@ PERCOLATE_QUERIES = [
 # finite per-round window (~50 keys). DETERMINISTIC ROTATION (round-4
 # ADVICE): least-recently-driver-verified first — keys with NO driver
 # row in any CORRECTNESS_r*.json lead, then keys whose latest row is
-# oldest. Round-5 final head (68 candidates for the ~50 slots) =
-#   (a) the 46 round-5 NEW keys (never driver-gated: the QL family,
+# oldest. Round-5 final head (70 candidates for the ~50 slots) =
+#   (a) the 48 round-5 NEW keys (never driver-gated: the QL family,
 #       8 new weighting models, Bo2/RM3, SDM, comb fusion, LTR
 #       features, unigram+bigram perplexity, eval metrics, sequence
 #       packing, QPP, CORI selective search, collapsing, spelling,
@@ -142,18 +142,18 @@ PERCOLATE_QUERIES = [
 #       impact tier, cascade, MLT, priors, search_after paging,
 #       autocompletion, percolation, score explanation, tiered
 #       serving, hard negatives, code-tokenizer counts,
-#       sessionization, funnels),
+#       sessionization, funnels, retention, significant terms),
 #   (b) the 2 media keys, whose r04 rows were rows-only (err:
 #       "no_oracle") and which now carry pinned-literal oracle twins
 #       (terrier_ef_spark/media_oracle.py), and
 #   (c) the 20 keys whose latest driver row is r03 (judge-re-verified
 #       at r04).
-# With a 50-slot window groups (b)+(c) and the last few of (a) fall
-# outside; every never-gated key outside the window was hash-verified
-# by this session's full tools/check_contract.py sweeps (the driver's
-# exact compare) recorded in BASELINE addenda 6-7, every group-(c) key
-# carries an r03 driver row AND an r04 judge gate re-run, and every
-# other key carries an r04 driver row.
+# Groups (a)+(b) fill the 50-slot window exactly; group (c) falls
+# outside. Every key was hash-verified by this session's full
+# tools/check_contract.py sweeps (the driver's exact compare, ALL OK —
+# BASELINE addenda 6-8), every group-(c) key additionally carries an
+# r03 driver row AND an r04 judge gate re-run, and every other
+# out-of-window key carries an r04 driver row.
 _GATE_PRIORITY = [
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
