@@ -124,6 +124,23 @@ def _answer(idx, batch, args, out, *, terminator: bool = False,
             docno_cache: dict | None = None) -> None:
     from terrier_ef_spark.query.engine import run_queries, with_docno
 
+    if getattr(args, "significant", False):
+        # related-concepts mining: the answer is a TERM list, not a
+        # document ranking, so it always emits JSON rows (one array
+        # per batch) — qid/term/fg_df/bg_df/score/rank
+        from terrier_ef_spark.query.significant import significant_terms
+
+        res = significant_terms(idx, batch, top_terms=args.k)
+        out.write(json.dumps([
+            {"qid": r["qid"], "rank": r["rank"], "term": r["term"],
+             "fg_df": r["fg_df"], "bg_df": r["bg_df"],
+             "score": round(r["score"], 6)}
+            for r in res.orderBy("qid", "rank").collect()
+        ]) + "\n")
+        if terminator:
+            out.write("\n")
+        out.flush()
+        return
     if getattr(args, "impact", None):
         from terrier_ef_spark.index.impact import ImpactIndex
         from terrier_ef_spark.query.cascade import run_queries_cascade
@@ -198,6 +215,11 @@ def main() -> None:
                     help="score topics with the Sequential Dependence "
                     "Model (unigram + ordered-bigram + unordered-window "
                     "Dirichlet features; needs a positional index)")
+    ap.add_argument("--significant", action="store_true",
+                    help="answer each topic with its significant terms "
+                    "(JLH foreground/background lift over the match "
+                    "set; needs a direct index) instead of documents; "
+                    "output is always JSON rows")
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
     ap.add_argument("--impact", default=None,
@@ -213,6 +235,9 @@ def main() -> None:
         ap.error("--sdm and --ql are mutually exclusive")
     if args.impact and (args.sdm or args.ql):
         ap.error("--impact is mutually exclusive with --sdm/--ql")
+    if args.significant and (args.sdm or args.ql or args.impact):
+        ap.error("--significant is mutually exclusive with "
+                 "--sdm/--ql/--impact")
 
     from pyspark.sql import SparkSession
 
