@@ -277,6 +277,58 @@ def test_submit_query_server_sdm_mode(small_index):
         )
 
 
+def test_submit_query_server_significant_mode(small_index):
+    """--server --significant answers stdin topics with JLH-ranked
+    significant terms (JSON rows) instead of documents; values match a
+    direct significant_terms call."""
+    from terrier_ef_spark.index.direct import build_direct
+
+    build_direct(small_index, n_partitions=2)  # resumable no-op if built
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", small_index.paths.root, "--server", "--significant",
+         "--k", "5"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
+    )
+    topics = ("1\timport", "2\tval def")
+    try:
+        answers = []
+        for topic in topics:
+            p.stdin.write(topic + "\n")
+            p.stdin.flush()
+            block = []
+            while True:
+                line = p.stdout.readline()
+                if line == "" or line == "\n":
+                    break
+                block.append(line)
+            assert len(block) == 1, block
+            answers.append(json.loads(block[0]))
+    finally:
+        p.stdin.close()
+        p.wait(timeout=120)
+
+    from terrier_ef_spark.query.significant import significant_terms
+    from terrier_ef_spark.tokenizer import tokenize_query_weighted
+
+    for (qid, text), got in zip(((1, "import"), (2, "val def")), answers):
+        terms, _ = tokenize_query_weighted(small_index, text)
+        want = (
+            significant_terms(
+                small_index, [{"qid": qid, "terms": terms}], top_terms=5
+            ).orderBy("rank").collect()
+        )
+        assert [
+            (r["term"], r["fg_df"], r["bg_df"], round(r["score"], 6))
+            for r in want
+        ] == [
+            (g["term"], g["fg_df"], g["bg_df"], g["score"]) for g in got
+        ]
+
+
 @pytest.mark.slow
 def test_spark_submit_impact_cascade(tmp_path):
     """Tier ship path: --impact-out derives the quantized tier in the
