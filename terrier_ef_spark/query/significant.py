@@ -80,6 +80,7 @@ def significant_terms(
         .join(F.broadcast(qterms), "term")
         .select("qid", "docid")
         .distinct()
+        .persist()  # consumed 3x: fg sizes, direct restriction, fg df
     )
     # Per-qid foreground sizes: len(queries) rows by construction.
     fg_sizes = matched.groupBy("qid").agg(
