@@ -59,6 +59,11 @@ def facet_counts(
         .select("qid", "docid")
         .distinct()
     )
+    # tombstone exclusion (the run_queries respect_deletes convention):
+    # deleted docs must not surface as facet-count navigation buckets
+    tomb = index.deleted_docids()
+    if tomb is not None:
+        matched = matched.join(tomb.select("docid"), "docid", "left_anti")
     counts = (
         matched.join(
             doc_facets.where(F.col("value").isNotNull())

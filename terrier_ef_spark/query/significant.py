@@ -80,8 +80,15 @@ def significant_terms(
         .join(F.broadcast(qterms), "term")
         .select("qid", "docid")
         .distinct()
-        .persist()  # consumed 3x: fg sizes, direct restriction, fg df
     )
+    # tombstone exclusion (the run_queries respect_deletes convention):
+    # deleted docs leave the foreground immediately; background df/N
+    # stay collection-level until compaction, exactly like the BM25
+    # scorer's global stats after delete_docs.
+    tomb = index.deleted_docids()
+    if tomb is not None:
+        matched = matched.join(tomb.select("docid"), "docid", "left_anti")
+    matched = matched.persist()  # consumed 3x: sizes, restriction, fg df
     # Per-qid foreground sizes: len(queries) rows by construction.
     fg_sizes = matched.groupBy("qid").agg(
         F.count("*").cast("double").alias("fg_size")

@@ -101,3 +101,38 @@ def test_guards(spark, facet_index):
         facet_counts(idx, [{"qid": 1, "terms": ["x"]}], fac, top_facets=0)
     with pytest.raises(ValueError):
         facet_counts(idx, [{"qid": 1, "terms": []}], fac)
+
+
+def test_tombstoned_docs_form_no_buckets(spark, tmp_path):
+    """Deleted docs leave every facet count immediately (the
+    run_queries respect_deletes convention) — a navigation bucket
+    must not advertise documents retrieval will never return."""
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.index.maintenance import delete_docs
+
+    rows = [
+        ("r", "f0", "c0", "t", "table cable", 0),
+        ("r", "f1", "c0", "t", "table spark", 1),
+        ("r", "f2", "c0", "t", "merge", 2),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), log2_quantum=3, n_partitions=2,
+    )
+    fac = spark.createDataFrame(
+        [(0, "lang", "en"), (1, "lang", "fr"), (2, "lang", "en")],
+        "docid long, facet string, value string",
+    )
+    q = [{"qid": 1, "terms": ["table"]}]
+    before = {
+        (r.value): r.n_docs for r in facet_counts(idx, q, fac).collect()
+    }
+    assert before == {"en": 1, "fr": 1}
+    delete_docs(idx, [0])
+    after = {
+        (r.value): r.n_docs for r in facet_counts(idx, q, fac).collect()
+    }
+    assert after == {"fr": 1}  # doc 0's en bucket vanished entirely

@@ -120,6 +120,40 @@ def test_top_terms_cap_and_multi_query(sig_index):
     assert len(got[1]) <= 2 and len(got[2]) <= 2
 
 
+def test_tombstoned_docs_leave_foreground(spark, tmp_path):
+    """Deleting a foreground doc changes fg_df/fg_size immediately
+    (the run_queries respect_deletes convention); background df stays
+    collection-level until compaction."""
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.index.direct import build_direct
+    from terrier_ef_spark.index.maintenance import delete_docs
+
+    rows = [
+        ("r", f"f{d}", "c0", "t", text, d) for d, text in sorted(DOCS.items())
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), log2_quantum=3, n_partitions=2,
+    )
+    direct = build_direct(idx, n_partitions=2)
+    before = significant_terms(
+        idx, [{"qid": 1, "terms": ["spark"]}], direct=direct
+    ).collect()
+    delete_docs(idx, [0])  # doc 0 carries spark+shuffle
+    after = significant_terms(
+        idx, [{"qid": 1, "terms": ["spark"]}], direct=direct
+    ).collect()
+    b = {r.term: r for r in before}
+    a = {r.term: r for r in after}
+    # shuffle's foreground df drops 2 -> 1 (doc 0 left the match set)
+    assert b["shuffle"].fg_df == 2 and a["shuffle"].fg_df == 1
+    # background df is untouched until compaction
+    assert b["shuffle"].bg_df == a["shuffle"].bg_df == 2
+
+
 def test_guards(sig_index):
     idx, direct = sig_index
     with pytest.raises(ValueError, match="top_terms"):
