@@ -29,6 +29,8 @@ budget as one PRF expansion pass over an unbounded feedback set.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,7 +97,14 @@ def significant_terms(
     )
 
     if direct is None:
-        direct = spark.read.parquet(f"{index.paths.root}/direct")
+        path = os.path.join(index.paths.root, "direct")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise ValueError(
+                "significant_terms needs a direct (forward) index: run "
+                "index.direct.build_direct(index) or build_index(..., "
+                f"direct=True) first — none found at {path}"
+            )
+        direct = spark.read.parquet(path)
     # Restrict the forward index to matching docs BEFORE decoding any
     # blob — the semi-join keys on docid, so only foreground blobs
     # flow into the Arrow decode stage.

@@ -162,3 +162,18 @@ def test_guards(sig_index):
         significant_terms(idx, [{"qid": 1, "terms": ["a"]}], min_fg_df=0)
     with pytest.raises(ValueError, match="no query terms"):
         significant_terms(idx, [])
+
+
+def test_missing_direct_index_named_error(spark, tmp_path):
+    from terrier_ef_spark.index.builder import build_index
+
+    corpus = spark.createDataFrame(
+        [("r", "f0", "c0", "t", "table", 0)],
+        "repo string, path string, commit string, lang string,"
+        " content string, doc_id long",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), log2_quantum=3, n_partitions=1,
+    )
+    with pytest.raises(ValueError, match="direct"):
+        significant_terms(idx, [{"qid": 1, "terms": ["table"]}])
