@@ -367,6 +367,28 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
     out["bm25_cascade_sec"] = min(dts)
     shutil.rmtree(workdir + "_imp", ignore_errors=True)
 
+    # round-5d: direct (forward) index transpose — the B13 build
+    # operator, timed on the same corpus index — and significant-terms
+    # aggregation over it (JLH foreground/background lift; the cost is
+    # the foreground gather: restricted blob decode + one groupBy)
+    from terrier_ef_spark.index.direct import build_direct
+    from terrier_ef_spark.query.significant import significant_terms
+
+    t0 = time.time()
+    direct = build_direct(idx, n_partitions=npart, resume=False)
+    out["direct_build_sec"] = time.time() - t0
+    sig_topics = [
+        {"qid": 9000 + i, "terms": [_VOCAB[(3 * i) % len(_VOCAB)]]}
+        for i in range(8)
+    ]
+    significant_terms(idx, sig_topics, direct=direct).count()  # warm
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        significant_terms(idx, sig_topics, direct=direct).count()
+        dts.append(time.time() - t0)
+    out["significant_batch8_sec"] = min(dts)
+
     spark.stop()
     return out
 
@@ -456,6 +478,8 @@ def main():
         "impact_build": round(result["impact_build_sec"], 3),
         "bm25_impact_batch24": round(result["bm25_impact_sec"], 3),
         "bm25_cascade_batch24": round(result["bm25_cascade_sec"], 3),
+        "direct_build": round(result["direct_build_sec"], 3),
+        "significant_batch8": round(result["significant_batch8_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
