@@ -56,6 +56,52 @@ def test_sharded_equals_merged_by_docno(spark, shard_setup):
     assert sorted(got) == sorted(want) and len(got) > 0
 
 
+def test_tombstoned_shards_merge_to_identical_ranking(
+    spark, shard_setup, tmp_path
+):
+    """The merge x sharded-retrieval tombstone composition (r4 verdict
+    task 8): query a sharded set where one shard carries tombstones,
+    then merge the shards — merge relabels and carries the tombstones,
+    so the merged index must reproduce the sharded ranking docno-for-
+    docno (both sides keep collection-level stats pre-compaction)."""
+    from terrier_ef_spark.index.maintenance import clear_deletes, delete_docs
+
+    shards, _ = shard_setup
+    base = run_queries_sharded(shards, QUERIES, k=10).collect()
+    victim = next(r["docid"] for r in base if r["shard"] == 1)
+    try:
+        delete_docs(shards[1], [int(victim)])
+        res = run_queries_sharded(shards, QUERIES, k=10)
+        got = []
+        for r in res.collect():
+            docno = (
+                shards[r["shard"]].docs
+                .where(f"docid = {r['docid']}")
+                .select("docno").collect()[0][0]
+            )
+            got.append((r["qid"], r["rank"], docno, round(r["score"], 9)))
+
+        merged = merge_many(
+            spark, [s.paths.root for s in shards],
+            str(tmp_path / "m_tomb"), n_partitions=2,
+        )
+        assert merged.deleted_docids() is not None
+        mres = run_queries(merged, QUERIES, k=10, strategy="term_major")
+        want = [
+            (r["qid"], r["rank"], r["docno"], round(r["score"], 9))
+            for r in mres.join(
+                merged.docs.select("docid", "docno"), "docid"
+            ).select("qid", "rank", "docno", "score").collect()
+        ]
+        assert sorted(got) == sorted(want) and len(got) > 0
+        # the tombstoned doc is in neither ranking
+        gone = shards[1].docs.where(f"docid = {victim}") \
+            .select("docno").collect()[0][0]
+        assert all(d != gone for _, _, d, _ in got)
+    finally:
+        clear_deletes(shards[1])
+
+
 def test_per_shard_stats_would_diverge(spark, shard_setup):
     """Sanity that the global-stats machinery is load-bearing: scoring
     each shard with ITS OWN stats and fusing gives different scores for
