@@ -196,26 +196,45 @@ def verify_index(
            [f"lexicon={n_terms} stats={stats['num_terms']} "
             f"min={tid[0]} max={tid[1]} distinct={tid[2]}"])
 
-    # 3. per-doc sum(tf) == doclen (one decode + one groupBy)
+    # 3. per-doc sum(tf) vs doclen (one decode + one groupBy). On a
+    # statically PRUNED index (index/prune.py) postings were dropped
+    # by design while doclens stay full for BM25 normalization, so the
+    # invariant weakens to sum(tf) <= doclen and fully-pruned docs are
+    # legitimate; everywhere else it is exact equality.
     if check_doclens:
+        import json as _json
+        import os as _os
+
         from terrier_ef_spark.query.engine import decode_postings
 
-        mism = (
-            decode_postings(index)
-            .groupBy("docid").agg(F.sum("tf").alias("s"))
-            .join(index.docs.select("docid", "doclen"), "docid",
-                  "full_outer")
-            .where(
+        pruned = False
+        mpath = _os.path.join(index.paths.root, "MANIFEST.json")
+        if _os.path.exists(mpath):
+            with open(mpath) as fh:
+                man = _json.load(fh)
+            pruned = man.get("op") == "prune" or bool(
+                man.get("params", {}).get("pruned_from")
+            )
+        folded = decode_postings(index).groupBy("docid").agg(
+            F.sum("tf").alias("s")
+        ).join(index.docs.select("docid", "doclen"), "docid", "full_outer")
+        if pruned:
+            cond = (
+                F.col("doclen").isNull()
+                | (F.col("s").isNotNull() & (F.col("s") > F.col("doclen")))
+            )
+        else:
+            cond = (
                 F.col("doclen").isNull()  # posting doc absent from docs
                 # docs with doclen 0 legitimately have no postings
                 | (F.col("s").isNull() & (F.col("doclen") != 0))
                 | (F.col("s").isNotNull() & (F.col("s") != F.col("doclen")))
             )
-            .limit(1000).collect()
-        )
+        mism = folded.where(cond).limit(1000).collect()
         record("doclen_identity",
                [f"docid {r.docid}: postings={r.s} doclen={r.doclen}"
-                for r in mism])
+                for r in mism],
+               detail="pruned index: sum(tf) <= doclen" if pruned else None)
 
     # 4. gamma doclens stream == docs doclens
     import os

@@ -68,6 +68,27 @@ def test_blob_kernel_flags_corruption(small_index):
     assert any("q_max_tf" in e for e in _kernel_errs(stats, bad))
 
 
+def test_pruned_index_weak_doclen_invariant(spark, small_index, tmp_path):
+    """A tf-top-N pruned index drops postings by design while doclens
+    stay full for BM25 normalization — the fsck must apply
+    sum(tf) <= doclen there, not equality."""
+    from terrier_ef_spark.index.prune import prune_index
+    from terrier_ef_spark.index.reader import open_index
+
+    # small_index is positional; prune refuses positions, so build a
+    # non-positional sibling from the same corpus quickly
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+
+    c = synthesize_corpus(spark, 60, seed=7, n_partitions=2)
+    base = build_index(spark, c, str(tmp_path / "b"), block_bits=5,
+                       n_partitions=2)
+    pruned = prune_index(base, str(tmp_path / "p"), top_n=3)
+    rep = verify_index(open_index(spark, pruned.paths.root))
+    assert rep["ok"], rep
+    assert rep["checks"]["doclen_identity"]["detail"].startswith("pruned")
+
+
 def test_stats_tamper_detected(spark, small_index, tmp_path):
     from terrier_ef_spark.index.reader import open_index
 
