@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 
@@ -44,6 +45,9 @@ def main() -> None:
                     help="BM25 b recorded in the index (query default)")
     ap.add_argument("--direct", action="store_true",
                     help="also build the forward (direct) index")
+    ap.add_argument("--verify", action="store_true",
+                    help="run the integrity fsck (index/verify.py) on "
+                    "the final index; non-zero exit if it fails")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--delete-docids", nargs="*", type=int, default=None,
                     help="tombstone these docids after the build")
@@ -186,6 +190,22 @@ def main() -> None:
              "score": round(r["score"], 4)}
             for r in res
         ]
+
+    if args.verify:
+        from terrier_ef_spark.index.verify import verify_index
+
+        t0 = time.time()
+        rep = verify_index(idx, check_positions=args.positions)
+        out["verify_sec"] = round(time.time() - t0, 3)
+        out["verify_ok"] = rep["ok"]
+        out["verify_violations"] = {
+            k: c["violations"] for k, c in rep["checks"].items()
+            if not c["ok"]
+        }
+        if not rep["ok"]:
+            print(json.dumps(out))
+            spark.stop()
+            sys.exit(1)
 
     print(json.dumps(out))
     spark.stop()
