@@ -132,6 +132,52 @@ def _blob_check_fn(stats: dict, check_positions: bool):
     return check
 
 
+def _direct_check_fn(stats: dict):
+    """Per-doc forward-blob invariants, in-kernel (direct.py encodes
+    termid gaps with ub=num_terms and strict tfs with ub=doclen)."""
+    from terrier_ef_spark import ef
+
+    num_terms = int(stats["num_terms"])
+    log2q = int(stats["log2_quantum"])
+
+    def check(batches):
+        for pdf in batches:
+            docids, errs = [], []
+            for r in pdf.itertuples(index=False):
+                n = int(r.count)
+                problems = []
+                try:
+                    tids = ef.decode_docids(
+                        bytes(r.termids_ef), n, num_terms, log2q
+                    )
+                    tfs = ef.decode_freqs(
+                        bytes(r.tfs_ef), n, int(r.doclen), log2q
+                    )
+                except Exception as exc:
+                    problems.append(f"decode raised {type(exc).__name__}")
+                    tids = tfs = None
+                if tids is not None:
+                    if len(tids) != n:
+                        problems.append("termid count != count")
+                    if n > 1 and not (np.diff(tids) > 0).all():
+                        problems.append("termids not strictly increasing")
+                    if n and tids[-1] >= num_terms:
+                        problems.append("termid >= num_terms")
+                    if tfs.min(initial=1) < 1:
+                        problems.append("tf < 1")
+                    if int(tfs.sum()) != int(r.doclen):
+                        problems.append("sum(tf) != doclen")
+                if problems:
+                    docids.append(int(r.docid))
+                    errs.append("; ".join(problems))
+            yield pd.DataFrame({
+                "docid": pd.Series(docids, dtype="int64"),
+                "err": pd.Series(errs, dtype=object),
+            })
+
+    return check
+
+
 def verify_index(
     index: EFIndex,
     *,
@@ -281,7 +327,48 @@ def verify_index(
         bad_stats.append("avgdl inconsistent")
     record("stats", bad_stats)
 
-    # 6. tombstones reference real docids
+    # 6. direct (forward) index, when present: staleness fingerprint
+    # (a direct/ built against an older inverted index mis-decodes —
+    # direct.py records the source stats it derived from), per-doc
+    # blob invariants in-kernel (same map-only shape as check 1), and
+    # the row-count identity (every doc with doclen > 0 has exactly
+    # one forward row).
+    import os as _os2
+
+    dpath = _os2.path.join(index.paths.root, "direct")
+    if _os2.path.exists(_os2.path.join(dpath, "_SUCCESS")):
+        import json as _json2
+
+        from terrier_ef_spark.index.direct import _direct_meta
+
+        meta_ok = False
+        mfile = _os2.path.join(index.paths.root, "direct_meta.json")
+        if _os2.path.exists(mfile):
+            with open(mfile) as fh:
+                meta_ok = _json2.load(fh) == _direct_meta(stats)
+        record("direct_meta", [] if meta_ok else
+               ["direct/ fingerprint does not match the inverted index "
+                "(stale after an incremental build?) — rebuild with "
+                "build_direct"])
+
+        direct = index.spark.read.parquet(dpath)
+        bad = (
+            direct.select("docid", "count", "doclen", "termids_ef",
+                          "tfs_ef")
+            .mapInPandas(
+                _direct_check_fn(stats),
+                schema="docid long, err string",
+            )
+            .limit(1000).collect()
+        )
+        record("direct_blobs", [f"docid {r.docid}: {r.err}" for r in bad])
+        n_direct = direct.count()
+        n_nonempty = index.docs.where(F.col("doclen") > 0).count()
+        record("direct_rowcount", [] if n_direct == n_nonempty else
+               [f"direct rows {n_direct} != docs with doclen>0 "
+                f"{n_nonempty}"])
+
+    # 7. tombstones reference real docids
     tomb = index.deleted_docids()
     if tomb is not None:
         orphan = (

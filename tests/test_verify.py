@@ -68,6 +68,47 @@ def test_blob_kernel_flags_corruption(small_index):
     assert any("q_max_tf" in e for e in _kernel_errs(stats, bad))
 
 
+def test_direct_index_checks(spark, small_index, tmp_path):
+    """With a forward index present, the fsck verifies its fingerprint,
+    per-doc blobs, and row count; a stale fingerprint and a corrupt
+    blob are both flagged."""
+    from terrier_ef_spark.index.direct import build_direct
+    from terrier_ef_spark.index.reader import open_index
+    from terrier_ef_spark.index.verify import _direct_check_fn
+
+    build_direct(small_index, n_partitions=2)
+    rep = verify_index(small_index, check_doclens=False)
+    for name in ("direct_meta", "direct_blobs", "direct_rowcount"):
+        assert rep["checks"][name]["ok"], rep["checks"][name]
+
+    # corrupt forward blob flagged by the kernel
+    row = (spark.read.parquet(small_index.paths.root + "/direct")
+           .where("count > 2").limit(1).toPandas())
+    clean = pd.concat(list(
+        _direct_check_fn(small_index.stats)([row])
+    ))["err"].tolist()
+    assert clean == []
+    bad = row.copy()
+    bad["tfs_ef"] = [bytes(len(bytes(row["tfs_ef"].iloc[0])))]
+    errs = pd.concat(list(
+        _direct_check_fn(small_index.stats)([bad])
+    ))["err"].tolist()
+    assert errs
+
+    # stale fingerprint flagged on a tampered clone
+    clone = str(tmp_path / "stale")
+    shutil.copytree(small_index.paths.root, clone)
+    mp = os.path.join(clone, "direct_meta.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["num_postings"] += 1
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    rep = verify_index(open_index(spark, clone), check_doclens=False,
+                       check_gamma=False)
+    assert not rep["checks"]["direct_meta"]["ok"]
+
+
 def test_pruned_index_weak_doclen_invariant(spark, small_index, tmp_path):
     """A tf-top-N pruned index drops postings by design while doclens
     stay full for BM25 normalization — the fsck must apply
