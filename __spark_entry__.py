@@ -154,7 +154,17 @@ PERCOLATE_QUERIES = [
 # BASELINE addenda 6-8), every group-(c) key additionally carries an
 # r03 driver row AND an r04 judge gate re-run, and every other
 # out-of-window key carries an r04 driver row.
+# Final-session amendment: the 2 trigram-search keys (substring_search /
+# regex_search — the new operator class, query/substring.py) take the
+# front of the window; to keep the window at 50 with the media keys
+# still inside (their first hash-verified driver rows), the two
+# displaced keys are bm25_prior_topk / bm25_page2_topk — thin
+# compositions (additive doc prior / rank-window pagination) of the
+# most-driver-verified machinery in the repo (bm25_disjunctive has
+# green rows in every round), each hash-green in this session's full
+# local sweeps and pinned by pytest.
 _GATE_PRIORITY = [
+    "substring_search", "regex_search",
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "bm25_bo2_expanded", "ifb2_disjunctive", "in_expb2_disjunctive",
@@ -169,8 +179,9 @@ _GATE_PRIORITY = [
     "bm25_tiered_topk", "hard_negatives", "code_token_counts",
     "event_sessions", "funnel_steps", "retention_cohorts",
     "significant_terms", "impact_postings_decoded",
-    "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk", "bm25_prior_topk",
-    "bm25_page2_topk", "media_audio_features", "media_frame_stats",
+    "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk",
+    "media_audio_features", "media_frame_stats",
+    "bm25_prior_topk", "bm25_page2_topk",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
     "streaming_dedup", "token_counts", "quality_score", "lang_id",
@@ -211,6 +222,45 @@ def _get_index(spark: SparkSession, sf_dir: str):
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# deterministic pattern batches for the trigram-search keys; DuckDB
+# twins are VALUES joins over the same literals (contains /
+# regexp_matches — conservative regex syntax where Java and RE2 agree)
+SUBSTRING_PATTERNS = [
+    (1, "fast merge"),
+    (2, "window table"),
+    (3, "zzq"),  # absent trigram: finished at the lexicon probe
+    (4, "ta"),  # <3 chars: verification-scan fallback path
+    (5, "key agg row"),
+]
+REGEX_PATTERNS = [
+    (1, "fast [a-z]+ merge"),
+    (2, "(key|part) agg"),
+    (3, "table{1,2} (scan|sort)"),
+    (4, "slow .{0,9} fast"),
+    (5, "(the|zzq)"),  # no required literal: scan fallback path
+]
+
+
+def _get_trigram_index(spark: SparkSession, sf_dir: str):
+    """Trigram (substring-search) index over the same corpus — built by
+    the standard EF builder with the trigram tokenizer; cached per dir."""
+    from terrier_ef_spark.corpus import corpus_from_documents
+    from terrier_ef_spark.query.substring import build_trigram_index
+
+    key = "tri:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".idx_cache",
+            "tri_" + (os.path.basename(sf_dir.rstrip("/")) or "idx"),
+        )
+        corpus = corpus_from_documents(spark, sf_dir)
+        _INDEX_CACHE[key] = build_trigram_index(
+            spark, corpus, out, n_partitions=16
+        )
+    return _INDEX_CACHE[key]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2778,6 +2828,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _get_index(spark, sf)
         return decode_positions_df(idx).select("term", "docid", "pos")
 
+    def substring_search_q(spark, sf):
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.query.substring import substring_search
+
+        idx = _get_trigram_index(spark, sf)
+        return substring_search(
+            idx, corpus_from_documents(spark, sf), SUBSTRING_PATTERNS
+        )
+
+    def regex_search_q(spark, sf):
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.query.substring import regex_search
+
+        idx = _get_trigram_index(spark, sf)
+        return regex_search(
+            idx, corpus_from_documents(spark, sf), REGEX_PATTERNS
+        )
+
     def phrase_match_tv(spark, sf):
         from terrier_ef_spark.query.phrase import phrase_match
 
@@ -3259,6 +3327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combsum_topk": hybrid_combsum,
         "hybrid_combmnz_topk": hybrid_combmnz,
         "positions_decoded": positions_decoded,
+        "substring_search": substring_search_q,
+        "regex_search": regex_search_q,
         "phrase_match": phrase_match_tv,
         "proximity_match": proximity_tv,
         "direct_decoded": direct_decoded,
@@ -3655,6 +3725,18 @@ SELECT prefix, term, df FROM (
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents)
 SELECT a[i + 1] AS term, doc_id AS docid, i AS pos
 FROM arr, unnest(range(len(a))) AS t(i)
+""",
+        "substring_search": f"""
+SELECT q.qid::int AS qid, d.doc_id
+FROM (VALUES {", ".join(f"({q}, '{p}')" for q, p in SUBSTRING_PATTERNS)})
+     AS q(qid, pat)
+JOIN documents d ON contains(d.text, q.pat)
+""",
+        "regex_search": f"""
+SELECT q.qid::int AS qid, d.doc_id
+FROM (VALUES {", ".join(f"({q}, '{p}')" for q, p in REGEX_PATTERNS)})
+     AS q(qid, pat)
+JOIN documents d ON regexp_matches(d.text, q.pat)
 """,
         "phrase_match": f"""
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents),

@@ -389,6 +389,48 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
         dts.append(time.time() - t0)
     out["significant_batch8_sec"] = min(dts)
 
+    # round-5e: trigram substring/regex search (query/substring.py,
+    # the Zoekt role) — trigram index build over the same docs corpus
+    # (timed: the posting unit is distinct character 3-grams, so this
+    # measures the builder on the hottest term-skew profile any corpus
+    # produces), then a 12-pattern substring batch and a 6-pattern
+    # regex batch (warm best-of-2; rarest-k trigram decode + in-scan
+    # verification)
+    from terrier_ef_spark.query.substring import (
+        build_trigram_index,
+        regex_search,
+        substring_search,
+    )
+
+    shutil.rmtree(workdir + "_tri", ignore_errors=True)
+    t0 = time.time()
+    tri = build_trigram_index(
+        spark, corpus, workdir + "_tri", n_partitions=npart, resume=False
+    )
+    out["trigram_build_sec"] = time.time() - t0
+    sub_pats = [
+        (i, f"{_VOCAB[(2 * i) % len(_VOCAB)]} {_VOCAB[(2 * i + 5) % len(_VOCAB)]}")
+        for i in range(12)
+    ]
+    re_pats = [
+        (i, f"{_VOCAB[(3 * i) % len(_VOCAB)]} [a-z]+ {_VOCAB[(3 * i + 7) % len(_VOCAB)]}")
+        for i in range(6)
+    ]
+    substring_search(tri, corpus, sub_pats).count()  # warm
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        substring_search(tri, corpus, sub_pats).count()
+        dts.append(time.time() - t0)
+    out["substring_batch12_sec"] = min(dts)
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        regex_search(tri, corpus, re_pats).count()
+        dts.append(time.time() - t0)
+    out["regex_batch6_sec"] = min(dts)
+    shutil.rmtree(workdir + "_tri", ignore_errors=True)
+
     spark.stop()
     return out
 
@@ -480,6 +522,9 @@ def main():
         "bm25_cascade_batch24": round(result["bm25_cascade_sec"], 3),
         "direct_build": round(result["direct_build_sec"], 3),
         "significant_batch8": round(result["significant_batch8_sec"], 3),
+        "trigram_build": round(result["trigram_build_sec"], 3),
+        "substring_batch12": round(result["substring_batch12_sec"], 3),
+        "regex_batch6": round(result["regex_batch6_sec"], 3),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)

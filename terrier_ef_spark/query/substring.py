@@ -1,0 +1,347 @@
+"""Trigram-index substring and regex search over a source-code corpus —
+the Google Code Search / Zoekt design (Cox, "Regular Expression Matching
+with a Trigram Index", 2012), re-expressed on this repo's Elias-Fano
+posting machinery.
+
+The reference engine (terrier-ef) indexes word terms; a source-code
+corpus (the north-rule input shape: repo/path/commit/lang/content) also
+needs *substring* and *regex* search, where word tokenization is the
+wrong unit ("fooBar(" or "->next" cross token boundaries). The standard
+scale answer is a positional-free trigram index:
+
+  build:  every distinct character 3-gram of `content` becomes a term;
+          posting lists are plain EF docid sets (tf==1 by construction),
+          built by the SAME builder as the word index (`build_index`
+          with a pure-Catalyst trigram tokenizer) — so merge, fsck,
+          incremental append, tombstones, block_bits skew capping and
+          the bitfile bridge all apply unchanged.
+  query:  a pattern of length >= 3 can only match documents containing
+          ALL of its trigrams, so candidates = conjunctive intersection
+          of the pattern's trigram posting lists; matches = candidates
+          verified with a literal `contains` (or `rlike`) on content.
+          For regexes, the required trigrams come from the literal runs
+          the pattern must contain (extracted from the stdlib sre parse
+          tree); a regex with no >=3-char required literal falls back to
+          a full verification scan (correct, just unindexed — Cox's
+          "match everything" query class).
+
+100 TB shape: the trigram lexicon is tiny (<= |charset|^3 distinct
+terms) but posting lists are long and Zipf-skewed ("   ", "the").
+Three bounds keep the plan flat at scale:
+  * rarest-k trigram selection — only the `max_trigrams` rarest (by
+    lexicon df) trigrams per pattern are decoded; any subset of the
+    required set still yields a candidate SUPERSET, and verification
+    restores exactness. This is the standard trigram-engine move: the
+    common trigrams carry no selectivity but all the decode cost.
+  * the decode is `decode_postings(index, terms)` — term-pruned at the
+    parquet scan (row-group pruning on the range-sorted postings), one
+    bounded list per selected trigram.
+  * verification is a join of the candidate (qid, docid) set onto the
+    content scan with the per-qid pattern as a broadcast literal frame
+    — the `contains`/`regexp_like` filter runs inside the scan stage,
+    never a driver collect. An absent trigram short-circuits the whole
+    pattern to zero rows with no decode at all.
+Hot-trigram encode skew at build time is the builder's existing
+block_bits story (pass block_bits=20 at >=1e8 docs, exactly as for
+word terms).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "trigram_tokenizer",
+    "build_trigram_index",
+    "required_trigrams",
+    "regex_required_literals",
+    "substring_search",
+    "regex_search",
+]
+
+
+def trigram_tokenizer(case_fold: bool = True):
+    """Column->Column tokenizer emitting the DISTINCT character
+    trigrams of `content` (builder contract: build_index tokenizes via
+    tok(F.col("content"))). Distinctness is load-bearing: a substring
+    query needs docid membership, not term frequency, so one posting
+    per (doc, trigram) keeps the index at Zoekt's size, not the corpus
+    character count. case_fold=True (the Zoekt default) lowercases at
+    index time; case-sensitive queries then verify against the raw
+    content. Pure Catalyst — no Python in the build hot path."""
+
+    def _grams(col):
+        src = F.lower(col) if case_fold else col
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(src) - F.lit(2)),
+            lambda i: src.substr(i, F.lit(3)),
+        )
+        # sequence(1, n) is DESCENDING for n < 1 — guard short content
+        # to an empty array instead.
+        return F.array_distinct(
+            F.when(F.length(src) >= 3, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    _grams.__name__ = "trigram_fold" if case_fold else "trigram"
+    return _grams
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    case_fold: bool = True,
+    **kwargs,
+):
+    """Build the trigram index with the standard EF builder — same
+    artifact layout, lifecycle verbs, fsck and merge as a word index.
+    At >=1e8 docs pass block_bits (e.g. 20): common trigrams are the
+    hottest terms any corpus produces."""
+    from terrier_ef_spark.index.builder import build_index
+
+    return build_index(
+        spark, corpus, out_dir, tokenizer=trigram_tokenizer(case_fold), **kwargs
+    )
+
+
+def required_trigrams(pattern: str, case_fold: bool = True) -> list[str]:
+    """Distinct trigrams a document must contain to match `pattern`
+    (empty for patterns shorter than 3 chars — those can't use the
+    index and fall back to a verification scan)."""
+    p = pattern.lower() if case_fold else pattern
+    if len(p) < 3:
+        return []
+    return sorted({p[i : i + 3] for i in range(len(p) - 2)})
+
+
+def regex_required_literals(pattern: str) -> list[str]:
+    """Literal substrings every match of `pattern` must contain, from
+    the stdlib regex parse tree (re._parser / sre_parse — public-stdlib
+    behavior, no private regex engine assumptions beyond the parse-tree
+    node names that pickle/compat have kept stable since 2.x).
+
+    Conservative by construction — it only claims a literal when the
+    parse tree PROVES it required: literal runs in a concatenation, the
+    body of a group, and the first iteration of a min>=1 repeat. A
+    branch (alternation), optional repeat, or character class ends the
+    current run and contributes nothing. Returns [] when nothing >=3
+    chars is provable, which routes the query to the full-scan
+    fallback."""
+    try:  # Python 3.11+ moved sre_parse; both expose the same tree
+        from re import _parser as sre_parser
+    except ImportError:  # pragma: no cover
+        import sre_parse as sre_parser
+    try:
+        from re import _constants as sre_constants
+    except ImportError:  # pragma: no cover
+        import sre_constants
+
+    LITERAL = sre_constants.LITERAL
+    SUBPATTERN = sre_constants.SUBPATTERN
+    MAX_REPEAT = sre_constants.MAX_REPEAT
+    MIN_REPEAT = sre_constants.MIN_REPEAT
+    AT = sre_constants.AT
+
+    out: list[str] = []
+
+    def walk(seq) -> None:
+        run: list[str] = []
+
+        def flush() -> None:
+            if len(run) >= 3:
+                out.append("".join(run))
+            run.clear()
+
+        for op, av in seq:
+            if op is LITERAL:
+                run.append(chr(av))
+            elif op is AT:
+                # anchors match the empty string; they neither extend
+                # nor invalidate the adjacent literal run
+                flush()
+            elif op is SUBPATTERN:
+                flush()
+                walk(av[3])  # group body is required as-is
+            elif op in (MAX_REPEAT, MIN_REPEAT) and av[0] >= 1:
+                flush()
+                walk(av[2])  # at least one iteration is required
+            else:
+                flush()  # IN / ANY / BRANCH / min-0 repeat: no claim
+        flush()
+
+    walk(sre_parser.parse(pattern))
+    return sorted(set(out))
+
+
+def _search(
+    index,
+    corpus: DataFrame,
+    rows: list[tuple[int, str, list[str]]],
+    verify,
+    *,
+    max_trigrams: int,
+) -> DataFrame:
+    """Shared candidate pipeline: rows = (qid, pattern, trigrams).
+
+    1. one lexicon probe for every query's trigrams (bounded: <= a few
+       trigrams per pattern; term-pruned scan, small collect — the
+       batch-query term-lookup discipline from query/engine.py);
+    2. rarest-max_trigrams selection per qid; absent trigram => qid is
+       finished with zero rows before any posting byte is decoded;
+    3. one term-pruned decode feeds every qid (shared trigrams decode
+       once); groupBy (qid, docid) HAVING count == n_required is the
+       conjunctive intersection — one bounded shuffle;
+    4. verification joins candidates + the per-qid pattern literal
+       frame into the content scan; `verify` supplies the filter
+       column (contains / regexp_like on columns, JVM-side).
+    Tombstones are excluded like every other query path
+    (run_queries respect_deletes convention)."""
+    from terrier_ef_spark.query.engine import decode_postings
+
+    spark = corpus.sparkSession
+    empty = spark.createDataFrame([], "qid int, doc_id long")
+
+    indexed = [(q, p, t) for q, p, t in rows if t]
+    fallback = [(q, p) for q, p, t in rows if not t]
+
+    out = None
+    if indexed:
+        all_tris = sorted({t for _, _, tris in indexed for t in tris})
+        df_by_tri = dict(
+            index.lexicon.where(F.col("term").isin(all_tris))
+            .select("term", "df")
+            .collect()
+        )
+        sel: list[tuple[int, str]] = []  # (qid, trigram)
+        counts: list[tuple[int, int, str]] = []  # (qid, n_required, pattern)
+        for qid, pat, tris in indexed:
+            if any(t not in df_by_tri for t in tris):
+                continue  # a required trigram is absent: zero matches
+            pick = sorted(tris, key=lambda t: (df_by_tri[t], t))[:max_trigrams]
+            sel += [(qid, t) for t in pick]
+            counts.append((qid, len(pick), pat))
+        if counts:
+            req = F.broadcast(
+                spark.createDataFrame(sel, "qid int, term string")
+            )
+            need = F.broadcast(
+                spark.createDataFrame(
+                    counts, "qid int, n_req int, pattern string"
+                )
+            )
+            post = decode_postings(index, sorted({t for _, t in sel}))
+            cand = (
+                post.select("term", "docid")
+                .join(req, "term")
+                .groupBy("qid", "docid")
+                .agg(F.count("*").alias("n_hit"))
+                .join(need, "qid")
+                .where(F.col("n_hit") == F.col("n_req"))
+                .select("qid", "docid", "pattern")
+            )
+            out = (
+                cand.join(
+                    corpus.select(
+                        F.col("doc_id").alias("docid"), "content"
+                    ),
+                    "docid",
+                )
+                .where(verify(F.col("content"), F.col("pattern")))
+                .select("qid", F.col("docid").alias("doc_id"))
+            )
+
+    for qid, pat in fallback:
+        scan = (
+            corpus.select(
+                F.lit(qid).alias("qid"), F.col("doc_id"), F.col("content")
+            )
+            .where(verify(F.col("content"), F.lit(pat)))
+            .select("qid", "doc_id")
+        )
+        out = scan if out is None else out.unionByName(scan)
+
+    if out is None:
+        return empty
+    deleted = index.deleted_docids()
+    if deleted is not None:
+        out = out.join(
+            deleted.select(F.col("docid").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    return out.select("qid", "doc_id")
+
+
+def substring_search(
+    index,
+    corpus: DataFrame,
+    patterns: list[tuple[int, str]],
+    *,
+    case_fold: bool = True,
+    case_sensitive: bool = True,
+    max_trigrams: int = 8,
+) -> DataFrame:
+    """Exact substring search: (qid, doc_id) rows for every document
+    whose content contains the pattern. `case_fold` must match how the
+    index was built (build_trigram_index default True); case-SENSITIVE
+    matching over a folded index is still exact because verification
+    runs against the raw content — the folded trigrams are merely a
+    candidate superset. The one combination the trigram filter cannot
+    serve is case-INSENSITIVE search over an UNFOLDED index (the
+    pattern's exact-case trigrams would miss differently-cased docs);
+    those patterns route to the verification-only scan."""
+    no_filter = (not case_sensitive) and (not case_fold)
+    rows = [
+        (q, p, [] if no_filter else required_trigrams(p, case_fold=case_fold))
+        for q, p in patterns
+    ]
+    if case_sensitive:
+        verify = lambda c, p: F.contains(c, p)  # noqa: E731
+    else:
+        verify = lambda c, p: F.contains(F.lower(c), F.lower(p))  # noqa: E731
+    return _search(index, corpus, rows, verify, max_trigrams=max_trigrams)
+
+
+def regex_search(
+    index,
+    corpus: DataFrame,
+    patterns: list[tuple[int, str]],
+    *,
+    case_fold: bool = True,
+    max_trigrams: int = 8,
+) -> DataFrame:
+    """Regex search (partial match, rlike semantics): trigram-filtered
+    by the pattern's provably-required literals, verified with
+    regexp_like inside the content scan. Patterns whose parse tree
+    yields no >=3-char required literal run as verification-only scans
+    — correct, just unindexed. Case-sensitive: required literals are
+    folded only for candidate lookup when case_fold=True; the regex
+    itself is applied verbatim. An inline-flagged case-insensitive
+    pattern ("(?i)…") over an UNFOLDED index can't use exact-case
+    literal trigrams, so it routes to the scan fallback; over a folded
+    index the folded trigrams remain a valid superset."""
+    rows = []
+    for q, p in patterns:
+        if "(?i" in p and not case_fold:
+            rows.append((q, p, []))
+            continue
+        lits = regex_required_literals(p)
+        tris = sorted(
+            {
+                t
+                for lit in lits
+                for t in required_trigrams(lit, case_fold=case_fold)
+            }
+        )
+        rows.append((q, p, tris))
+    return _search(
+        index,
+        corpus,
+        rows,
+        lambda c, p: F.regexp_like(c, p),
+        max_trigrams=max_trigrams,
+    )

@@ -1,0 +1,217 @@
+"""Trigram-index substring / regex search (query/substring.py) — the
+Zoekt / Google-Code-Search role over the EF posting machinery."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from terrier_ef_spark.query.substring import (
+    regex_required_literals,
+    required_trigrams,
+)
+
+
+def test_required_trigrams():
+    assert required_trigrams("abcde", case_fold=False) == [
+        "abc",
+        "bcd",
+        "cde",
+    ]
+    assert required_trigrams("AbC") == ["abc"]  # folded by default
+    assert required_trigrams("AbC", case_fold=False) == ["AbC"]
+    assert required_trigrams("ab") == []  # too short for the index
+    assert required_trigrams("aaaa") == ["aaa"]  # distinct
+
+
+def test_regex_required_literals():
+    f = regex_required_literals
+    assert f(r"plain literal") == ["plain literal"]
+    # classes / wildcards split runs; both sides >=3 chars are required
+    assert f(r"fast [a-z]+ merge") == [" merge", "fast "]
+    assert f(r"^key agg.*value") == ["key agg", "value"]
+    # alternation proves nothing
+    assert f(r"(table|window) scan") == [" scan"]
+    assert f(r"foo|bar") == []
+    # optional content proves nothing, min>=1 repeats prove one copy
+    assert f(r"val(ue)? table") == [" table", "val"]
+    assert f(r"(?:sort)+ table") == [" table", "sort"]
+    assert f(r"(?:sort)* table") == [" table"]
+    # group bodies are required
+    assert f(r"(key agg)") == ["key agg"]
+    # short fragments (<3 chars) are dropped
+    assert f(r"ab.cd") == []
+
+
+@pytest.fixture(scope="module")
+def tri_setup(spark, tmp_path_factory):
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.query.substring import build_trigram_index
+
+    corpus = synthesize_corpus(spark, 120, seed=7, n_partitions=4)
+    texts = {
+        r.doc_id: r.content
+        for r in corpus.select("doc_id", "content").collect()
+    }
+    out = str(tmp_path_factory.mktemp("tri") / "idx")
+    idx = build_trigram_index(spark, corpus, out, n_partitions=4)
+    return idx, corpus, texts
+
+
+def _sub_oracle(texts, pats, fold=False):
+    if fold:
+        return {
+            (q, d)
+            for q, p in pats
+            for d, t in texts.items()
+            if p.lower() in t.lower()
+        }
+    return {(q, d) for q, p in pats for d, t in texts.items() if p in t}
+
+
+def test_substring_exact(tri_setup):
+    from terrier_ef_spark.query.substring import substring_search
+
+    idx, corpus, texts = tri_setup
+    pats = [
+        (1, "fast merge"),
+        (2, "the"),
+        (3, "zzqx-not-present"),
+        (4, "ta"),  # <3 chars: verification-scan fallback
+        (5, "w t"),  # crosses word boundaries
+    ]
+    got = {
+        (r.qid, r.doc_id)
+        for r in substring_search(idx, corpus, pats).collect()
+    }
+    want = _sub_oracle(texts, pats)
+    assert got == want and any(q == 4 for q, _ in got)
+
+
+def test_substring_rarest_k_cap_stays_exact(tri_setup):
+    """Decoding only the k rarest trigrams yields a candidate superset;
+    verification restores exactness — assert at an aggressive cap."""
+    from terrier_ef_spark.query.substring import substring_search
+
+    idx, corpus, texts = tri_setup
+    pats = [(1, "fast merge batch"), (2, "table value part")]
+    got = {
+        (r.qid, r.doc_id)
+        for r in substring_search(
+            idx, corpus, pats, max_trigrams=2
+        ).collect()
+    }
+    assert got == _sub_oracle(texts, pats)
+
+
+def test_substring_absent_trigram_short_circuits(tri_setup):
+    """A pattern with an out-of-vocabulary trigram is finished at the
+    lexicon probe — no decode, no rows."""
+    from terrier_ef_spark.query.substring import substring_search
+
+    idx, corpus, _ = tri_setup
+    res = substring_search(idx, corpus, [(9, "merge Qx7 batch")])
+    assert res.count() == 0
+
+
+def test_substring_case_modes(spark, tmp_path_factory):
+    from terrier_ef_spark.query.substring import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("r", "0", "c", "py", "Alpha FooBar calls fooBar()", 0),
+            ("r", "1", "c", "py", "lower foobar only", 1),
+            ("r", "2", "c", "py", "no match here", 2),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string, doc_id long",
+    )
+    texts = {r.doc_id: r.content for r in corpus.collect()}
+    out = str(tmp_path_factory.mktemp("tri_case") / "idx")
+    idx = build_trigram_index(spark, corpus, out, n_partitions=2)
+
+    pats = [(1, "FooBar"), (2, "foobar")]
+    # case-sensitive over the folded index: verification disambiguates
+    got = {
+        (r.qid, r.doc_id)
+        for r in substring_search(idx, corpus, pats).collect()
+    }
+    assert got == _sub_oracle(texts, pats) == {(1, 0), (2, 1)}
+    # case-insensitive: folded trigrams + folded verification
+    got = {
+        (r.qid, r.doc_id)
+        for r in substring_search(
+            idx, corpus, pats, case_sensitive=False
+        ).collect()
+    }
+    assert got == _sub_oracle(texts, pats, fold=True)
+    assert got == {(1, 0), (1, 1), (2, 0), (2, 1)}
+
+
+def test_regex_exact(tri_setup):
+    from terrier_ef_spark.query.substring import regex_search
+
+    idx, corpus, texts = tri_setup
+    pats = [
+        (1, r"fast [a-z]+ merge"),
+        (2, r"(key|part) agg"),  # alternation: ' agg' is the literal
+        (3, r"table{1,2} (scan|sort)"),
+        (4, r"value .{0,6} merge"),
+        (5, r"^the"),  # anchor + 3-char literal
+    ]
+    got = {
+        (r.qid, r.doc_id) for r in regex_search(idx, corpus, pats).collect()
+    }
+    want = {
+        (q, d)
+        for q, p in pats
+        for d, t in texts.items()
+        if re.search(p, t)
+    }
+    assert got == want and len(want) > 0
+
+
+def test_regex_no_literal_falls_back_to_scan(tri_setup):
+    from terrier_ef_spark.query.substring import regex_search
+
+    idx, corpus, texts = tri_setup
+    pats = [(1, r"(the|zzqx)")]  # no >=3-char REQUIRED literal
+    got = {
+        (r.qid, r.doc_id) for r in regex_search(idx, corpus, pats).collect()
+    }
+    want = {
+        (1, d) for d, t in texts.items() if re.search(pats[0][1], t)
+    }
+    assert got == want and len(want) > 0
+
+
+def test_substring_respects_tombstones(spark, tri_setup, tmp_path_factory):
+    from terrier_ef_spark.index.builder import build_index  # noqa: F401
+    from terrier_ef_spark.index.maintenance import delete_docs
+    from terrier_ef_spark.index.reader import EFIndex
+    from terrier_ef_spark.query.substring import (
+        build_trigram_index,
+        substring_search,
+    )
+    from terrier_ef_spark.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 40, seed=7, n_partitions=2)
+    texts = {
+        r.doc_id: r.content
+        for r in corpus.select("doc_id", "content").collect()
+    }
+    out = str(tmp_path_factory.mktemp("tri_del") / "idx")
+    build_trigram_index(spark, corpus, out, n_partitions=2)
+    pats = [(1, "the")]
+    all_hits = sorted(d for d, t in texts.items() if "the" in t)
+    assert len(all_hits) >= 2
+    delete_docs(EFIndex(spark, out), [all_hits[0]])
+    idx = EFIndex(spark, out)
+    got = sorted(
+        r.doc_id for r in substring_search(idx, corpus, pats).collect()
+    )
+    assert got == all_hits[1:]
