@@ -162,7 +162,12 @@ PERCOLATE_QUERIES = [
 # compositions (additive doc prior / rank-window pagination) of the
 # most-driver-verified machinery in the repo (bm25_disjunctive has
 # green rows in every round), each hash-green in this session's full
-# local sweeps and pinned by pytest.
+# local sweeps and pinned by pytest. substring_match_stats (the third
+# trigram key, sharing substring_search's candidate pipeline — only
+# the projection differs) takes the FIRST out-of-window slot rather
+# than displacing a media key's first hash-verified driver row; its
+# evidence is this session's local gate run + the pure-Python-oracle
+# pytest.
 _GATE_PRIORITY = [
     "substring_search", "regex_search",
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
@@ -181,7 +186,7 @@ _GATE_PRIORITY = [
     "significant_terms", "impact_postings_decoded",
     "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk",
     "media_audio_features", "media_frame_stats",
-    "bm25_prior_topk", "bm25_page2_topk",
+    "substring_match_stats", "bm25_prior_topk", "bm25_page2_topk",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
     "streaming_dedup", "token_counts", "quality_score", "lang_id",
@@ -240,6 +245,12 @@ REGEX_PATTERNS = [
     (3, "table{1,2} (scan|sort)"),
     (4, "slow .{0,9} fast"),
     (5, "(the|zzq)"),  # no required literal: scan fallback path
+]
+MATCH_STATS_PATTERNS = [
+    (1, "table"),  # high-frequency: n_matches > 1 in most docs
+    (2, "fast merge"),
+    (3, "zzq"),  # absent trigram: zero rows before any decode
+    (4, "ta"),  # <3 chars: verification-scan fallback path
 ]
 
 
@@ -2846,6 +2857,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx, corpus_from_documents(spark, sf), REGEX_PATTERNS
         )
 
+    def substring_match_stats_q(spark, sf):
+        from terrier_ef_spark.corpus import corpus_from_documents
+        from terrier_ef_spark.query.substring import substring_match_stats
+
+        idx = _get_trigram_index(spark, sf)
+        return substring_match_stats(
+            idx, corpus_from_documents(spark, sf), MATCH_STATS_PATTERNS
+        )
+
     def phrase_match_tv(spark, sf):
         from terrier_ef_spark.query.phrase import phrase_match
 
@@ -3329,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_decoded": positions_decoded,
         "substring_search": substring_search_q,
         "regex_search": regex_search_q,
+        "substring_match_stats": substring_match_stats_q,
         "phrase_match": phrase_match_tv,
         "proximity_match": proximity_tv,
         "direct_decoded": direct_decoded,
@@ -3737,6 +3758,15 @@ SELECT q.qid::int AS qid, d.doc_id
 FROM (VALUES {", ".join(f"({q}, '{p}')" for q, p in REGEX_PATTERNS)})
      AS q(qid, pat)
 JOIN documents d ON regexp_matches(d.text, q.pat)
+""",
+        "substring_match_stats": f"""
+SELECT q.qid::int AS qid, d.doc_id,
+       ((length(d.text) - length(replace(d.text, q.pat, '')))
+        // length(q.pat))::int AS n_matches,
+       strpos(d.text, q.pat)::int AS first_pos
+FROM (VALUES {", ".join(f"({q}, '{p}')" for q, p in MATCH_STATS_PATTERNS)})
+     AS q(qid, pat)
+JOIN documents d ON contains(d.text, q.pat)
 """,
         "phrase_match": f"""
 WITH arr AS (SELECT doc_id, {TOK} AS a FROM documents),

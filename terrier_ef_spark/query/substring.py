@@ -58,6 +58,8 @@ __all__ = [
     "regex_required_literals",
     "substring_search",
     "regex_search",
+    "substring_match_stats",
+    "grep_lines",
 ]
 
 
@@ -177,15 +179,16 @@ def regex_required_literals(pattern: str) -> list[str]:
     return sorted(set(out))
 
 
-def _search(
+def _candidates(
     index,
     corpus: DataFrame,
     rows: list[tuple[int, str, list[str]]],
-    verify,
     *,
     max_trigrams: int,
-) -> DataFrame:
-    """Shared candidate pipeline: rows = (qid, pattern, trigrams).
+) -> DataFrame | None:
+    """Shared UNVERIFIED candidate frame (qid, doc_id, pattern,
+    content) for rows = (qid, pattern, trigrams); every row is a
+    candidate SUPERSET member whose truth the caller's filter decides.
 
     1. one lexicon probe for every query's trigrams (bounded: <= a few
        trigrams per pattern; term-pruned scan, small collect — the
@@ -194,16 +197,17 @@ def _search(
        finished with zero rows before any posting byte is decoded;
     3. one term-pruned decode feeds every qid (shared trigrams decode
        once); groupBy (qid, docid) HAVING count == n_required is the
-       conjunctive intersection — one bounded shuffle;
-    4. verification joins candidates + the per-qid pattern literal
-       frame into the content scan; `verify` supplies the filter
-       column (contains / regexp_like on columns, JVM-side).
-    Tombstones are excluded like every other query path
-    (run_queries respect_deletes convention)."""
+       conjunctive intersection — one bounded shuffle; candidates then
+       join INTO the content scan;
+    4. trigram-less rows (short patterns, no provable regex literal)
+       ride ONE full content scan fanned out by a broadcast pattern
+       frame — a broadcast nested-loop over O(#fallback-patterns)
+       literals, never a per-pattern scan.
+    Returns None when no row can produce candidates at all."""
     from terrier_ef_spark.query.engine import decode_postings
 
     spark = corpus.sparkSession
-    empty = spark.createDataFrame([], "qid int, doc_id long")
+    content = corpus.select("doc_id", "content")
 
     indexed = [(q, p, t) for q, p, t in rows if t]
     fallback = [(q, p) for q, p, t in rows if not t]
@@ -241,31 +245,26 @@ def _search(
                 .agg(F.count("*").alias("n_hit"))
                 .join(need, "qid")
                 .where(F.col("n_hit") == F.col("n_req"))
-                .select("qid", "docid", "pattern")
+                .select("qid", F.col("docid").alias("doc_id"), "pattern")
             )
-            out = (
-                cand.join(
-                    corpus.select(
-                        F.col("doc_id").alias("docid"), "content"
-                    ),
-                    "docid",
-                )
-                .where(verify(F.col("content"), F.col("pattern")))
-                .select("qid", F.col("docid").alias("doc_id"))
+            out = cand.join(content, "doc_id").select(
+                "qid", "doc_id", "pattern", "content"
             )
 
-    for qid, pat in fallback:
-        scan = (
-            corpus.select(
-                F.lit(qid).alias("qid"), F.col("doc_id"), F.col("content")
-            )
-            .where(verify(F.col("content"), F.lit(pat)))
-            .select("qid", "doc_id")
+    if fallback:
+        pats = F.broadcast(
+            spark.createDataFrame(fallback, "qid int, pattern string")
+        )
+        scan = content.crossJoin(pats).select(
+            "qid", "doc_id", "pattern", "content"
         )
         out = scan if out is None else out.unionByName(scan)
+    return out
 
-    if out is None:
-        return empty
+
+def _finish(index, out: DataFrame) -> DataFrame:
+    """Tombstones are excluded like every other query path
+    (run_queries respect_deletes convention)."""
     deleted = index.deleted_docids()
     if deleted is not None:
         out = out.join(
@@ -273,7 +272,29 @@ def _search(
             "doc_id",
             "left_anti",
         )
-    return out.select("qid", "doc_id")
+    return out
+
+
+def _search(
+    index,
+    corpus: DataFrame,
+    rows: list[tuple[int, str, list[str]]],
+    verify,
+    *,
+    max_trigrams: int,
+) -> DataFrame:
+    """Candidate pipeline + verification filter -> (qid, doc_id).
+    `verify` supplies the filter column (contains / regexp_like on
+    columns, JVM-side, running INSIDE the content scan stage)."""
+    cand = _candidates(index, corpus, rows, max_trigrams=max_trigrams)
+    if cand is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid int, doc_id long"
+        )
+    out = cand.where(verify(F.col("content"), F.col("pattern"))).select(
+        "qid", "doc_id"
+    )
+    return _finish(index, out).select("qid", "doc_id")
 
 
 def substring_search(
@@ -345,3 +366,100 @@ def regex_search(
         lambda c, p: F.regexp_like(c, p),
         max_trigrams=max_trigrams,
     )
+
+
+def substring_match_stats(
+    index,
+    corpus: DataFrame,
+    patterns: list[tuple[int, str]],
+    *,
+    case_fold: bool = True,
+    max_trigrams: int = 8,
+) -> DataFrame:
+    """`grep -c` + first-offset per matching document: (qid, doc_id,
+    n_matches, first_pos) for every document containing the pattern
+    (case-sensitive). n_matches counts NON-overlapping left-to-right
+    occurrences (the replace-shrinkage identity — both Spark's
+    `replace` and standard SQL `replace` remove occurrences
+    left-to-right, so the count is engine-portable); first_pos is the
+    1-based offset of the first occurrence (SQL POSITION semantics).
+    Same trigram candidate pipeline as substring_search; the
+    n_matches >= 1 predicate IS the verification, so the stats come
+    free with the filter — one expression block inside the content
+    scan, no second pass."""
+    rows = [
+        (q, p, required_trigrams(p, case_fold=case_fold))
+        for q, p in patterns
+    ]
+    cand = _candidates(index, corpus, rows, max_trigrams=max_trigrams)
+    if cand is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid int, doc_id long, n_matches int, first_pos int"
+        )
+    c, p = F.col("content"), F.col("pattern")
+    out = (
+        cand.select(
+            "qid",
+            "doc_id",
+            ((F.length(c) - F.length(F.replace(c, p))) / F.length(p))
+            .cast("int")
+            .alias("n_matches"),
+            F.position(p, c).cast("int").alias("first_pos"),
+        )
+        .where(F.col("n_matches") >= 1)
+    )
+    return _finish(index, out).select(
+        "qid", "doc_id", "n_matches", "first_pos"
+    )
+
+
+def grep_lines(
+    index,
+    corpus: DataFrame,
+    patterns: list[tuple[int, str]],
+    *,
+    case_fold: bool = True,
+    case_sensitive: bool = True,
+    max_trigrams: int = 8,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Matched-LINE results — Zoekt's actual output shape: (qid,
+    doc_id, line_no, line) for every line of `content` containing the
+    pattern, line_no 0-based. Document candidates come from the same
+    trigram conjunction (full-content trigrams are a superset of any
+    single line's), then the content splits on `line_sep` inside the
+    scan stage (posexplode — map-side fanout, no shuffle) and the
+    line-level `contains` is the verification. A pattern containing
+    the separator can never match a single line and correctly yields
+    zero rows. Case modes as in substring_search (folded index serves
+    case-sensitive via raw-line verify; case-insensitive over an
+    unfolded index routes to the scan fallback)."""
+    import re as _re
+
+    no_filter = (not case_sensitive) and (not case_fold)
+    rows = [
+        (q, p, [] if no_filter else required_trigrams(p, case_fold=case_fold))
+        for q, p in patterns
+    ]
+    cand = _candidates(index, corpus, rows, max_trigrams=max_trigrams)
+    if cand is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid int, doc_id long, line_no int, line string"
+        )
+    if case_sensitive:
+        hit = F.contains(F.col("line"), F.col("pattern"))
+    else:
+        hit = F.contains(F.lower(F.col("line")), F.lower(F.col("pattern")))
+    out = (
+        cand.select(
+            "qid",
+            "doc_id",
+            "pattern",
+            F.posexplode(
+                F.split(F.col("content"), _re.escape(line_sep), -1)
+            ).alias("line_no", "line"),
+        )
+        .where(hit)
+        .select("qid", "doc_id", F.col("line_no").cast("int"), "line")
+    )
+    return _finish(index, out).select("qid", "doc_id", "line_no", "line")

@@ -215,3 +215,81 @@ def test_substring_respects_tombstones(spark, tri_setup, tmp_path_factory):
         r.doc_id for r in substring_search(idx, corpus, pats).collect()
     )
     assert got == all_hits[1:]
+
+
+def test_substring_match_stats(tri_setup):
+    """grep -c + first-offset: non-overlapping count (the
+    replace-shrinkage identity == Python str.count) and 1-based
+    POSITION, verified against a pure-Python oracle; only matching
+    docs report."""
+    from terrier_ef_spark.query.substring import substring_match_stats
+
+    idx, corpus, texts = tri_setup
+    pats = [
+        (1, "table"),  # high-frequency: exercises n_matches > 1
+        (2, "fast merge"),
+        (3, "zzqx-not-present"),
+        (4, "ta"),  # <3 chars: verification-scan fallback
+    ]
+    got = {
+        (r.qid, r.doc_id): (r.n_matches, r.first_pos)
+        for r in substring_match_stats(idx, corpus, pats).collect()
+    }
+    want = {}
+    for q, p in pats:
+        for d, t in texts.items():
+            n = t.count(p)
+            if n:
+                want[(q, d)] = (n, t.index(p) + 1)
+    assert got == want
+    assert max(n for n, _ in want.values()) >= 2  # counts, not booleans
+    assert any(q == 4 for q, _ in want)  # fallback path exercised
+
+
+def test_grep_lines(spark, tmp_path_factory):
+    """Zoekt's matched-line output over a multi-line corpus: exact
+    (qid, doc, line_no, line) sets vs a Python oracle, 0-based
+    numbering, cross-line patterns yield nothing, case modes."""
+    from terrier_ef_spark.query.substring import (
+        build_trigram_index,
+        grep_lines,
+    )
+
+    docs = [
+        (0, "def alpha():\n    return beta\n# alpha comment"),
+        (1, "class Beta:\n    alpha = 1\n\nbeta = alpha"),
+        (2, "nothing relevant\nhere at all"),
+    ]
+    corpus = spark.createDataFrame(
+        [("r", str(i), "c", "py", t, i) for i, t in docs],
+        "repo string, path string, commit string, lang string, "
+        "content string, doc_id long",
+    )
+    out = str(tmp_path_factory.mktemp("tri_lines") / "idx")
+    idx = build_trigram_index(spark, corpus, out, n_partitions=2)
+
+    pats = [(1, "alpha"), (2, "return beta"), (3, "Beta"), (4, "at")]
+    got = {
+        (r.qid, r.doc_id, r.line_no, r.line)
+        for r in grep_lines(idx, corpus, pats).collect()
+    }
+    want = set()
+    for q, p in pats:
+        for d, t in docs:
+            for i, ln in enumerate(t.split("\n")):
+                if p in ln:
+                    want.add((q, d, i, ln))
+    assert got == want and len(want) > 0
+    assert any(q == 3 and ln == "class Beta:" for q, _, _, ln in got)
+
+    # a pattern containing the separator can never match a single line
+    assert grep_lines(idx, corpus, [(9, "beta\n# alpha")]).count() == 0
+
+    # case-insensitive over the folded index
+    got_ci = {
+        (r.qid, r.doc_id, r.line_no)
+        for r in grep_lines(
+            idx, corpus, [(1, "BETA")], case_sensitive=False
+        ).collect()
+    }
+    assert got_ci == {(1, 0, 1), (1, 1, 0), (1, 1, 3)}
