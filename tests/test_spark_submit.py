@@ -380,3 +380,88 @@ def test_spark_submit_impact_cascade(tmp_path):
     cascade = _run(["--impact", str(tmp_path / "imp"), "--depth", "100"])
     exact = _run(["--algo", "naive"])
     assert cascade and cascade == exact
+
+
+def test_submit_query_server_grep_mode(spark, tmp_path_factory):
+    """--server --grep answers stdin patterns from a trigram index with
+    grep -c rows (n_matches/first_pos, docno resolved); an absent
+    pattern yields an empty array without killing the loop; batch-mode
+    --regex returns the membership set. Values match direct
+    substring_match_stats / regex_search calls."""
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.query.substring import build_trigram_index
+
+    base = tmp_path_factory.mktemp("grep_ship")
+    corpus = synthesize_corpus(spark, 60, seed=11, n_partitions=4)
+    corpus.write.parquet(str(base / "corpus.parquet"))
+    tri = build_trigram_index(
+        spark, corpus, str(base / "tri"), n_partitions=4
+    )
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", str(base / "tri"), "--server", "--grep",
+         "--corpus", str(base / "corpus.parquet")],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
+    )
+    topics = ("1\timport def", "2\tzzqx-not-present", "3\tthe")
+    try:
+        answers = []
+        for topic in topics:
+            p.stdin.write(topic + "\n")
+            p.stdin.flush()
+            block = []
+            while True:
+                line = p.stdout.readline()
+                if line == "" or line == "\n":
+                    break
+                block.append(line)
+            assert len(block) == 1, block
+            answers.append(json.loads(block[0]))
+    finally:
+        p.stdin.close()
+        p.wait(timeout=120)
+
+    from terrier_ef_spark.query.substring import substring_match_stats
+
+    assert answers[1] == []  # absent trigram: empty, loop survived
+    for (qid, text), got in zip(
+        ((1, "import def"), (3, "the")), (answers[0], answers[2])
+    ):
+        want = (
+            substring_match_stats(tri, corpus, [(qid, text)])
+            .orderBy("doc_id").collect()
+        )
+        assert [
+            (r["qid"], r["doc_id"], r["n_matches"], r["first_pos"])
+            for r in want
+        ] == [
+            (g["qid"], g["docid"], g["n_matches"], g["first_pos"])
+            for g in got
+        ]
+        assert got, "trivially-empty comparison"
+        assert all(":" in g["docno"] for g in got)
+
+    # batch-mode --regex: membership set matches regex_search
+    q = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", str(base / "tri"), "--grep", "--regex",
+         "--corpus", str(base / "corpus.parquet"),
+         "--queries", "import [a-z]+ def"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert q.returncode == 0, q.stderr[-2000:]
+    got = json.loads(
+        [ln for ln in q.stdout.splitlines() if ln.startswith("[")][-1]
+    )
+    from terrier_ef_spark.query.substring import regex_search
+
+    want = (
+        regex_search(tri, corpus, [(10_000, "import [a-z]+ def")])
+        .orderBy("doc_id").collect()
+    )
+    assert [r["doc_id"] for r in want] == [g["docid"] for g in got]
+    assert len(got) > 0

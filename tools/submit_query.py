@@ -30,6 +30,22 @@ and only its top --depth candidates are re-scored exactly
 (query/cascade.py). Mutually exclusive with --ql/--sdm; qtf weights
 do not apply (the tier has no weight channel).
 
+--grep serves substring search (or regex search with --regex) from a
+TRIGRAM index (query/substring.py build_trigram_index) instead of
+ranked retrieval: --index points at the trigram index, --corpus at the
+content source the candidates verify against (the driver documents
+layout or any parquet in the input-hint shape with content + doc_id),
+and each topic line is `qid<TAB>pattern` taken VERBATIM (no term
+pipeline — substrings cross token boundaries by design). Substring
+answers carry grep -c semantics (n_matches, first_pos); --regex
+answers are the membership set. Per-topic hits cap at --max-hits by
+ascending docid (a deterministic page — a hot trigram pattern on a big
+corpus would otherwise collect unboundedly). Mutually exclusive with
+--ql/--sdm/--significant/--impact. In --server mode the corpus
+relation is pinned in the executor columnar cache next to the index
+relations (the Zoekt memory-mapped-shards discipline; spills to disk
+when it doesn't fit).
+
 --server keeps the session alive and answers topics from stdin
 (`qid<TAB>query` per line, EOF ends); each topic's results are
 followed by one blank line (the end-of-results frame) and flushed
@@ -82,6 +98,75 @@ def _parse_topic(idx, qid: int, text: str, mode: str,
         "weights": weights or None,
         "mode": mode,
     }
+
+
+def _load_corpus(spark, path: str):
+    """--corpus source: the driver documents layout (a dir holding
+    documents.parquet) or any parquet already in the input-hint shape
+    (needs content + doc_id)."""
+    import os
+
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "documents.parquet")
+    ):
+        from terrier_ef_spark.corpus import corpus_from_documents
+
+        return corpus_from_documents(spark, path)
+    df = spark.read.parquet(path)
+    missing = {"content", "doc_id"} - set(df.columns)
+    if missing:
+        raise SystemExit(
+            f"--corpus parquet lacks required columns: {sorted(missing)}"
+        )
+    return df
+
+
+def _answer_grep(idx, corpus, batch, args, out, *,
+                 terminator: bool = False) -> None:
+    """batch = [(qid, pattern)]; one JSON array per batch. Substring
+    rows: qid/docno/docid/n_matches/first_pos; --regex rows:
+    qid/docno/docid membership."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.query.substring import (
+        regex_search,
+        substring_match_stats,
+    )
+
+    if args.regex:
+        res = regex_search(idx, corpus, batch)
+    else:
+        res = substring_match_stats(idx, corpus, batch)
+    w = Window.partitionBy("qid").orderBy("doc_id")
+    res = (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= args.max_hits)
+        .drop("_rn")
+    )
+    rows = (
+        res.join(
+            idx.docs.select(F.col("docid").alias("doc_id"), "docno"),
+            "doc_id",
+        )
+        .orderBy("qid", "doc_id")
+        .collect()
+    )
+    if args.regex:
+        payload = [
+            {"qid": r["qid"], "docno": r["docno"], "docid": r["doc_id"]}
+            for r in rows
+        ]
+    else:
+        payload = [
+            {"qid": r["qid"], "docno": r["docno"], "docid": r["doc_id"],
+             "n_matches": r["n_matches"], "first_pos": r["first_pos"]}
+            for r in rows
+        ]
+    out.write(json.dumps(payload) + "\n")
+    if terminator:
+        out.write("\n")
+    out.flush()
 
 
 def _pick_algo(idx, algo: str) -> str:
@@ -220,6 +305,20 @@ def main() -> None:
                     "(JLH foreground/background lift over the match "
                     "set; needs a direct index) instead of documents; "
                     "output is always JSON rows")
+    ap.add_argument("--grep", action="store_true",
+                    help="serve substring search from a TRIGRAM index "
+                    "(--index = build_trigram_index output); topics are "
+                    "qid<TAB>pattern taken verbatim; needs --corpus; "
+                    "output is always JSON rows")
+    ap.add_argument("--regex", action="store_true",
+                    help="with --grep: patterns are regexes "
+                    "(trigram-filtered via required literals)")
+    ap.add_argument("--corpus", default=None,
+                    help="content source for --grep verification: the "
+                    "driver documents dir or a parquet with "
+                    "content + doc_id")
+    ap.add_argument("--max-hits", type=int, default=1000,
+                    help="per-topic --grep hit cap (ascending docid)")
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
     ap.add_argument("--impact", default=None,
@@ -238,6 +337,14 @@ def main() -> None:
     if args.significant and (args.sdm or args.ql or args.impact):
         ap.error("--significant is mutually exclusive with "
                  "--sdm/--ql/--impact")
+    if args.grep and (args.sdm or args.ql or args.significant
+                      or args.impact):
+        ap.error("--grep is mutually exclusive with "
+                 "--sdm/--ql/--significant/--impact")
+    if args.grep and not args.corpus:
+        ap.error("--grep needs --corpus (content verification source)")
+    if args.regex and not args.grep:
+        ap.error("--regex only applies with --grep")
 
     from pyspark.sql import SparkSession
 
@@ -246,6 +353,7 @@ def main() -> None:
     spark = SparkSession.builder.appName("ef-query").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     idx = open_index(spark, args.index)
+    corpus = _load_corpus(spark, args.corpus) if args.grep else None
 
     batch = []
     if args.queries_file:
@@ -255,6 +363,9 @@ def main() -> None:
                 if not line:
                     continue
                 qid, _, text = line.partition("\t")
+                if args.grep:
+                    batch.append((int(qid), text))
+                    continue
                 try:
                     batch.append(
                         _parse_topic(idx, int(qid), text, args.mode,
@@ -266,13 +377,21 @@ def main() -> None:
                     # rejects per line instead)
                     ap.error(f"bad topic line {line!r}: {exc}")
     for i, q in enumerate(args.queries):
-        batch.append(
-            _parse_topic(idx, 10_000 + i, q.replace(",", " "), args.mode,
-                         ql=args.ql, sdm=args.sdm)
-        )
+        if args.grep:
+            # inline patterns stay verbatim — a substring may
+            # legitimately contain a comma
+            batch.append((10_000 + i, q))
+        else:
+            batch.append(
+                _parse_topic(idx, 10_000 + i, q.replace(",", " "),
+                             args.mode, ql=args.ql, sdm=args.sdm)
+            )
 
     if batch:
-        _answer(idx, batch, args, sys.stdout)
+        if args.grep:
+            _answer_grep(idx, corpus, batch, args, sys.stdout)
+        else:
+            _answer(idx, batch, args, sys.stdout)
     elif not args.server:
         ap.error("no queries given (--queries-file, --queries, --server)")
 
@@ -282,6 +401,12 @@ def main() -> None:
         # per-topic cost is otherwise parquet job overhead, not decode)
         # — plus the per-index doclen broadcast warmed by query one.
         idx.enable_serving_cache()
+        if args.grep:
+            # pin content next to the index relations (the Zoekt
+            # memory-mapped-shards discipline); Spark's columnar cache
+            # spills to disk when the corpus outgrows executor memory
+            corpus = corpus.persist()
+            corpus.count()
         if args.impact:
             from terrier_ef_spark.index.impact import ImpactIndex
 
@@ -293,6 +418,10 @@ def main() -> None:
             if not line:
                 continue
             qid, _, text = line.partition("\t")
+            if args.grep:
+                _answer_grep(idx, corpus, [(int(qid), text)], args,
+                             sys.stdout, terminator=True)
+                continue
             try:
                 topic = _parse_topic(idx, int(qid), text, args.mode,
                                      ql=args.ql, sdm=args.sdm)
