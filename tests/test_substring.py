@@ -293,3 +293,15 @@ def test_grep_lines(spark, tmp_path_factory):
         ).collect()
     }
     assert got_ci == {(1, 0, 1), (1, 1, 0), (1, 1, 3)}
+
+
+def test_trigram_index_fsck_clean(tri_setup):
+    """The trigram index is a standard EF index, so the integrity fsck
+    must hold on it unchanged: tf == 1 per (doc, trigram) by the
+    distinct tokenizer, doclen == the doc's distinct-trigram count, and
+    every blob/lexicon/stats invariant as for word indexes."""
+    from terrier_ef_spark.index.verify import verify_index
+
+    idx, _, _ = tri_setup
+    rep = verify_index(idx)
+    assert rep["ok"], rep
