@@ -307,7 +307,16 @@ def substring_search(
     max_trigrams: int = 8,
 ) -> DataFrame:
     """Exact substring search: (qid, doc_id) rows for every document
-    whose content contains the pattern. `case_fold` must match how the
+    whose content contains the pattern.
+
+    Metadata scoping (Zoekt's lang:/repo:/file: filters) is the
+    `corpus` argument: pass a pre-filtered frame (e.g.
+    `corpus.where(F.col("lang") == "py")`) — candidates inner-join
+    onto it, so index-side candidates outside the scope drop at the
+    verification join and fallback scans never read out-of-scope rows
+    (the filter pushes into the parquet scan). No index change needed.
+
+    `case_fold` must match how the
     index was built (build_trigram_index default True); case-SENSITIVE
     matching over a folded index is still exact because verification
     runs against the raw content — the folded trigrams are merely a

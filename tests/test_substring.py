@@ -305,3 +305,33 @@ def test_trigram_index_fsck_clean(tri_setup):
     idx, _, _ = tri_setup
     rep = verify_index(idx)
     assert rep["ok"], rep
+
+
+def test_substring_search_metadata_scoped(tri_setup):
+    """Zoekt's lang:/repo: scoping is the corpus argument: a
+    pre-filtered corpus restricts results exactly — index-side
+    candidates outside the scope drop at the verification join, and
+    the fallback scan never reads out-of-scope rows."""
+    import pyspark.sql.functions as F
+
+    from terrier_ef_spark.query.substring import substring_search
+
+    idx, corpus, texts = tri_setup
+    langs = {
+        r.doc_id: r.lang for r in corpus.select("doc_id", "lang").collect()
+    }
+    pats = [(1, "the"), (2, "ta")]  # indexed + fallback path
+    scoped = corpus.where(F.col("lang") == "py")
+    got = {
+        (r.qid, r.doc_id)
+        for r in substring_search(idx, scoped, pats).collect()
+    }
+    want = {
+        (q, d)
+        for q, p in pats
+        for d, t in texts.items()
+        if p in t and langs[d] == "py"
+    }
+    assert got == want and len(want) > 0
+    # and strictly fewer than the unscoped result
+    assert len(want) < len(_sub_oracle(texts, pats))
