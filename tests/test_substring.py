@@ -335,3 +335,31 @@ def test_substring_search_metadata_scoped(tri_setup):
     assert got == want and len(want) > 0
     # and strictly fewer than the unscoped result
     assert len(want) < len(_sub_oracle(texts, pats))
+
+
+def test_substring_search_plan_shape(spark, tri_setup):
+    """Plan regression guard for the trigram pipeline: exactly ONE
+    shuffle exchange (the conjunctive groupBy(qid, docid)); the
+    pattern/requirement relations and the candidate side of the
+    content verification join all broadcast (no sort-merge join); and
+    the selected trigrams reach the postings scan as a pushed In
+    filter. Losing any of these re-adds corpus-scale shuffles to a
+    path whose whole point is candidate-bounded work."""
+    import re as _re
+
+    from terrier_ef_spark.query.substring import substring_search
+
+    idx, corpus, _ = tri_setup
+    df = substring_search(
+        idx, corpus, [(1, "fast merge"), (2, "the import")]
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # exactly one shuffle exchange NODE (formatted mode lists each
+    # node twice: once in the tree, once in the detail section)
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert _re.search(r"PushedFilters: \[In\(term", plan), plan[:3000]
