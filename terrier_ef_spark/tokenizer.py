@@ -180,6 +180,15 @@ def _tokenize_query_raw(index, text: str) -> list[str]:
         # pruned/imported indexes record a synthetic pipeline name;
         # the simple tokenizer is the right default for raw queries
         pass
+    elif str(base).startswith("trigram"):
+        # a trigram (substring-search) index has no word-term pipeline;
+        # silently tokenizing words against a trigram lexicon would
+        # "work" and return garbage rankings — fail with the right door
+        raise ValueError(
+            "this index was built with the trigram (substring-search) "
+            "tokenizer; word queries don't apply — use substring_search/"
+            "regex_search (query/substring.py) or submit_query --grep"
+        )
     toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
     if max_len is not None:
         toks = [t[:max_len] for t in toks]

@@ -363,3 +363,14 @@ def test_substring_search_plan_shape(spark, tri_setup):
     assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert _re.search(r"PushedFilters: \[In\(term", plan), plan[:3000]
+
+
+def test_word_query_against_trigram_index_named_error(tri_setup):
+    """Scoring word topics against a trigram index would silently
+    return garbage (word terms vs a trigram lexicon); the recorded
+    pipeline refuses with a pointer at the grep door instead."""
+    from terrier_ef_spark.tokenizer import tokenize_query
+
+    idx, _, _ = tri_setup
+    with pytest.raises(ValueError, match="trigram"):
+        tokenize_query(idx, "fast merge")
