@@ -12,7 +12,7 @@ scale answer is a positional-free trigram index:
   build:  every distinct character 3-gram of `content` becomes a term;
           posting lists are plain EF docid sets (tf==1 by construction),
           built by the SAME builder as the word index (`build_index`
-          with a pure-Catalyst trigram tokenizer) — so merge, fsck,
+          with an Arrow-vectorized trigram tokenizer) — so merge, fsck,
           incremental append, tombstones, block_bits skew capping and
           the bitfile bridge all apply unchanged.
   query:  a pattern of length >= 3 can only match documents containing
@@ -71,21 +71,36 @@ def trigram_tokenizer(case_fold: bool = True):
     per (doc, trigram) keeps the index at Zoekt's size, not the corpus
     character count. case_fold=True (the Zoekt default) lowercases at
     index time; case-sensitive queries then verify against the raw
-    content. Pure Catalyst — no Python in the build hot path."""
+    content.
+
+    Implementation note (measured): the natural Catalyst expression —
+    `transform(sequence(1, len-2), i -> substr(src, i, 3))` — runs the
+    higher-order-function lambda INTERPRETED per element (HOFs sit
+    outside whole-stage codegen), costing ~20 ms per 2.7 KB document
+    per core; that made the docs stage 86% of a trigram build. The
+    Arrow-vectorized pandas UDF below does the same slicing at Python
+    slice speed (~0.2 ms/doc, >50× faster end-to-end on the build).
+    Output is SORTED for artifact determinism (the builder's
+    partition-independence contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def g(x):
+        if x is None:
+            return []
+        if case_fold:
+            x = x.lower()
+        n = len(x) - 2
+        if n <= 0:
+            return []
+        return sorted({x[i : i + 3] for i in range(n)})
+
+    # non-decorator form: the module's `from __future__ import
+    # annotations` stringifies type hints, which the decorator's
+    # signature inference can't resolve in a nested scope
+    _grams_udf = pandas_udf(lambda s: s.map(g), "array<string>")
 
     def _grams(col):
-        src = F.lower(col) if case_fold else col
-        grams = F.transform(
-            F.sequence(F.lit(1), F.length(src) - F.lit(2)),
-            lambda i: src.substr(i, F.lit(3)),
-        )
-        # sequence(1, n) is DESCENDING for n < 1 — guard short content
-        # to an empty array instead.
-        return F.array_distinct(
-            F.when(F.length(src) >= 3, grams).otherwise(
-                F.array().cast("array<string>")
-            )
-        )
+        return _grams_udf(col)
 
     _grams.__name__ = "trigram_fold" if case_fold else "trigram"
     return _grams
