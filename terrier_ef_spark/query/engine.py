@@ -86,6 +86,7 @@ def run_queries(
     b: float | None = None,
     prior: DataFrame | None = None,
     prior_weight: float = 1.0,
+    boost_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """queries: [{'qid': int, 'terms': [str], 'mode':
     'disjunctive'|'conjunctive'[, 'not_terms': [str]]}]. not_terms are
@@ -148,6 +149,20 @@ def run_queries(
     know nothing of the additive prior, so pruning could discard
     docs the prior would promote — they refuse instead.
 
+    boost_pairs: optional (qid, docid, boost) DataFrame of additive
+    per-(query, document) score boosts, joined onto the FOLDED
+    (qid, docid) scores before ranking (docs absent from the relation
+    take boost 0; duplicate rows fold to max, the prior discipline).
+    This is the Zoekt symbol-rank channel (query/symbols.py builds
+    the relation: a query term that names a symbol DEFINITION in a
+    doc outranks an incidental body match) but is generic — any
+    query-dependent additive evidence. Exactness requires every
+    boosted doc to be in the matched set (symbol defs are, by
+    construction: the defining doc contains the term); a boost row
+    whose (qid, docid) matched no query term is dropped by the join
+    and a pruning bound cannot account for it — so boost_pairs is
+    term-major exhaustive only, like prior.
+
     respect_deletes: when the index carries tombstones
     (index/maintenance.py delete_docs), exclude them from results via a
     left-anti join on the decoded posting rows. Same term-major-only
@@ -184,6 +199,18 @@ def run_queries(
             raise ValueError(
                 "prior is relational (term-major only); the "
                 "query-major kernel does not support document priors"
+            )
+        strategy = "term_major"
+    if boost_pairs is not None:
+        if algo != "naive":
+            raise ValueError(
+                "boost_pairs runs on the exhaustive term-major scorer; "
+                f"algo={algo!r} bounds don't include the additive boost"
+            )
+        if strategy == "query_major":
+            raise ValueError(
+                "boost_pairs is relational (term-major only); the "
+                "query-major kernel does not support per-pair boosts"
             )
         strategy = "term_major"
     if any(q.get("not_terms") for q in queries):
@@ -249,6 +276,7 @@ def run_queries(
             index, queries, k=k, model=model, doc_filter=doc_filter,
             exclude_docs=tombstones, k1=k1, b=b,
             prior=prior, prior_weight=prior_weight,
+            boost_pairs=boost_pairs,
         )
     return _run_queries_query_major(index, queries, k=k, algo=algo,
                                     k1=k1, b=b)
@@ -336,6 +364,7 @@ def _run_queries_term_major(
     prior_weight: float = 1.0,
     after_df: DataFrame | None = None,
     stable6: bool = False,
+    boost_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
@@ -376,7 +405,8 @@ def _run_queries_term_major(
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model,
                        exclude_pairs=exclude_pairs, k1=k1, b=b,
                        prior=prior, prior_weight=prior_weight,
-                       after_df=after_df, stable6=stable6)
+                       after_df=after_df, stable6=stable6,
+                       boost_pairs=boost_pairs)
 
 
 def _score_rows(
@@ -393,6 +423,7 @@ def _score_rows(
     prior_weight: float = 1.0,
     after_df: DataFrame | None = None,
     stable6: bool = False,
+    boost_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Scoring tail of the term-major strategy: (term, docid, tf) rows
     -> lexicon + partitioned doclen joins -> Catalyst model contribution
@@ -472,6 +503,23 @@ def _score_rows(
                 F.col("score") + F.lit(float(prior_weight)) * lnp,
             )
             .drop("_prior")
+        )
+    if boost_pairs is not None:
+        # query-dependent additive boost on the FOLDED scores, before
+        # ranking (the prior discipline, keyed (qid, docid)): matched
+        # docs absent from the relation take boost 0; duplicate rows
+        # fold to max. Boost rows outside the matched set drop at the
+        # join — callers guarantee boosted docs match (symbol defs do)
+        bp = boost_pairs.groupBy("qid", "docid").agg(
+            F.max(F.col("boost").cast("double")).alias("_boost")
+        )
+        scored = (
+            scored.join(bp, ["qid", "docid"], "left")
+            .withColumn(
+                "score",
+                F.col("score") + F.coalesce(F.col("_boost"), F.lit(0.0)),
+            )
+            .drop("_boost")
         )
     res = scored.join(F.broadcast(qmeta_df), "qid").where(
         (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
