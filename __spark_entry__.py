@@ -168,10 +168,18 @@ PERCOLATE_QUERIES = [
 # than displacing a media key's first hash-verified driver row; its
 # evidence is this session's local gate run + the pure-Python-oracle
 # pytest.
+# Second amendment: the 3 symbol keys (symbol_defs / symbol_search_topk
+# / bm25_symbol_boost — query/symbols.py, the Zoekt ctags class) lead
+# the window for their first driver rows; the three additionally
+# displaced keys (inl2/dlh13/tf_idf_disjunctive — single-expression
+# weighting-model variants of the always-green bm25_disjunctive
+# machinery, each with pinned-literal pytest scores) join the
+# out-of-window group with this session's local ALL-OK sweep as their
+# evidence.
 _GATE_PRIORITY = [
+    "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "substring_search", "regex_search",
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
-    "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "bm25_bo2_expanded", "ifb2_disjunctive", "in_expb2_disjunctive",
     "bb2_disjunctive", "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
@@ -186,6 +194,7 @@ _GATE_PRIORITY = [
     "significant_terms", "impact_postings_decoded",
     "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk",
     "media_audio_features", "media_frame_stats",
+    "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "substring_match_stats", "bm25_prior_topk", "bm25_page2_topk",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -272,6 +281,74 @@ def _get_trigram_index(spark: SparkSession, sf_dir: str):
             spark, corpus, out, n_partitions=16
         )
     return _INDEX_CACHE[key]
+
+
+# symbol-extraction gate fixture (query/symbols.py, the Zoekt ctags
+# role): the driver documents are prose, so derive a code-shaped
+# source deterministically — per-doc definition lines whose symbol
+# names are drawn from the BM25 query vocabulary (so the boost key's
+# definitions collide with query terms) plus the real text body
+# (stressing extraction against prose on both engines), and a derived
+# lang column so the per-language rule gating is exercised IN the gate
+SYM_QWORDS = ["table", "spark", "merge", "window", "query"]
+SYM_SEARCH_QUERIES = [
+    {"qid": 1, "name": "table"},   # query-vocab symbol, many docs
+    {"qid": 2, "name": "cls3"},    # class family
+    {"qid": 3, "name": "v7"},      # scala val family
+    {"qid": 4, "name": "m11"},     # java void family
+    {"qid": 5, "name": "zzmissing"},  # defined nowhere: zero rows
+]
+SYM_BETA = 0.5
+
+
+def _sym_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    qw = d % 5
+    qword = (
+        F.when(qw == 0, SYM_QWORDS[0])
+        .when(qw == 1, SYM_QWORDS[1])
+        .when(qw == 2, SYM_QWORDS[2])
+        .when(qw == 3, SYM_QWORDS[3])
+        .otherwise(SYM_QWORDS[4])
+    )
+    lang = (
+        F.when(d % 4 == 0, "py")
+        .when(d % 4 == 1, "java")
+        .when(d % 4 == 2, "scala")
+        .otherwise("md")
+    )
+    content = F.concat_ws(
+        " ",
+        F.concat(F.lit("def "), qword),
+        F.when(d % 3 == 0, F.concat(F.lit("def "), qword)).otherwise(
+            F.concat(F.lit("class cls"), (d % 7).cast("string"))
+        ),
+        F.concat(F.lit("val v"), (d % 29).cast("string")),
+        F.concat(F.lit("void m"), (d % 13).cast("string")),
+        F.col("text"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+
+
+_SYM_QWORD_SQL = (
+    "CASE doc_id % 5 WHEN 0 THEN 'table' WHEN 1 THEN 'spark'"
+    " WHEN 2 THEN 'merge' WHEN 3 THEN 'window' ELSE 'query' END"
+)
+_SYM_SRC_SQL = f"""(
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'py' WHEN 1 THEN 'java'
+              WHEN 2 THEN 'scala' ELSE 'md' END AS lang,
+         concat_ws(' ',
+           'def ' || {_SYM_QWORD_SQL},
+           CASE WHEN doc_id % 3 = 0 THEN 'def ' || {_SYM_QWORD_SQL}
+                ELSE 'class cls' || (doc_id % 7)::VARCHAR END,
+           'val v' || (doc_id % 29)::VARCHAR,
+           'void m' || (doc_id % 13)::VARCHAR,
+           text) AS content
+  FROM documents
+)"""
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +729,7 @@ SELECT qid, rank, docid, score FROM (
 def _bm25_oracle_sql(
     queries, conjunctive: bool, model: str = "bm25", candidate_where: str = "",
     depth: int = 10, prior_expr: str | None = None, offset: int = 0,
+    boost_sql: str | None = None,
 ) -> str:
     """candidate_where: extra predicate on the scored posting rows
     (metadata-filtered retrieval; statistics stay corpus-global).
@@ -661,7 +739,10 @@ def _bm25_oracle_sql(
     feeds a post-ranking transform such as field collapsing).
     prior_expr: optional static-prior addend in terms of sc.docid
     (run_queries(prior=...) twin) added to sc.score before the
-    6dp-stable ranking. offset: skip the first `offset` ranked rows
+    6dp-stable ranking. boost_sql: optional SELECT producing
+    (qid, docid, boost) rows — the run_queries(boost_pairs=...) twin:
+    left-joined onto the folded scores (missing pairs boost 0) before
+    the 6dp ranking. offset: skip the first `offset` ranked rows
     and renumber from 1 (the run_queries_page search_after twin: page
     n of size k is offset=(n-1)*k, depth=n*k)."""
     vals = ", ".join(
@@ -691,6 +772,13 @@ excl AS (SELECT DISTINCT nq.qid, p.doc_id AS docid
     final_score = (
         f"(sc.score + {prior_expr})" if prior_expr else "sc.score"
     )
+    boost_cte = f", bst AS ({boost_sql})" if boost_sql else ""
+    boost_join = (
+        "LEFT JOIN bst ON bst.qid = sc.qid AND bst.docid = sc.docid"
+        if boost_sql else ""
+    )
+    if boost_sql:
+        final_score = f"({final_score} + coalesce(bst.boost, 0))"
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS term FROM documents
@@ -714,13 +802,13 @@ sc AS (
          JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
   WHERE true {candidate_where}
   GROUP BY 1, 2
-){not_cte}
+){not_cte}{boost_cte}
 SELECT qid, (rank - {offset})::int AS rank, docid, score FROM (
   SELECT sc.qid::bigint AS qid,
          row_number() OVER (PARTITION BY sc.qid
                             ORDER BY round({final_score}, 6) DESC, sc.docid ASC)::int AS rank,
          sc.docid, round({final_score}, 6) AS score
-  FROM sc JOIN nt ON nt.qid = sc.qid WHERE true {conj_filter} {not_filter}
+  FROM sc JOIN nt ON nt.qid = sc.qid {boost_join} WHERE true {conj_filter} {not_filter}
 ) WHERE rank > {offset} AND rank <= {depth}
 """
 
@@ -1034,6 +1122,59 @@ WITH c AS (
   SELECT doc_id, unnest({toks}) AS term FROM c
 )
 SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2
+"""
+
+
+def _symbol_defs_oracle_sql() -> str:
+    """Twin of extract_symbols over the derived code-shaped source:
+    the module's own DuckDB formulation (RE2) of the per-language
+    definition regexes — hash agreement verifies extraction semantics
+    across regex engines, the code_token_counts discipline."""
+    from terrier_ef_spark.query.symbols import symbols_sql_duckdb
+
+    return symbols_sql_duckdb(f"{_SYM_SRC_SQL} s")
+
+
+def _symbol_search_oracle_sql(queries, k: int = 10) -> str:
+    """Twin of symbol_search (exact mode): per-name definition-count
+    ranking with the (n_defs desc, docid asc) deterministic page."""
+    from terrier_ef_spark.query.symbols import symbols_sql_duckdb
+
+    vals = ", ".join(f"({q['qid']}, '{q['name']}')" for q in queries)
+    sym = symbols_sql_duckdb(f"{_SYM_SRC_SQL} s")
+    return f"""
+WITH sym AS ({sym}),
+q(qid, name) AS (VALUES {vals}),
+m AS (
+  SELECT q.qid::bigint AS qid, s.doc_id AS docid,
+         sum(s.n_defs)::bigint AS n_defs
+  FROM q JOIN sym s ON s.symbol = q.name
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, n_defs FROM (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY n_defs DESC, docid ASC)::int AS rank,
+         docid, n_defs
+  FROM m
+) WHERE rank <= {k}
+"""
+
+
+def _symbol_boost_sql(queries, beta: float) -> str:
+    """(qid, docid, boost) relation for _bm25_oracle_sql(boost_sql=):
+    boost = beta x |distinct query terms the doc defines| (the
+    symbol_boost_pairs twin). Reuses the q(qid, term) CTE the base
+    statement already declares."""
+    from terrier_ef_spark.query.symbols import symbols_sql_duckdb
+
+    sym = symbols_sql_duckdb(f"{_SYM_SRC_SQL} s")
+    return f"""
+SELECT q.qid, s.doc_id AS docid,
+       count(DISTINCT q.term) * {beta} AS boost
+FROM q JOIN (SELECT DISTINCT doc_id, symbol FROM ({sym})) s
+       ON s.symbol = q.term
+GROUP BY 1, 2
 """
 
 
@@ -2454,6 +2595,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         )
 
+    def symbol_defs(spark, sf):
+        """Symbol extraction (query/symbols.py, the Zoekt ctags role):
+        per-language definition regexes in one content scan over the
+        derived code-shaped source (definition lines + prose body,
+        derived lang column so rule gating is exercised). The twin is
+        the module's RE2 formulation of the same rules."""
+        from terrier_ef_spark.query.symbols import extract_symbols
+
+        return extract_symbols(_sym_src(spark, sf))
+
+    def symbol_search_topk(spark, sf):
+        """sym: name lookup — documents ranked by definition count
+        (n_defs desc, docid asc), exact-name mode; one name per
+        definition family plus a defined-nowhere miss."""
+        from terrier_ef_spark.query.symbols import (
+            extract_symbols,
+            symbol_search,
+        )
+
+        sym = extract_symbols(_sym_src(spark, sf))
+        return symbol_search(sym, SYM_SEARCH_QUERIES, k=10)
+
+    def bm25_symbol_boost(spark, sf):
+        """Symbol-boosted BM25 (Zoekt's symbol ranking): score + beta
+        per distinct query term the document DEFINES, applied on the
+        full matched set before top-k (engine boost_pairs channel) —
+        the fixture's definition names are drawn from the query
+        vocabulary, so the boost genuinely reorders pages."""
+        from terrier_ef_spark.query.symbols import (
+            extract_symbols,
+            run_queries_symbol_boost,
+        )
+
+        idx = _get_index(spark, sf)
+        sym = extract_symbols(_sym_src(spark, sf))
+        deep = run_queries_symbol_boost(
+            idx, sym, BM25_QUERIES, k=100, beta=SYM_BETA,
+            strategy="term_major",
+        )
+        return _rerank_6dp(deep)
+
     def percolate_matches(spark, sf):
         """Percolation / reverse search (query/percolate.py — the
         Elasticsearch percolator role): stored disjunctive AND
@@ -3334,6 +3516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_tiered_topk": bm25_tiered_topk,
         "hard_negatives": hard_negatives,
         "code_token_counts": code_token_counts,
+        "symbol_defs": symbol_defs,
+        "symbol_search_topk": symbol_search_topk,
+        "bm25_symbol_boost": bm25_symbol_boost,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3705,6 +3890,12 @@ SELECT term, doc_id AS docid FROM (
         "bm25_tiered_topk": _tiered_oracle_sql(BM25_QUERIES),
         "hard_negatives": _negatives_oracle_sql(BM25_QUERIES),
         "code_token_counts": _code_tokens_oracle_sql(),
+        "symbol_defs": _symbol_defs_oracle_sql(),
+        "symbol_search_topk": _symbol_search_oracle_sql(SYM_SEARCH_QUERIES),
+        "bm25_symbol_boost": _bm25_oracle_sql(
+            BM25_QUERIES, conjunctive=False,
+            boost_sql=_symbol_boost_sql(BM25_QUERIES, SYM_BETA),
+        ),
         "complete_prefix": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 lex AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY 1),
