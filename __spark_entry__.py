@@ -169,18 +169,21 @@ PERCOLATE_QUERIES = [
 # evidence is this session's local gate run + the pure-Python-oracle
 # pytest.
 # Second amendment: the 3 symbol keys (symbol_defs / symbol_search_topk
-# / bm25_symbol_boost — query/symbols.py, the Zoekt ctags class) lead
-# the window for their first driver rows; the three additionally
-# displaced keys (inl2/dlh13/tf_idf_disjunctive — single-expression
-# weighting-model variants of the always-green bm25_disjunctive
-# machinery, each with pinned-literal pytest scores) join the
-# out-of-window group with this session's local ALL-OK sweep as their
-# evidence.
+# / bm25_symbol_boost — query/symbols.py, the Zoekt ctags class) and
+# snapshot_latest_files (corpus.snapshot_latest, the full-history ->
+# one-version selection step) lead the window for their first driver
+# rows; the four additionally displaced keys (inl2 / dlh13 / tf_idf /
+# in_expb2_disjunctive — single-expression weighting-model variants of
+# the always-green bm25_disjunctive machinery, each with
+# pinned-literal pytest scores) join the out-of-window group with this
+# session's local ALL-OK sweep (run in the same process as the new
+# keys) as their evidence.
 _GATE_PRIORITY = [
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
+    "snapshot_latest_files",
     "substring_search", "regex_search",
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
-    "bm25_bo2_expanded", "ifb2_disjunctive", "in_expb2_disjunctive",
+    "bm25_bo2_expanded", "ifb2_disjunctive",
     "bb2_disjunctive", "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
@@ -195,6 +198,7 @@ _GATE_PRIORITY = [
     "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk",
     "media_audio_features", "media_frame_stats",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
+    "in_expb2_disjunctive",
     "substring_match_stats", "bm25_prior_topk", "bm25_page2_topk",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -2636,6 +2640,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def snapshot_latest_files(spark, sf):
+        """Snapshot selection over the input-hint full-history shape
+        (corpus.snapshot_latest): one winner per (repo, path) by the
+        greatest (commit, doc_id) tuple — groupBy + max_by with
+        map-side partial aggregation (the window formulation the twin
+        uses shuffles every version; this shuffles ~one per group per
+        partition). Fixture folds doc_ids into (repo, path) groups of
+        ~|docs|/185 versions with md5 commits (identical hex on both
+        engines)."""
+        from terrier_ef_spark.corpus import snapshot_latest
+
+        d = _docs(spark, sf).select(
+            F.concat(F.lit("r"), (F.col("doc_id") % 5).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), (F.col("doc_id") % 37).cast("string")).alias("path"),
+            F.md5(F.col("doc_id").cast("string")).alias("commit"),
+            F.col("doc_id"),
+        )
+        return snapshot_latest(d, order_cols=("commit", "doc_id"))
+
     def percolate_matches(spark, sf):
         """Percolation / reverse search (query/percolate.py — the
         Elasticsearch percolator role): stored disjunctive AND
@@ -3519,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_defs": symbol_defs,
         "symbol_search_topk": symbol_search_topk,
         "bm25_symbol_boost": bm25_symbol_boost,
+        "snapshot_latest_files": snapshot_latest_files,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3890,6 +3914,17 @@ SELECT term, doc_id AS docid FROM (
         "bm25_tiered_topk": _tiered_oracle_sql(BM25_QUERIES),
         "hard_negatives": _negatives_oracle_sql(BM25_QUERIES),
         "code_token_counts": _code_tokens_oracle_sql(),
+        "snapshot_latest_files": """
+WITH src AS (
+  SELECT 'r' || (doc_id % 5)::VARCHAR AS repo,
+         'p' || (doc_id % 37)::VARCHAR AS path,
+         md5(doc_id::VARCHAR) AS "commit", doc_id
+  FROM documents)
+SELECT repo, path, "commit", doc_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+             ORDER BY "commit" DESC, doc_id DESC) AS rn FROM src
+) WHERE rn = 1
+""",
         "symbol_defs": _symbol_defs_oracle_sql(),
         "symbol_search_topk": _symbol_search_oracle_sql(SYM_SEARCH_QUERIES),
         "bm25_symbol_boost": _bm25_oracle_sql(

@@ -119,6 +119,48 @@ def synthesize_corpus(
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
+def snapshot_latest(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("repo", "path"),
+    order_cols: tuple[str, ...] = ("commit",),
+) -> DataFrame:
+    """One row per `keys` group — the greatest `order_cols` tuple wins
+    (lexicographic struct comparison). The snapshot-selection step a
+    full-history source-code table needs before an index build: the
+    input-hint shape (repo, path, commit, lang, content) carries every
+    version of every file; the index should cover exactly one.
+
+    100 TB shape: implemented as groupBy + max_by(struct(payload),
+    struct(order)) — a declarative aggregate with MAP-SIDE PARTIAL
+    aggregation, so the shuffle carries ~one candidate row per (file,
+    input-partition), not the full version history. The equivalent
+    row_number() window (the DuckDB twin's formulation) has no partial
+    step and shuffles every version of every file; at 10^12 rows the
+    difference is the job. No skew concern: group size = versions per
+    file, naturally bounded, uncorrelated with hot terms.
+
+    Determinism: max_by breaks order ties arbitrarily, so callers must
+    make `order_cols` a total order within each group (append a unique
+    tiebreak column, e.g. a snapshot/ingest id). With no timestamp in
+    the input-hint shape, ordering by commit hash is a deterministic
+    stand-in, not chronology — a real lakehouse table orders by its
+    commit-time column here.
+    """
+    missing = [c for c in (*keys, *order_cols) if c not in df.columns]
+    if missing:
+        raise ValueError(f"snapshot_latest: missing columns {missing}")
+    payload = [c for c in df.columns if c not in keys]
+    row = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("_row")
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(row)
+        .select(*keys, *[F.col(f"_row.{c}").alias(c) for c in payload])
+    )
+
+
 def corpus_from_table(
     spark: SparkSession, table: str, where: str | None = None
 ) -> DataFrame:
