@@ -465,3 +465,143 @@ def test_submit_query_server_grep_mode(spark, tmp_path_factory):
     )
     assert [r["doc_id"] for r in want] == [g["docid"] for g in got]
     assert len(got) > 0
+
+
+def test_submit_query_symbols_modes(spark, tmp_path_factory):
+    """--sym serves definition-count ranking from a materialized
+    symbols parquet over the warm --server loop (values match direct
+    symbol_search; an undefined name yields an empty array without
+    killing the loop), and --symbols adds the definition boost to
+    batch ranked retrieval (values match run_queries_symbol_boost)."""
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.symbols import extract_symbols
+
+    base = tmp_path_factory.mktemp("sym_ship")
+    corpus = synthesize_corpus(spark, 80, seed=13, n_partitions=4)
+    idx = build_index(spark, corpus, str(base / "idx"), n_partitions=4)
+    sym = extract_symbols(corpus)
+    sym.write.parquet(str(base / "symbols.parquet"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    tool = os.path.join(REPO, "tools", "submit_query.py")
+
+    # --server --sym: names answered from the pinned symbols relation
+    p = subprocess.Popen(
+        [sys.executable, tool, "--index", str(base / "idx"),
+         "--server", "--sym", "--symbols", str(base / "symbols.parquet")],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
+    )
+    # pick a name defined in several docs
+    sym_pdf = sym.toPandas()
+    counts = sym_pdf.groupby("symbol")["doc_id"].nunique()
+    name = counts[counts >= 2].index[0]
+    topics = (f"1\t{name}", "2\tzz_undefined_name")
+    try:
+        answers = []
+        for topic in topics:
+            p.stdin.write(topic + "\n")
+            p.stdin.flush()
+            block = []
+            while True:
+                line = p.stdout.readline()
+                if line == "" or line == "\n":
+                    break
+                block.append(line)
+            assert len(block) == 1, block
+            answers.append(json.loads(block[0]))
+    finally:
+        p.stdin.close()
+        p.wait(timeout=120)
+
+    assert answers[1] == []  # undefined name: empty, loop survived
+    from terrier_ef_spark.query.symbols import symbol_search
+
+    want = (
+        symbol_search(sym, [{"qid": 1, "name": name}], k=10)
+        .orderBy("rank").collect()
+    )
+    assert want, "trivially-empty comparison"
+    assert [(r["rank"], r["docid"], r["n_defs"]) for r in want] == [
+        (g["rank"], g["docid"], g["n_defs"]) for g in answers[0]
+    ]
+
+    # batch --symbols boost: ranked retrieval == run_queries_symbol_boost
+    q = subprocess.run(
+        [sys.executable, tool, "--index", str(base / "idx"),
+         "--symbols", str(base / "symbols.parquet"),
+         "--sym-beta", "3.0", "--format", "json",
+         "--queries", "def,import"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert q.returncode == 0, q.stderr[-2000:]
+    got = json.loads(
+        [ln for ln in q.stdout.splitlines() if ln.startswith("[")][-1]
+    )
+    from terrier_ef_spark.query.symbols import run_queries_symbol_boost
+
+    want = run_queries_symbol_boost(
+        idx, sym,
+        [{"qid": 10_000, "terms": ["def", "import"],
+          "mode": "disjunctive"}],
+        k=10, beta=3.0,
+    ).orderBy("rank").collect()
+    assert [r["docid"] for r in want] == [g["docid"] for g in got]
+    for r, g in zip(want, got):
+        assert abs(r["score"] - g["score"]) < 1e-5
+    # the boost path genuinely differs from plain BM25 here
+    from terrier_ef_spark.query.engine import run_queries
+
+    plain = run_queries(
+        idx, [{"qid": 10_000, "terms": ["def", "import"],
+               "mode": "disjunctive"}], k=10, strategy="term_major",
+    ).orderBy("rank").collect()
+    assert [r["docid"] for r in plain] != [g["docid"] for g in got]
+
+
+def test_submit_build_symbols_out(spark, tmp_path_factory):
+    """--symbols-out materializes the extraction relation at build
+    time; rows equal a direct extract_symbols over the same corpus,
+    and --compact-out is refused (docid re-densification would
+    misalign the relation)."""
+    base = tmp_path_factory.mktemp("symbuild")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    tool = os.path.join(REPO, "tools", "submit_build.py")
+    p = subprocess.run(
+        [sys.executable, tool, "--synth-docs", "40", "--seed", "9",
+         "--out", str(base / "idx"), "--partitions", "4",
+         "--symbols-out", str(base / "symbols.parquet")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["symbols_rows"] > 0
+
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.query.symbols import extract_symbols
+
+    want = (
+        extract_symbols(synthesize_corpus(spark, 40, seed=9, n_partitions=4))
+        .orderBy("doc_id", "kind", "symbol").collect()
+    )
+    got = (
+        spark.read.parquet(str(base / "symbols.parquet"))
+        .orderBy("doc_id", "kind", "symbol").collect()
+    )
+    assert len(got) == out["symbols_rows"]
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+    refuse = subprocess.run(
+        [sys.executable, tool, "--synth-docs", "10",
+         "--out", str(base / "idx2"), "--partitions", "2",
+         "--delete-docids", "1",
+         "--compact-out", str(base / "idx2_live"),
+         "--symbols-out", str(base / "s2.parquet")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert refuse.returncode != 0
+    assert "re-densifies docids" in refuse.stderr

@@ -63,6 +63,11 @@ def main() -> None:
                     "here (index/impact.py; serve via submit_query "
                     "--impact)")
     ap.add_argument("--impact-bits", type=int, default=8)
+    ap.add_argument("--symbols-out", default=None,
+                    help="also extract the per-language symbol-definition "
+                    "relation from the corpus (query/symbols.py) and "
+                    "write it as parquet here (serve via submit_query "
+                    "--symbols/--sym)")
     ap.add_argument("--export-prefix", default=None,
                     help="also export the final index to the reference's "
                          "Terrier-layout bitfiles at this path prefix")
@@ -70,6 +75,14 @@ def main() -> None:
                     help="comma-joined terms per query, e.g. 'a,b' 'c'")
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
+    if args.symbols_out and args.compact_out:
+        # the symbols relation is keyed by the build corpus's doc_id
+        # == the built index's docid (dense aligned ids); compaction
+        # RE-densifies docids, which would silently misalign it
+        ap.error("--symbols-out with --compact-out: compaction "
+                 "re-densifies docids, misaligning the symbols "
+                 "relation — extract from the compacted corpus "
+                 "separately")
 
     # SparkSession comes from spark-submit (master/conf set there); the
     # imports resolve from the --py-files zip on driver and executors.
@@ -152,6 +165,15 @@ def main() -> None:
                             n_partitions=args.partitions)
         out["compact_sec"] = round(time.time() - t0, 3)
         out["live_docs"] = idx.stats["num_docs"]
+
+    if args.symbols_out:
+        from terrier_ef_spark.query.symbols import extract_symbols
+
+        t0 = time.time()
+        sym = extract_symbols(corpus)
+        sym.write.mode("overwrite").parquet(args.symbols_out)
+        out["symbols_sec"] = round(time.time() - t0, 3)
+        out["symbols_rows"] = spark.read.parquet(args.symbols_out).count()
 
     if args.impact_out:
         from terrier_ef_spark.index.impact import build_impact_index

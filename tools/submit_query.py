@@ -46,6 +46,17 @@ relation is pinned in the executor columnar cache next to the index
 relations (the Zoekt memory-mapped-shards discipline; spills to disk
 when it doesn't fit).
 
+--symbols PATH points at a materialized symbols relation (parquet of
+query/symbols.py extract_symbols: doc_id/kind/symbol/n_defs — write
+it at build time with submit_build --symbols-out). Ranked retrieval
+then adds --sym-beta per distinct query term the document DEFINES
+(Zoekt's symbol ranking, exact pre-top-k via the engine's boost_pairs
+channel; forces the exhaustive scorer — pruning bounds can't see the
+addend). With --sym, topics are symbol NAMES (`qid<TAB>name`,
+verbatim) answered by definition-count ranking instead of BM25
+(--sym-prefix for name-prefix matching, --sym-kind to restrict the
+definition family); output is always JSON rows.
+
 --server keeps the session alive and answers topics from stdin
 (`qid<TAB>query` per line, EOF ends); each topic's results are
 followed by one blank line (the end-of-results frame) and flushed
@@ -169,6 +180,34 @@ def _answer_grep(idx, corpus, batch, args, out, *,
     out.flush()
 
 
+def _answer_sym(idx, sym, batch, args, out, *,
+                terminator: bool = False) -> None:
+    """batch = [(qid, name)]; one JSON array per batch of
+    qid/rank/docno/docid/n_defs rows (definition-count ranking)."""
+    from terrier_ef_spark.query.symbols import symbol_search
+
+    res = symbol_search(
+        sym,
+        [{"qid": q, "name": n} for q, n in batch],
+        k=args.k,
+        prefix=args.sym_prefix,
+        kind=args.sym_kind,
+    )
+    rows = (
+        res.join(idx.docs.select("docid", "docno"), "docid")
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    out.write(json.dumps([
+        {"qid": r["qid"], "rank": r["rank"], "docno": r["docno"],
+         "docid": r["docid"], "n_defs": r["n_defs"]}
+        for r in rows
+    ]) + "\n")
+    if terminator:
+        out.write("\n")
+    out.flush()
+
+
 def _pick_algo(idx, algo: str) -> str:
     # a tombstoned (uncompacted) index refuses pruning algorithms;
     # serve it exhaustively until compaction (same rule as submit_build)
@@ -250,6 +289,16 @@ def _answer(idx, batch, args, out, *, terminator: bool = False,
         res = run_queries_ql(idx, batch, k=args.k,
                              algo=_pick_algo(idx, args.algo),
                              k1=args.k1, b=args.b)
+    elif getattr(args, "_sym_df", None) is not None:
+        # symbol-boosted ranking: +sym-beta per distinct query term
+        # the doc defines, exact pre-top-k (engine boost_pairs).
+        # Exhaustive scorer forced — BMW/MaxScore bounds can't see
+        # the additive boost (run_queries would refuse anyway)
+        from terrier_ef_spark.query.symbols import symbol_boost_pairs
+
+        bp = symbol_boost_pairs(args._sym_df, batch, beta=args.sym_beta)
+        res = run_queries(idx, batch, k=args.k, algo="naive",
+                          boost_pairs=bp, k1=args.k1, b=args.b)
     else:
         res = run_queries(idx, batch, k=args.k,
                           algo=_pick_algo(idx, args.algo),
@@ -319,6 +368,23 @@ def main() -> None:
                     "content + doc_id")
     ap.add_argument("--max-hits", type=int, default=1000,
                     help="per-topic --grep hit cap (ascending docid)")
+    ap.add_argument("--symbols", default=None,
+                    help="materialized symbols parquet (extract_symbols "
+                    "output: doc_id/kind/symbol/n_defs; submit_build "
+                    "--symbols-out). Ranked retrieval gains the "
+                    "--sym-beta definition boost; required by --sym")
+    ap.add_argument("--sym", action="store_true",
+                    help="topics are symbol NAMES (qid<TAB>name, "
+                    "verbatim): answer with definition-count ranking "
+                    "from --symbols instead of BM25; JSON rows")
+    ap.add_argument("--sym-beta", type=float, default=1.0,
+                    help="additive score per distinct query term the "
+                    "document defines (with --symbols)")
+    ap.add_argument("--sym-prefix", action="store_true",
+                    help="with --sym: match names by prefix")
+    ap.add_argument("--sym-kind", default=None,
+                    help="with --sym: restrict to one definition "
+                    "family (function/class/method/value)")
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
     ap.add_argument("--impact", default=None,
@@ -345,6 +411,15 @@ def main() -> None:
         ap.error("--grep needs --corpus (content verification source)")
     if args.regex and not args.grep:
         ap.error("--regex only applies with --grep")
+    if args.sym and not args.symbols:
+        ap.error("--sym needs --symbols (materialized symbols parquet)")
+    if args.symbols and (args.sdm or args.ql or args.significant
+                         or args.impact or args.grep):
+        ap.error("--symbols/--sym are mutually exclusive with "
+                 "--sdm/--ql/--significant/--impact/--grep (the boost "
+                 "rides the plain bag-of-words scorer)")
+    if (args.sym_prefix or args.sym_kind) and not args.sym:
+        ap.error("--sym-prefix/--sym-kind only apply with --sym")
 
     from pyspark.sql import SparkSession
 
@@ -354,6 +429,15 @@ def main() -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     idx = open_index(spark, args.index)
     corpus = _load_corpus(spark, args.corpus) if args.grep else None
+    sym_df = None
+    if args.symbols:
+        sym_df = spark.read.parquet(args.symbols)
+        missing = {"doc_id", "kind", "symbol", "n_defs"} - set(sym_df.columns)
+        if missing:
+            raise SystemExit(
+                f"--symbols parquet lacks columns: {sorted(missing)}"
+            )
+        args._sym_df = sym_df
 
     batch = []
     if args.queries_file:
@@ -363,7 +447,9 @@ def main() -> None:
                 if not line:
                     continue
                 qid, _, text = line.partition("\t")
-                if args.grep:
+                if args.grep or args.sym:
+                    # verbatim topics: patterns / symbol names don't
+                    # ride the term pipeline
                     batch.append((int(qid), text))
                     continue
                 try:
@@ -377,8 +463,8 @@ def main() -> None:
                     # rejects per line instead)
                     ap.error(f"bad topic line {line!r}: {exc}")
     for i, q in enumerate(args.queries):
-        if args.grep:
-            # inline patterns stay verbatim — a substring may
+        if args.grep or args.sym:
+            # inline patterns / names stay verbatim — a substring may
             # legitimately contain a comma
             batch.append((10_000 + i, q))
         else:
@@ -390,6 +476,8 @@ def main() -> None:
     if batch:
         if args.grep:
             _answer_grep(idx, corpus, batch, args, sys.stdout)
+        elif args.sym:
+            _answer_sym(idx, sym_df, batch, args, sys.stdout)
         else:
             _answer(idx, batch, args, sys.stdout)
     elif not args.server:
@@ -401,6 +489,12 @@ def main() -> None:
         # per-topic cost is otherwise parquet job overhead, not decode)
         # — plus the per-index doclen broadcast warmed by query one.
         idx.enable_serving_cache()
+        if sym_df is not None:
+            # pin the (definition-count-sized) symbols relation next
+            # to the index relations for the serving lifetime
+            sym_df = sym_df.persist()
+            sym_df.count()
+            args._sym_df = sym_df
         if args.grep:
             # pin content next to the index relations (the Zoekt
             # memory-mapped-shards discipline); Spark's columnar cache
@@ -421,6 +515,10 @@ def main() -> None:
             if args.grep:
                 _answer_grep(idx, corpus, [(int(qid), text)], args,
                              sys.stdout, terminator=True)
+                continue
+            if args.sym:
+                _answer_sym(idx, sym_df, [(int(qid), text)], args,
+                            sys.stdout, terminator=True)
                 continue
             try:
                 topic = _parse_topic(idx, int(qid), text, args.mode,
