@@ -431,6 +431,56 @@ def run_once(cores: int, workdir: str, synth_docs: int = SYNTH_DOCS,
     out["regex_batch6_sec"] = min(dts)
     shutil.rmtree(workdir + "_tri", ignore_errors=True)
 
+    # round-5f: symbol extraction + symbol-boosted retrieval
+    # (query/symbols.py, the Zoekt ctags role). Extraction is the
+    # scan-shaped job (regexp_extract_all over every content byte,
+    # one shuffle for the count fold) — timed over the synthetic
+    # source-code corpus, whose def/class/val/void tokens make the
+    # rules genuinely fire; the boosted batch is 24 disjunctive
+    # queries over the synth index with the definition boost joined
+    # pre-top-k (warm best-of-2)
+    from terrier_ef_spark.query.symbols import (
+        extract_symbols,
+        run_queries_symbol_boost,
+    )
+
+    t0 = time.time()
+    n_sym = extract_symbols(synth).count()
+    out["symbol_extract_sec"] = time.time() - t0
+    out["symbol_rows"] = n_sym
+    sym = extract_symbols(synth).persist()
+    sym.count()
+    # one Zipf-head keyword + one mid-vocabulary identifier per query
+    # (the identifier-search shape); the plain twin on the SAME batch
+    # isolates the boost overhead from the hot-term scoring cost
+    _head = ["def", "class", "import", "return", "data", "value",
+             "key", "result", "print", "len", "static", "new"]
+    sym_batch = [
+        {"qid": 7000 + i,
+         "terms": [_head[i % len(_head)], f"v{37 + i * 17}"],
+         "mode": "disjunctive"}
+        for i in range(24)
+    ]
+    run_queries(sidx, sym_batch, k=10, strategy="term_major").count()
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        run_queries(sidx, sym_batch, k=10, strategy="term_major").count()
+        dts.append(time.time() - t0)
+    out["bm25_symbatch24_plain_sec"] = min(dts)
+    run_queries_symbol_boost(
+        sidx, sym, sym_batch, k=10, beta=1.0, strategy="term_major"
+    ).count()  # warm
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        run_queries_symbol_boost(
+            sidx, sym, sym_batch, k=10, beta=1.0, strategy="term_major"
+        ).count()
+        dts.append(time.time() - t0)
+    out["bm25_symbol_boost_batch24_sec"] = min(dts)
+    sym.unpersist()
+
     spark.stop()
     return out
 
@@ -525,6 +575,13 @@ def main():
         "trigram_build": round(result["trigram_build_sec"], 3),
         "substring_batch12": round(result["substring_batch12_sec"], 3),
         "regex_batch6": round(result["regex_batch6_sec"], 3),
+        "symbol_extract": round(result["symbol_extract_sec"], 3),
+        "bm25_symbatch24_plain": round(
+            result["bm25_symbatch24_plain_sec"], 3
+        ),
+        "bm25_symbol_boost_batch24": round(
+            result["bm25_symbol_boost_batch24_sec"], 3
+        ),
         **{k: round(v, 3) for k, v in pipe.items()},
     }
     total = round(sum(queries.values()), 3)
