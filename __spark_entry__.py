@@ -168,23 +168,26 @@ PERCOLATE_QUERIES = [
 # than displacing a media key's first hash-verified driver row; its
 # evidence is this session's local gate run + the pure-Python-oracle
 # pytest.
-# Second amendment: the 3 symbol keys (symbol_defs / symbol_search_topk
-# / bm25_symbol_boost — query/symbols.py, the Zoekt ctags class) and
-# snapshot_latest_files (corpus.snapshot_latest, the full-history ->
-# one-version selection step) lead the window for their first driver
-# rows; the four additionally displaced keys (inl2 / dlh13 / tf_idf /
-# in_expb2_disjunctive — single-expression weighting-model variants of
+# Second amendment: the six new-class keys of this session — 3 symbol
+# keys (symbol_defs / symbol_search_topk / bm25_symbol_boost —
+# query/symbols.py, the Zoekt ctags class), snapshot_latest_files
+# (corpus.snapshot_latest, the full-history -> one-version selection
+# step), and 2 path-ranking keys (path_search_topk / bm25_path_boost —
+# query/pathrank.py, Zoekt's filename signal incl. the filename-only
+# entry class) — lead the window for their first driver rows. The
+# seven displaced keys (inl2 / dlh13 / tf_idf / in_expb2 / ifb2 / bb2
+# / lgd_disjunctive — single-expression weighting-model variants of
 # the always-green bm25_disjunctive machinery, each with
 # pinned-literal pytest scores) join the out-of-window group with this
-# session's local ALL-OK sweep (run in the same process as the new
+# session's local ALL-OK sweeps (run in the same process as the new
 # keys) as their evidence.
 _GATE_PRIORITY = [
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
-    "snapshot_latest_files",
+    "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
     "substring_search", "regex_search",
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
-    "bm25_bo2_expanded", "ifb2_disjunctive",
-    "bb2_disjunctive", "lgd_disjunctive", "dfree_disjunctive", "sdm_topk",
+    "bm25_bo2_expanded",
+    "dfree_disjunctive", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "pack_sequences", "qpp_predictors", "cori_shard_selection",
@@ -198,7 +201,8 @@ _GATE_PRIORITY = [
     "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk",
     "media_audio_features", "media_frame_stats",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
-    "in_expb2_disjunctive",
+    "in_expb2_disjunctive", "ifb2_disjunctive", "bb2_disjunctive",
+    "lgd_disjunctive",
     "substring_match_stats", "bm25_prior_topk", "bm25_page2_topk",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -353,6 +357,101 @@ _SYM_SRC_SQL = f"""(
            text) AS content
   FROM documents
 )"""
+
+
+# path-ranking gate fixture (query/pathrank.py, Zoekt's filename
+# signal): derived paths whose directory names are drawn from the BM25
+# query vocabulary PLUS a content-absent marker, so both ranking
+# effects are exercised — reordering within the matched set AND
+# filename-only docs entering pages (zzqdironly is no content token)
+PATH_DIR_WORDS = ["table", "spark", "merge", "window", "query", "scan",
+                  "zzqdironly"]
+PATH_BETA = 0.4
+PATH_SEARCH_QUERIES = [
+    {"qid": 1, "terms": ["table", "src"]},   # 2-hit beats 1-hit docs
+    {"qid": 2, "terms": ["zzqdironly"]},     # filename-only family
+    {"qid": 3, "terms": ["f7", "py"]},       # filename + extension
+    {"qid": 4, "terms": ["zzabsent"]},       # matches nothing
+]
+# boost-key topics: BM25_QUERIES with the content-absent directory
+# word added to qid 4, so the filename-only entry class reaches the
+# returned page (shared by the Spark entry and its oracle)
+PATH_BOOST_QUERIES = [
+    dict(q, terms=q["terms"] + ["zzqdironly"]) if q["qid"] == 4 else q
+    for q in BM25_QUERIES
+]
+
+
+def _path_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    dirname = F.lit(PATH_DIR_WORDS[-1])
+    for i, w in enumerate(PATH_DIR_WORDS[:-1]):
+        dirname = F.when(d % 7 == i, w).otherwise(dirname)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("src/"), dirname, F.lit("/f"), d.cast("string"),
+            F.lit(".py"),
+        ).alias("path"),
+    )
+
+
+_PATH_DIR_SQL = (
+    "CASE doc_id % 7 "
+    + " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(PATH_DIR_WORDS[:-1])
+    )
+    + f" ELSE '{PATH_DIR_WORDS[-1]}' END"
+)
+_PATH_META_SQL = f"""(
+  SELECT doc_id,
+         'src/' || {_PATH_DIR_SQL} || '/f' || doc_id::VARCHAR || '.py'
+           AS path
+  FROM documents
+)"""
+# DuckDB twin of pathrank._path_tokens: the module's RE2 split/fold
+_PATH_TOKS_SQL = f"""(
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(path), '[^a-z0-9]+'),
+           x -> x <> ''))) AS ptok
+  FROM {_PATH_META_SQL} pm
+)"""
+
+
+def _path_boost_sql(beta: float) -> str:
+    """(qid, docid, boost) for _bm25_oracle_sql(boost_sql=,
+    boost_outer=True): beta x |distinct query terms among path
+    tokens| (the path_term_pairs twin; reuses the base statement's
+    q CTE)."""
+    return f"""
+SELECT q.qid, m.doc_id AS docid,
+       count(DISTINCT q.term) * {beta} AS boost
+FROM {_PATH_TOKS_SQL} m JOIN q ON m.ptok = q.term
+GROUP BY 1, 2
+"""
+
+
+def _path_search_oracle_sql(queries, k: int = 10) -> str:
+    vals = ", ".join(
+        f"({q['qid']}, '{t}')" for q in queries for t in q["terms"]
+    )
+    return f"""
+WITH q(qid, term) AS (VALUES {vals}),
+m AS (
+  SELECT q.qid::bigint AS qid, t.doc_id AS docid,
+         count(DISTINCT q.term)::bigint AS n_hits
+  FROM {_PATH_TOKS_SQL} t JOIN q ON t.ptok = q.term
+  GROUP BY 1, 2
+)
+SELECT qid, rank, docid, n_hits FROM (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY n_hits DESC, docid ASC)::int AS rank,
+         docid, n_hits
+  FROM m
+) WHERE rank <= {k}
+"""
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +832,7 @@ SELECT qid, rank, docid, score FROM (
 def _bm25_oracle_sql(
     queries, conjunctive: bool, model: str = "bm25", candidate_where: str = "",
     depth: int = 10, prior_expr: str | None = None, offset: int = 0,
-    boost_sql: str | None = None,
+    boost_sql: str | None = None, boost_outer: bool = False,
 ) -> str:
     """candidate_where: extra predicate on the scored posting rows
     (metadata-filtered retrieval; statistics stay corpus-global).
@@ -777,11 +876,25 @@ excl AS (SELECT DISTINCT nq.qid, p.doc_id AS docid
         f"(sc.score + {prior_expr})" if prior_expr else "sc.score"
     )
     boost_cte = f", bst AS ({boost_sql})" if boost_sql else ""
-    boost_join = (
-        "LEFT JOIN bst ON bst.qid = sc.qid AND bst.docid = sc.docid"
-        if boost_sql else ""
-    )
-    if boost_sql:
+    boost_join = ""
+    fold_name = "sc"
+    if boost_sql and boost_outer:
+        # run_queries(boost_unmatched=True) twin: boost-only docs
+        # ENTER the candidate set at score = boost, nhit = 0 — the
+        # original fold becomes sc0 and `sc` is its FULL JOIN with the
+        # boost relation, so the final ranking block is unchanged
+        fold_name = "sc0"
+        boost_cte += """,
+sc AS (
+  SELECT coalesce(s.qid, b.qid) AS qid,
+         coalesce(s.docid, b.docid) AS docid,
+         coalesce(s.score, 0) + coalesce(b.boost, 0) AS score,
+         coalesce(s.nhit, 0) AS nhit
+  FROM sc0 s FULL JOIN bst b ON b.qid = s.qid AND b.docid = s.docid)"""
+    elif boost_sql:
+        boost_join = (
+            "LEFT JOIN bst ON bst.qid = sc.qid AND bst.docid = sc.docid"
+        )
         final_score = f"({final_score} + coalesce(bst.boost, 0))"
     return f"""
 WITH tok AS (
@@ -798,7 +911,7 @@ WITH tok AS (
   SELECT term, count(*)::double AS df, sum(tf)::double AS cf FROM post GROUP BY 1
 ), q(qid, term) AS (VALUES {vals}),
 nt(qid, n_terms) AS (VALUES {nterms}),
-sc AS (
+{fold_name} AS (
   SELECT q.qid, p.doc_id AS docid,
          sum({contrib}) AS score,
          count(*) AS nhit
@@ -2640,6 +2753,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def path_search_topk(spark, sf):
+        """Pure filename search (query/pathrank.py): documents ranked
+        by |query terms among path tokens| over the derived path
+        metadata; an all-absent query returns nothing."""
+        from terrier_ef_spark.query.pathrank import path_search
+
+        return path_search(_path_meta(spark, sf), PATH_SEARCH_QUERIES, k=10)
+
+    def bm25_path_boost(spark, sf):
+        """Filename-boosted BM25 with the Zoekt filename-only result
+        class: BM25 + beta per path-matched query term, FULL OUTER on
+        the folded scores (engine boost_unmatched) — a doc whose
+        directory name matches enters the page at score = boost even
+        with zero content hits (the zzqdironly family)."""
+        from terrier_ef_spark.query.pathrank import run_queries_path_boost
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_path_boost(
+            idx, _path_meta(spark, sf), PATH_BOOST_QUERIES, k=100,
+            beta=PATH_BETA, strategy="term_major",
+        )
+        return _rerank_6dp(deep)
+
     def snapshot_latest_files(spark, sf):
         """Snapshot selection over the input-hint full-history shape
         (corpus.snapshot_latest): one winner per (repo, path) by the
@@ -3543,6 +3679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_search_topk": symbol_search_topk,
         "bm25_symbol_boost": bm25_symbol_boost,
         "snapshot_latest_files": snapshot_latest_files,
+        "path_search_topk": path_search_topk,
+        "bm25_path_boost": bm25_path_boost,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -3925,6 +4063,11 @@ SELECT repo, path, "commit", doc_id FROM (
              ORDER BY "commit" DESC, doc_id DESC) AS rn FROM src
 ) WHERE rn = 1
 """,
+        "path_search_topk": _path_search_oracle_sql(PATH_SEARCH_QUERIES),
+        "bm25_path_boost": _bm25_oracle_sql(
+            PATH_BOOST_QUERIES, conjunctive=False,
+            boost_sql=_path_boost_sql(PATH_BETA), boost_outer=True,
+        ),
         "symbol_defs": _symbol_defs_oracle_sql(),
         "symbol_search_topk": _symbol_search_oracle_sql(SYM_SEARCH_QUERIES),
         "bm25_symbol_boost": _bm25_oracle_sql(

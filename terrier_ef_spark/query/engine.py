@@ -87,6 +87,7 @@ def run_queries(
     prior: DataFrame | None = None,
     prior_weight: float = 1.0,
     boost_pairs: DataFrame | None = None,
+    boost_unmatched: bool = False,
 ) -> DataFrame:
     """queries: [{'qid': int, 'terms': [str], 'mode':
     'disjunctive'|'conjunctive'[, 'not_terms': [str]]}]. not_terms are
@@ -156,11 +157,16 @@ def run_queries(
     This is the Zoekt symbol-rank channel (query/symbols.py builds
     the relation: a query term that names a symbol DEFINITION in a
     doc outranks an incidental body match) but is generic — any
-    query-dependent additive evidence. Exactness requires every
-    boosted doc to be in the matched set (symbol defs are, by
-    construction: the defining doc contains the term); a boost row
-    whose (qid, docid) matched no query term is dropped by the join
-    and a pruning bound cannot account for it — so boost_pairs is
+    query-dependent additive evidence. With the default
+    boost_unmatched=False, exactness requires every boosted doc to be
+    in the matched set (symbol defs are, by construction: the
+    defining doc contains the term); a boost row whose (qid, docid)
+    matched no query term is dropped by the join. boost_unmatched=True
+    makes the join FULL OUTER: a boost-only doc ENTERS the candidate
+    set at score = boost with zero content hits (Zoekt's filename-only
+    match, query/pathrank.py) — disjunctive only in effect, since the
+    conjunctive nhit == n_terms filter still drops it. Either way a
+    pruning bound cannot account for the addend — boost_pairs is
     term-major exhaustive only, like prior.
 
     respect_deletes: when the index carries tombstones
@@ -276,7 +282,7 @@ def run_queries(
             index, queries, k=k, model=model, doc_filter=doc_filter,
             exclude_docs=tombstones, k1=k1, b=b,
             prior=prior, prior_weight=prior_weight,
-            boost_pairs=boost_pairs,
+            boost_pairs=boost_pairs, boost_unmatched=boost_unmatched,
         )
     return _run_queries_query_major(index, queries, k=k, algo=algo,
                                     k1=k1, b=b)
@@ -365,6 +371,7 @@ def _run_queries_term_major(
     after_df: DataFrame | None = None,
     stable6: bool = False,
     boost_pairs: DataFrame | None = None,
+    boost_unmatched: bool = False,
 ) -> DataFrame:
     """Relational batch scorer: decode once per term-block, Catalyst
     scoring arithmetic, qid fanout of (docid, contrib) rows only."""
@@ -402,11 +409,25 @@ def _run_queries_term_major(
             .join(F.broadcast(nq), "term")
             .select("qid", "docid")
         )
+    if boost_pairs is not None and boost_unmatched:
+        # boost-only docs ENTER the candidate set downstream, so the
+        # posts-level doc_filter / tombstone restrictions must also
+        # bind the boost relation — otherwise a filename-only match
+        # could bypass the metadata filter or resurrect a deleted doc
+        if doc_filter is not None:
+            boost_pairs = boost_pairs.join(
+                doc_filter.select("docid"), "docid", "left_semi"
+            )
+        if exclude_docs is not None:
+            boost_pairs = boost_pairs.join(
+                exclude_docs.select("docid"), "docid", "left_anti"
+            )
     return _score_rows(index, posts, qterm_rows, qmeta, n_query_terms, model,
                        exclude_pairs=exclude_pairs, k1=k1, b=b,
                        prior=prior, prior_weight=prior_weight,
                        after_df=after_df, stable6=stable6,
-                       boost_pairs=boost_pairs)
+                       boost_pairs=boost_pairs,
+                       boost_unmatched=boost_unmatched)
 
 
 def _score_rows(
@@ -424,6 +445,7 @@ def _score_rows(
     after_df: DataFrame | None = None,
     stable6: bool = False,
     boost_pairs: DataFrame | None = None,
+    boost_unmatched: bool = False,
 ) -> DataFrame:
     """Scoring tail of the term-major strategy: (term, docid, tf) rows
     -> lexicon + partitioned doclen joins -> Catalyst model contribution
@@ -473,6 +495,33 @@ def _score_rows(
             F.count(F.lit(1)).alias("nhit"),
         )
     )
+    if boost_pairs is not None:
+        # query-dependent additive boost on the FOLDED scores, before
+        # ranking (the prior discipline, keyed (qid, docid)): matched
+        # docs absent from the relation take boost 0; duplicate rows
+        # fold to max. With boost_unmatched=False boost rows outside
+        # the matched set drop at the join (callers guarantee boosted
+        # docs match — symbol defs do); with True the join is FULL
+        # OUTER and a boost-only doc ENTERS the candidate set at
+        # score = boost, nhit = 0 (Zoekt's filename-only match: a doc
+        # whose path matches ranks even with zero content hits —
+        # conjunctive queries still drop it at the nhit == n_terms
+        # filter). Joined BEFORE tombstone/NOT exclusion and the
+        # prior, so entering docs honor both.
+        bp = boost_pairs.groupBy("qid", "docid").agg(
+            F.max(F.col("boost").cast("double")).alias("_boost")
+        )
+        how = "full_outer" if boost_unmatched else "left"
+        scored = (
+            scored.join(bp, ["qid", "docid"], how)
+            .withColumn(
+                "score",
+                F.coalesce(F.col("score"), F.lit(0.0))
+                + F.coalesce(F.col("_boost"), F.lit(0.0)),
+            )
+            .withColumn("nhit", F.coalesce(F.col("nhit"), F.lit(0)))
+            .drop("_boost")
+        )
     if exclude_pairs is not None:
         scored = scored.join(exclude_pairs, ["qid", "docid"], "left_anti")
     if prior is not None:
@@ -503,23 +552,6 @@ def _score_rows(
                 F.col("score") + F.lit(float(prior_weight)) * lnp,
             )
             .drop("_prior")
-        )
-    if boost_pairs is not None:
-        # query-dependent additive boost on the FOLDED scores, before
-        # ranking (the prior discipline, keyed (qid, docid)): matched
-        # docs absent from the relation take boost 0; duplicate rows
-        # fold to max. Boost rows outside the matched set drop at the
-        # join — callers guarantee boosted docs match (symbol defs do)
-        bp = boost_pairs.groupBy("qid", "docid").agg(
-            F.max(F.col("boost").cast("double")).alias("_boost")
-        )
-        scored = (
-            scored.join(bp, ["qid", "docid"], "left")
-            .withColumn(
-                "score",
-                F.col("score") + F.coalesce(F.col("_boost"), F.lit(0.0)),
-            )
-            .drop("_boost")
         )
     res = scored.join(F.broadcast(qmeta_df), "qid").where(
         (F.col("mode") == "disjunctive") | (F.col("nhit") == F.col("n_terms"))
