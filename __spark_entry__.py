@@ -174,9 +174,11 @@ PERCOLATE_QUERIES = [
 # (corpus.snapshot_latest, the full-history -> one-version selection
 # step), and 2 path-ranking keys (path_search_topk / bm25_path_boost —
 # query/pathrank.py, Zoekt's filename signal incl. the filename-only
-# entry class) — lead the window for their first driver rows. The
-# seven displaced keys (inl2 / dlh13 / tf_idf / in_expb2 / ifb2 / bb2
-# / lgd_disjunctive — single-expression weighting-model variants of
+# entry class), plus bm25_code_rank (query/coderank.py, the composed
+# BM25 + symbol + path ranking) — lead the window for their first
+# driver rows. The eight displaced keys (inl2 / dlh13 / tf_idf /
+# in_expb2 / ifb2 / bb2 / lgd / dfree_disjunctive —
+# single-expression weighting-model variants of
 # the always-green bm25_disjunctive machinery, each with
 # pinned-literal pytest scores) join the out-of-window group with this
 # session's local ALL-OK sweeps (run in the same process as the new
@@ -184,10 +186,10 @@ PERCOLATE_QUERIES = [
 _GATE_PRIORITY = [
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
+    "bm25_code_rank",
     "substring_search", "regex_search",
     "bm25_ql_mixed", "bm25_ql_synonyms", "bm25f_ql_fielded",
-    "bm25_bo2_expanded",
-    "dfree_disjunctive", "sdm_topk",
+    "bm25_bo2_expanded", "sdm_topk",
     "hybrid_combsum_topk", "hybrid_combmnz_topk", "bm25_rm3_expanded",
     "ltr_features_topk", "doc_perplexity", "eval_metrics",
     "pack_sequences", "qpp_predictors", "cori_shard_selection",
@@ -202,7 +204,7 @@ _GATE_PRIORITY = [
     "media_audio_features", "media_frame_stats",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "in_expb2_disjunctive", "ifb2_disjunctive", "bb2_disjunctive",
-    "lgd_disjunctive",
+    "lgd_disjunctive", "dfree_disjunctive",
     "substring_match_stats", "bm25_prior_topk", "bm25_page2_topk",
     "hybrid_rrf_topk", "positions_decoded", "phrase_match",
     "proximity_match", "direct_decoded", "events_window",
@@ -2776,6 +2778,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _rerank_6dp(deep)
 
+    def bm25_code_rank(spark, sf):
+        """Composed code-search ranking (query/coderank.py): BM25 +
+        symbol-definition boost + path-match boost summed in one
+        exact pass over the union of the three match sets (full-outer
+        entry for filename-only docs). The twin unions both boost
+        relations and SUM-folds before the FULL JOIN — verifying the
+        multi-channel pre-sum semantics (the engine's duplicate fold
+        is max, so pre-summing is load-bearing)."""
+        from terrier_ef_spark.query.coderank import run_queries_code_rank
+        from terrier_ef_spark.query.symbols import extract_symbols
+
+        idx = _get_index(spark, sf)
+        deep = run_queries_code_rank(
+            idx, extract_symbols(_sym_src(spark, sf)),
+            _path_meta(spark, sf), PATH_BOOST_QUERIES, k=100,
+            sym_beta=SYM_BETA, path_beta=PATH_BETA,
+            strategy="term_major",
+        )
+        return _rerank_6dp(deep)
+
     def snapshot_latest_files(spark, sf):
         """Snapshot selection over the input-hint full-history shape
         (corpus.snapshot_latest): one winner per (repo, path) by the
@@ -3681,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_latest_files": snapshot_latest_files,
         "path_search_topk": path_search_topk,
         "bm25_path_boost": bm25_path_boost,
+        "bm25_code_rank": bm25_code_rank,
         "bm25_bo1_expanded": bm25_bo1_expanded,
         "bm25_rm3_expanded": bm25_rm3_expanded,
         "ltr_features_topk": ltr_features_topk,
@@ -4067,6 +4090,17 @@ SELECT repo, path, "commit", doc_id FROM (
         "bm25_path_boost": _bm25_oracle_sql(
             PATH_BOOST_QUERIES, conjunctive=False,
             boost_sql=_path_boost_sql(PATH_BETA), boost_outer=True,
+        ),
+        "bm25_code_rank": _bm25_oracle_sql(
+            PATH_BOOST_QUERIES, conjunctive=False,
+            boost_sql=(
+                "SELECT qid, docid, sum(boost) AS boost FROM ("
+                + _symbol_boost_sql(PATH_BOOST_QUERIES, SYM_BETA)
+                + " UNION ALL "
+                + _path_boost_sql(PATH_BETA)
+                + ") GROUP BY 1, 2"
+            ),
+            boost_outer=True,
         ),
         "symbol_defs": _symbol_defs_oracle_sql(),
         "symbol_search_topk": _symbol_search_oracle_sql(SYM_SEARCH_QUERIES),
