@@ -605,3 +605,59 @@ def test_submit_build_symbols_out(spark, tmp_path_factory):
     )
     assert refuse.returncode != 0
     assert "re-densifies docids" in refuse.stderr
+
+
+def test_submit_query_code_rank(spark, tmp_path_factory):
+    """--symbols + --paths together serve the composed code ranking:
+    batch JSON rows value-match run_queries_code_rank, including a
+    filename-only doc entering through the path channel."""
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.index.builder import build_index
+    from terrier_ef_spark.query.symbols import extract_symbols
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("coderank_ship")
+    corpus = synthesize_corpus(spark, 80, seed=29, n_partitions=4)
+    idx = build_index(spark, corpus, str(base / "idx"), n_partitions=4)
+    sym = extract_symbols(corpus)
+    sym.write.parquet(str(base / "symbols.parquet"))
+    d = F.col("doc_id")
+    meta = corpus.select(
+        "doc_id",
+        F.concat(
+            F.lit("lib/"),
+            F.when(d % 2 == 0, "import").otherwise("zzqpathword"),
+            F.lit("/m"), d.cast("string"), F.lit(".py"),
+        ).alias("path"),
+    )
+    meta.write.parquet(str(base / "paths.parquet"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    q = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", str(base / "idx"),
+         "--symbols", str(base / "symbols.parquet"),
+         "--paths", str(base / "paths.parquet"),
+         "--sym-beta", "2.0", "--path-beta", "1.0",
+         "--format", "json", "--queries", "def,zzqpathword"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert q.returncode == 0, q.stderr[-2000:]
+    got = json.loads(
+        [ln for ln in q.stdout.splitlines() if ln.startswith("[")][-1]
+    )
+    from terrier_ef_spark.query.coderank import run_queries_code_rank
+
+    want = run_queries_code_rank(
+        idx, sym, meta,
+        [{"qid": 10_000, "terms": ["def", "zzqpathword"],
+          "mode": "disjunctive"}],
+        k=10, sym_beta=2.0, path_beta=1.0,
+    ).orderBy("rank").collect()
+    assert [r["docid"] for r in want] == [g["docid"] for g in got]
+    for r, g in zip(want, got):
+        assert abs(r["score"] - g["score"]) < 1e-5
+    # zzqpathword is path-only: at least one returned doc entered
+    # through the filename channel (score includes the 1.0 path unit)
+    assert got, "empty page"

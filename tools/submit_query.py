@@ -289,16 +289,33 @@ def _answer(idx, batch, args, out, *, terminator: bool = False,
         res = run_queries_ql(idx, batch, k=args.k,
                              algo=_pick_algo(idx, args.algo),
                              k1=args.k1, b=args.b)
-    elif getattr(args, "_sym_df", None) is not None:
-        # symbol-boosted ranking: +sym-beta per distinct query term
-        # the doc defines, exact pre-top-k (engine boost_pairs).
-        # Exhaustive scorer forced — BMW/MaxScore bounds can't see
-        # the additive boost (run_queries would refuse anyway)
+    elif (getattr(args, "_sym_df", None) is not None
+          or getattr(args, "_path_df", None) is not None):
+        # boosted ranking (exhaustive scorer forced — BMW/MaxScore
+        # bounds can't see additive boosts; run_queries would refuse):
+        # --symbols alone = symbol boost; --paths alone = path boost
+        # with the filename-only entry class; both = the composed
+        # code ranking (channels pre-summed)
+        from terrier_ef_spark.query.coderank import combine_boost_pairs
+        from terrier_ef_spark.query.pathrank import path_term_pairs
         from terrier_ef_spark.query.symbols import symbol_boost_pairs
 
-        bp = symbol_boost_pairs(args._sym_df, batch, beta=args.sym_beta)
+        channels, outer = [], False
+        if getattr(args, "_sym_df", None) is not None:
+            channels.append(
+                symbol_boost_pairs(args._sym_df, batch,
+                                   beta=args.sym_beta)
+            )
+        if getattr(args, "_path_df", None) is not None:
+            channels.append(
+                path_term_pairs(args._path_df, batch,
+                                beta=args.path_beta)
+            )
+            outer = True  # filename-only docs enter the page
+        bp = combine_boost_pairs(*channels)
         res = run_queries(idx, batch, k=args.k, algo="naive",
-                          boost_pairs=bp, k1=args.k1, b=args.b)
+                          boost_pairs=bp, boost_unmatched=outer,
+                          k1=args.k1, b=args.b)
     else:
         res = run_queries(idx, batch, k=args.k,
                           algo=_pick_algo(idx, args.algo),
@@ -380,6 +397,18 @@ def main() -> None:
     ap.add_argument("--sym-beta", type=float, default=1.0,
                     help="additive score per distinct query term the "
                     "document defines (with --symbols)")
+    ap.add_argument("--paths", default=None,
+                    help="path metadata source for filename-match "
+                    "boosting (parquet with doc_id + path, or the "
+                    "driver documents dir / input-hint parquet — the "
+                    "path column is used): ranked retrieval adds "
+                    "--path-beta per path-matched query term, and "
+                    "path-only docs ENTER pages (the Zoekt "
+                    "filename-only class); combined with --symbols "
+                    "this is the composed code ranking")
+    ap.add_argument("--path-beta", type=float, default=0.5,
+                    help="additive score per path-matched query term "
+                    "(with --paths)")
     ap.add_argument("--sym-prefix", action="store_true",
                     help="with --sym: match names by prefix")
     ap.add_argument("--sym-kind", default=None,
@@ -413,11 +442,15 @@ def main() -> None:
         ap.error("--regex only applies with --grep")
     if args.sym and not args.symbols:
         ap.error("--sym needs --symbols (materialized symbols parquet)")
-    if args.symbols and (args.sdm or args.ql or args.significant
-                         or args.impact or args.grep):
-        ap.error("--symbols/--sym are mutually exclusive with "
-                 "--sdm/--ql/--significant/--impact/--grep (the boost "
-                 "rides the plain bag-of-words scorer)")
+    if (args.symbols or args.paths) and (args.sdm or args.ql
+                                         or args.significant
+                                         or args.impact or args.grep):
+        ap.error("--symbols/--sym/--paths are mutually exclusive with "
+                 "--sdm/--ql/--significant/--impact/--grep (the boosts "
+                 "ride the plain bag-of-words scorer)")
+    if args.paths and args.sym:
+        ap.error("--paths does not apply to --sym (symbol-name search "
+                 "has no path channel)")
     if (args.sym_prefix or args.sym_kind) and not args.sym:
         ap.error("--sym-prefix/--sym-kind only apply with --sym")
 
@@ -438,6 +471,25 @@ def main() -> None:
                 f"--symbols parquet lacks columns: {sorted(missing)}"
             )
         args._sym_df = sym_df
+    path_df = None
+    if args.paths:
+        import os as _os
+
+        if _os.path.isdir(args.paths) and _os.path.exists(
+            _os.path.join(args.paths, "documents.parquet")
+        ):
+            from terrier_ef_spark.corpus import corpus_from_documents
+
+            path_df = corpus_from_documents(spark, args.paths)
+        else:
+            path_df = spark.read.parquet(args.paths)
+        missing = {"doc_id", "path"} - set(path_df.columns)
+        if missing:
+            raise SystemExit(
+                f"--paths source lacks columns: {sorted(missing)}"
+            )
+        path_df = path_df.select("doc_id", "path")
+        args._path_df = path_df
 
     batch = []
     if args.queries_file:
@@ -495,6 +547,10 @@ def main() -> None:
             sym_df = sym_df.persist()
             sym_df.count()
             args._sym_df = sym_df
+        if path_df is not None:
+            path_df = path_df.persist()
+            path_df.count()
+            args._path_df = path_df
         if args.grep:
             # pin content next to the index relations (the Zoekt
             # memory-mapped-shards discipline); Spark's columnar cache
