@@ -661,3 +661,69 @@ def test_submit_query_code_rank(spark, tmp_path_factory):
     # zzqpathword is path-only: at least one returned doc entered
     # through the filename channel (score includes the 1.0 path unit)
     assert got, "empty page"
+
+
+def test_submit_build_snapshot_latest(spark, tmp_path_factory):
+    """--snapshot-latest indexes one version per (repo, path) from a
+    full-history input; with --symbols-out the relation stays aligned
+    with the re-assigned dense docids."""
+    from pyspark.sql import functions as F
+    from terrier_ef_spark.corpus import synthesize_corpus
+
+    base = tmp_path_factory.mktemp("snapbuild")
+    # fold 90 docs into 15 (repo, path) groups of ~6 versions
+    hist = synthesize_corpus(spark, 90, seed=31, n_partitions=4).withColumn(
+        "path", F.concat(F.lit("p"), (F.col("doc_id") % 15).cast("string"))
+    )
+    hist.write.parquet(str(base / "history.parquet"))
+    n_groups = hist.select("repo", "path").distinct().count()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_build.py"),
+         "--input", str(base / "history.parquet"),
+         "--snapshot-latest", "--out", str(base / "idx"),
+         "--partitions", "4",
+         "--symbols-out", str(base / "symbols.parquet"),
+         "--queries", "table,value"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    out = json.loads(
+        [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert out["num_docs"] == n_groups
+    assert out["results"], "snapshot index answers queries"
+
+    # symbols alignment: every symbol doc_id is a valid dense docid,
+    # and spot-check one doc's symbols against its indexed content via
+    # the docs table's sha256 (the content the winner carried)
+    from terrier_ef_spark.index.reader import open_index
+    from terrier_ef_spark.query.symbols import extract_symbols
+    from terrier_ef_spark.corpus import snapshot_latest
+
+    sym = spark.read.parquet(str(base / "symbols.parquet"))
+    assert 0 < sym.count()
+    assert sym.agg(F.max("doc_id")).collect()[0][0] < n_groups
+    idx = open_index(spark, str(base / "idx"))
+    winners = snapshot_latest(hist, order_cols=("commit", "doc_id"))
+    joined = (
+        idx.docs.select("docid", "sha256")
+        .join(
+            winners.select(
+                F.sha2(F.col("content"), 256).alias("sha256"), "lang",
+                "content",
+            ),
+            "sha256",
+        )
+    )
+    assert joined.count() == n_groups  # every indexed doc IS a winner
+    direct = extract_symbols(
+        joined.select(F.col("docid").alias("doc_id"), "lang", "content")
+    )
+    got = {(r["doc_id"], r["kind"], r["symbol"], r["n_defs"])
+           for r in sym.collect()}
+    want = {(r["doc_id"], r["kind"], r["symbol"], r["n_defs"])
+            for r in direct.collect()}
+    assert got == want and got

@@ -63,6 +63,15 @@ def main() -> None:
                     "here (index/impact.py; serve via submit_query "
                     "--impact)")
     ap.add_argument("--impact-bits", type=int, default=8)
+    ap.add_argument("--snapshot-latest", action="store_true",
+                    help="pre-select one version per (repo, path) from a "
+                    "full-history input (corpus.snapshot_latest: groupBy "
+                    "+ max_by with map-side partial agg) before indexing; "
+                    "doc_ids are re-assigned densely over the winners")
+    ap.add_argument("--snapshot-order", nargs="*", default=["commit"],
+                    help="columns whose tuple orders versions (greatest "
+                    "wins; doc_id is appended as tiebreak when present — "
+                    "otherwise make this a total order per file)")
     ap.add_argument("--symbols-out", default=None,
                     help="also extract the per-language symbol-definition "
                     "relation from the corpus (query/symbols.py) and "
@@ -102,6 +111,28 @@ def main() -> None:
         corpus = spark.read.parquet(args.input)
     else:
         ap.error("one of --input / --synth-docs is required")
+
+    if args.snapshot_latest:
+        from terrier_ef_spark.corpus import snapshot_latest
+
+        order = tuple(args.snapshot_order)
+        if "doc_id" in corpus.columns and "doc_id" not in order:
+            order = order + ("doc_id",)  # deterministic tie-break
+        # drop any source doc_id so dense ids are re-assigned over the
+        # surviving snapshot (the builder's 0..n-1 invariant)
+        corpus = snapshot_latest(corpus, order_cols=order)
+        if "doc_id" in corpus.columns:
+            corpus = corpus.drop("doc_id")
+        if args.symbols_out:
+            # materialize the ids the builder would assign (same
+            # helper, same (repo, path, commit) order) so the symbols
+            # relation stays docid-aligned with the built index
+            from terrier_ef_spark.index.ids import assign_dense_ids
+
+            corpus = assign_dense_ids(
+                corpus, ["repo", "path", "commit"], "doc_id",
+                args.partitions,
+            )
 
     t0 = time.time()
     idx = build_index(
