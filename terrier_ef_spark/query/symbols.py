@@ -57,12 +57,23 @@ __all__ = [
 # (kind, pattern-with-one-capture-group, languages-or-None)
 # None = apply to every row (corpora without a lang column).
 # Patterns are the ctags-style line families; the capture group is the
-# symbol name. Keep each pattern valid under BOTH Java regex and RE2.
+# symbol name. A kind may carry several patterns (per-language
+# spellings of the same concept). Keep each pattern valid under BOTH
+# Java regex and RE2 — no lookarounds, no backreferences.
 SYMBOL_RULES: list[tuple[str, str, tuple[str, ...] | None]] = [
     ("function", r"\bdef\s+(\w+)", ("py", "scala")),
-    ("class", r"\bclass\s+(\w+)", ("py", "java", "scala")),
-    ("method", r"\bvoid\s+(\w+)", ("java",)),
-    ("value", r"\b(?:val|var)\s+(\w+)", ("scala",)),
+    ("function", r"\bfunc\s+(\w+)", ("go",)),
+    ("function", r"\bfn\s+(\w+)", ("rs",)),
+    ("function", r"\bfunction\s+(\w+)", ("js", "ts", "php")),
+    ("class", r"\bclass\s+(\w+)",
+     ("py", "java", "scala", "js", "ts", "kt", "php")),
+    ("struct", r"\bstruct\s+(\w+)", ("go", "rs", "c", "cpp")),
+    ("interface", r"\binterface\s+(\w+)", ("java", "go", "ts", "kt")),
+    ("trait", r"\btrait\s+(\w+)", ("rs", "scala", "php")),
+    ("enum", r"\benum\s+(\w+)", ("rs", "java", "ts", "c", "cpp", "kt")),
+    ("method", r"\bvoid\s+(\w+)", ("java", "c", "cpp")),
+    ("value", r"\b(?:val|var)\s+(\w+)", ("scala", "kt")),
+    ("const", r"\bconst\s+(\w+)", ("go", "js", "ts")),
 ]
 
 

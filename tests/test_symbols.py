@@ -263,3 +263,42 @@ def test_extract_one_content_scan(sym_corpus):
     plan = extract_symbols(sym_corpus)._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_exchange <= 1, plan
+
+
+def test_multi_language_rule_families(spark):
+    """A kind may carry several per-language spellings; each fires
+    only for its languages, and all three formulations still agree."""
+    rows = [
+        (1, "go", "func serve struct conn const retries interface stringer"),
+        (2, "rs", "fn parse struct token trait walk enum state"),
+        (3, "ts", "function render class app interface props const limit enum mode"),
+        (4, "kt", "class widget val title interface clickable enum kind"),
+        (5, "py", "def handle class base func notpy fn notpy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, content string"
+    )
+    got = {
+        (r["doc_id"], r["kind"], r["symbol"])
+        for r in extract_symbols(df).collect()
+    }
+    assert got == {
+        (1, "function", "serve"), (1, "struct", "conn"),
+        (1, "const", "retries"), (1, "interface", "stringer"),
+        (2, "function", "parse"), (2, "struct", "token"),
+        (2, "trait", "walk"), (2, "enum", "state"),
+        (3, "function", "render"), (3, "class", "app"),
+        (3, "interface", "props"), (3, "const", "limit"),
+        (3, "enum", "mode"),
+        (4, "class", "widget"), (4, "value", "title"),
+        (4, "interface", "clickable"), (4, "enum", "kind"),
+        (5, "function", "handle"), (5, "class", "base"),
+    }
+    # twin agreement over the multi-language frame too
+    cpdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("mlsrc", cpdf)
+    duck = con.execute(symbols_sql_duckdb("mlsrc")).df()
+    assert {
+        (r.doc_id, r.kind, r.symbol) for r in duck.itertuples()
+    } == got
