@@ -86,6 +86,11 @@ def test_term_major_no_doclen_broadcast(small_index, monkeypatch):
     monkeypatch.setattr(EFIndex, "doclen_array", boom)
     monkeypatch.setattr(EFIndex, "doclen_broadcast", boom)
     spark = small_index.spark
+    # conf.get(key, None) is None when the threshold was never set
+    # explicitly — restore must then UNSET, not skip: leaving -1 in
+    # the session-scoped SparkSession turns every later plan-shape
+    # test's broadcasts into sort-merge joins (observed as an
+    # order-dependent test_substring plan failure)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -96,6 +101,8 @@ def test_term_major_no_doclen_broadcast(small_index, monkeypatch):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     # and the query-major kernel path refuses nothing but uses it:
     with pytest.raises(Exception):
         run_queries(small_index, QUERIES[:1], strategy="query_major").collect()
