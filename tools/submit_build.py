@@ -202,7 +202,12 @@ def main() -> None:
 
         t0 = time.time()
         sym = extract_symbols(corpus)
-        sym.write.mode("overwrite").parquet(args.symbols_out)
+        # range-sort by symbol: sym: name lookups and the boost
+        # channel's term isin then prune row-groups via parquet
+        # min/max stats instead of scanning the whole relation
+        (sym.repartitionByRange(args.partitions, "symbol")
+            .sortWithinPartitions("symbol")
+            .write.mode("overwrite").parquet(args.symbols_out))
         out["symbols_sec"] = round(time.time() - t0, 3)
         out["symbols_rows"] = spark.read.parquet(args.symbols_out).count()
 
