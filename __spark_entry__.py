@@ -184,6 +184,7 @@ PERCOLATE_QUERIES = [
 # session's local ALL-OK sweeps (run in the same process as the new
 # keys) as their evidence.
 _GATE_PRIORITY = [
+    "winnow_fingerprints", "winnow_clone_pairs",
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
     "bm25_code_rank",
@@ -2293,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sampling,
         similarity,
         textstats,
+        winnow,
     )
 
     def media_audio_features(spark, sf):
@@ -3748,6 +3750,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "chunk_documents": lambda s, sf: chunking.chunk_documents(_docs(s, sf)),
         "dedup_exact": lambda s, sf: dedup.exact_duplicates(_docs(s, sf)),
+        # MOSS winnowing (pipeline/winnow.py): map-only mapInPandas
+        # kernel vs the twin's window-function formulation — two
+        # independent expressions of the rightmost-minimum rule
+        "winnow_fingerprints": lambda s, sf: winnow.winnow_fingerprints(
+            _docs(s, sf), k=8, w=4
+        ),
+        # clone pairs over the planted-block fixture (64-char
+        # md5-derived block per doc_id % 97 group + the natural text
+        # tail; the corpus's own near-dups legitimately pair too) with
+        # the bucket cap ahead of the self-join
+        "winnow_clone_pairs": lambda s, sf: winnow.winnow_clone_pairs(
+            winnow.winnow_fingerprints(
+                _docs(s, sf).select(
+                    "doc_id",
+                    F.concat(
+                        F.md5((F.col("doc_id") % 97).cast("string")),
+                        F.md5(((F.col("doc_id") % 97) + 1000).cast("string")),
+                        F.lit(" "),
+                        F.col("text"),
+                    ).alias("text"),
+                ),
+                k=8, w=4,
+            ),
+            min_shared=8, max_bucket=50,
+        ),
         # near-dup pairs -> connected components (large-star/small-star)
         # -> canonical survivor per cluster; recursive-CTE oracle
         "dedup_clusters": lambda s, sf: clusters.dedup_clusters(_docs(s, sf)),
@@ -3817,6 +3844,7 @@ def oracle_sql() -> dict[str, str]:
         sampling,
         similarity,
         textstats,
+        winnow,
     )
 
     from terrier_ef_spark.query import snippets as snippets_mod
@@ -4250,6 +4278,23 @@ FROM events GROUP BY 1, 2
         "pack_sequences": chunking.pack_sequences_sql(512),
         "chunk_documents": chunking.chunk_documents_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
+        "winnow_fingerprints": winnow.winnow_sql_duckdb(
+            "documents", k=8, w=4
+        ),
+        "winnow_clone_pairs": f"""
+WITH fp0 AS ({winnow.winnow_sql_duckdb(
+            '''(SELECT doc_id,
+  md5((doc_id % 97)::VARCHAR) || md5(((doc_id % 97) + 1000)::VARCHAR)
+  || ' ' || text AS text FROM documents)''', k=8, w=4)}),
+dv AS (SELECT DISTINCT doc_id, fp FROM fp0),
+capped AS (SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM dv)
+  WHERE bn <= 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8
+""",
         "dedup_clusters": clusters.DEDUP_CLUSTERS_SQL,
         "decontamination": clusters.contamination_sql("doc_id % 97 = 0", n=4),
         "pii_redaction": pii_sql,
