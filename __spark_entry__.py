@@ -185,6 +185,7 @@ PERCOLATE_QUERIES = [
 # keys) as their evidence.
 _GATE_PRIORITY = [
     "winnow_fingerprints", "winnow_clone_pairs",
+    "import_edges", "module_deps_topk",
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
     "bm25_code_rank",
@@ -357,6 +358,56 @@ _SYM_SRC_SQL = f"""(
                 ELSE 'class cls' || (doc_id % 7)::VARCHAR END,
            'val v' || (doc_id % 29)::VARCHAR,
            'void m' || (doc_id % 13)::VARCHAR,
+           text) AS content
+  FROM documents
+)"""
+
+
+# import-extraction gate fixture (query/imports.py): one import line
+# per rule family with mod-derived module names, lang cycling through
+# five rule-bearing languages plus md (gating), natural text tail —
+# the py/java generic rule, quoted-go, require/from-module, use and
+# gating paths are all exercised; the documented from-import
+# over-approximation ('thing' extracted as a consumed binding) is
+# part of the fixture on BOTH engines
+def _imp_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    lang = (
+        F.when(d % 6 == 0, "py")
+        .when(d % 6 == 1, "java")
+        .when(d % 6 == 2, "go")
+        .when(d % 6 == 3, "js")
+        .when(d % 6 == 4, "rs")
+        .otherwise("md")
+    )
+    content = F.concat_ws(
+        " ",
+        F.concat(F.lit("import mod_"), (d % 11).cast("string")),
+        F.concat(F.lit("from pkg_"), (d % 7).cast("string"),
+                 F.lit(" import thing")),
+        F.concat(F.lit('import "lib/dep'), (d % 13).cast("string"),
+                 F.lit('"')),
+        F.concat(F.lit('require("m_'), (d % 5).cast("string"),
+                 F.lit('")')),
+        F.concat(F.lit("use ns_"), (d % 3).cast("string"), F.lit("::x")),
+        F.col("text"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+
+
+_IMP_SRC_SQL = """(
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 0 THEN 'py' WHEN 1 THEN 'java'
+              WHEN 2 THEN 'go' WHEN 3 THEN 'js'
+              WHEN 4 THEN 'rs' ELSE 'md' END AS lang,
+         concat_ws(' ',
+           'import mod_' || (doc_id % 11)::VARCHAR,
+           'from pkg_' || (doc_id % 7)::VARCHAR || ' import thing',
+           'import "lib/dep' || (doc_id % 13)::VARCHAR || '"',
+           'require("m_' || (doc_id % 5)::VARCHAR || '")',
+           'use ns_' || (doc_id % 3)::VARCHAR || '::x',
            text) AS content
   FROM documents
 )"""
@@ -1253,6 +1304,38 @@ def _symbol_defs_oracle_sql() -> str:
     from terrier_ef_spark.query.symbols import symbols_sql_duckdb
 
     return symbols_sql_duckdb(f"{_SYM_SRC_SQL} s")
+
+
+def _imports_oracle_sql() -> str:
+    """Twin of extract_imports over the derived import-shaped source
+    (the module's RE2 formulation, case-sensitive)."""
+    from terrier_ef_spark.query.imports import imports_sql_duckdb
+
+    return imports_sql_duckdb(f"{_IMP_SRC_SQL} s")
+
+
+def _module_deps_oracle_sql(k: int = 25) -> str:
+    """Twin of top_imported_modules over the import extraction +
+    the doc_id%5 repo metadata: fold to per-module n_docs / n_refs /
+    n_repos, rank (n_docs desc, module asc), top k."""
+    return f"""
+WITH imp AS ({_imports_oracle_sql()}),
+meta AS (SELECT doc_id, 'r' || (doc_id % 5)::VARCHAR AS repo
+         FROM documents),
+fold AS (
+  SELECT module,
+         count(DISTINCT i.doc_id)::BIGINT AS n_docs,
+         sum(n_refs)::BIGINT AS n_refs,
+         count(DISTINCT repo)::BIGINT AS n_repos
+  FROM imp i JOIN meta USING (doc_id)
+  GROUP BY 1)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_docs DESC, module ASC)::int
+           AS rank,
+         module, n_docs, n_refs, n_repos
+  FROM fold)
+WHERE rank <= {k}
+"""
 
 
 def _symbol_search_oracle_sql(queries, k: int = 10) -> str:
@@ -2716,6 +2799,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         )
 
+    def import_edges(spark, sf):
+        """Import extraction (query/imports.py — the dependency-graph
+        role): per-language import regexes in one content scan over
+        the derived import-shaped source; twin is the module's RE2
+        formulation."""
+        from terrier_ef_spark.query.imports import extract_imports
+
+        return extract_imports(_imp_src(spark, sf))
+
+    def module_deps_topk(spark, sf):
+        """Most-depended-on modules: per-module importing-doc /
+        total-ref / distinct-repo counts over the import relation,
+        ranked (n_docs desc, module asc), top 25 — deps.dev's
+        headline aggregation."""
+        from terrier_ef_spark.query.imports import (
+            extract_imports,
+            top_imported_modules,
+        )
+
+        meta = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("r"),
+                     (F.col("doc_id") % 5).cast("string")).alias("repo"),
+        )
+        return top_imported_modules(
+            extract_imports(_imp_src(spark, sf)), meta, k=25
+        )
+
     def symbol_defs(spark, sf):
         """Symbol extraction (query/symbols.py, the Zoekt ctags role):
         per-language definition regexes in one content scan over the
@@ -3700,6 +3811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": hard_negatives,
         "code_token_counts": code_token_counts,
         "symbol_defs": symbol_defs,
+        "import_edges": import_edges,
+        "module_deps_topk": module_deps_topk,
         "symbol_search_topk": symbol_search_topk,
         "bm25_symbol_boost": bm25_symbol_boost,
         "snapshot_latest_files": snapshot_latest_files,
@@ -4131,6 +4244,8 @@ SELECT repo, path, "commit", doc_id FROM (
             boost_outer=True,
         ),
         "symbol_defs": _symbol_defs_oracle_sql(),
+        "import_edges": _imports_oracle_sql(),
+        "module_deps_topk": _module_deps_oracle_sql(k=25),
         "symbol_search_topk": _symbol_search_oracle_sql(SYM_SEARCH_QUERIES),
         "bm25_symbol_boost": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False,
