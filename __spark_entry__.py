@@ -185,7 +185,7 @@ PERCOLATE_QUERIES = [
 # keys) as their evidence.
 _GATE_PRIORITY = [
     "winnow_fingerprints", "winnow_clone_pairs",
-    "import_edges", "module_deps_topk",
+    "import_edges", "module_deps_topk", "repo_rank_topk",
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
     "bm25_code_rank",
@@ -1531,6 +1531,35 @@ SELECT qid, rank, docid, key, score FROM (
 """
 
 
+def _repo_rank_oracle_sql(queries, depth: int = 50, per_repo: int = 3,
+                          k: int = 10) -> str:
+    """Twin of query/reporank.py repo_rank_top_k over the BM25 deep
+    list: repo = 'r' || docid % 5, sum of each repo's best per_repo
+    page docs (re-rounded 6dp), rank (score desc, best page rank asc,
+    repo asc)."""
+    base = _bm25_oracle_sql(queries, conjunctive=False, depth=depth)
+    return f"""
+WITH base AS ({base}),
+j AS (SELECT qid, rank, docid, score,
+             'r' || (docid % 5)::VARCHAR AS repo FROM base),
+cut AS (SELECT * FROM (
+    SELECT j.*, row_number() OVER (PARTITION BY qid, repo
+                                   ORDER BY rank ASC) AS rr FROM j)
+  WHERE rr <= {per_repo}),
+fold AS (SELECT qid, repo, round(sum(score), 6) AS score,
+                count(*)::BIGINT AS n_docs,
+                min(rank) AS best_rank,
+                min_by(docid, rank) AS best_docid
+         FROM cut GROUP BY 1, 2)
+SELECT qid, rank, repo, score, n_docs, best_docid FROM (
+  SELECT qid, row_number() OVER (PARTITION BY qid
+           ORDER BY score DESC, best_rank ASC, repo ASC)::int AS rank,
+         repo, score, n_docs, best_docid
+  FROM fold)
+WHERE rank <= {k}
+"""
+
+
 def _cori_ctes(queries) -> str:
     """Shared CTEs for the CORI resource-selection twins: per-shard
     df/cw over the static doc_id-250 split (the _get_merge_setup
@@ -2709,6 +2738,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return collapse_top_k(ranked, doc_keys, k=10, per_key=2)
 
+    def repo_rank_topk(spark, sf):
+        """Repo-level result ranking (query/reporank.py): the BM25
+        deep page (6dp-stable, depth 50) aggregated per repository
+        (repo = 'r' || docid % 5) — sum of each repo's best 3 page
+        docs, ranked (score desc, best page rank asc, repo asc),
+        top 10 — the Sourcegraph grouped-results serving mode."""
+        from pyspark.sql import Window
+
+        from terrier_ef_spark.query.engine import run_queries
+        from terrier_ef_spark.query.reporank import repo_rank_top_k
+
+        idx = _get_index(spark, sf)
+        deep = run_queries(idx, BM25_QUERIES, k=100, algo="naive",
+                           strategy="term_major")
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score_r"), F.asc("docid"))
+        ranked = (
+            deep.withColumn("score_r", F.round("score", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 50)
+            .select("qid", "rank", "docid",
+                    F.col("score_r").alias("score"))
+        )
+        doc_repos = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            F.concat(F.lit("r"),
+                     (F.col("doc_id") % 5).cast("string")).alias("repo"),
+        )
+        return repo_rank_top_k(ranked, doc_repos, k=10, per_repo=3)
+
     def _get_impact(spark, sf):
         """Impact index quantized from the standard cached build
         (bm25, 8 bits); cached per sf dir."""
@@ -3795,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cori_shard_selection": cori_shard_selection,
         "bm25_selective_topk": bm25_selective_topk,
         "collapse_topk": collapse_topk,
+        "repo_rank_topk": repo_rank_topk,
         "spell_suggest": spell_suggest,
         "mlt_topk": mlt_topk,
         "significant_terms": significant_terms_q,
@@ -4197,6 +4257,7 @@ SELECT term, doc_id AS docid FROM (
         "cori_shard_selection": _cori_oracle_sql(BM25_QUERIES),
         "bm25_selective_topk": _selective_oracle_sql(BM25_QUERIES),
         "collapse_topk": _collapse_oracle_sql(BM25_QUERIES),
+        "repo_rank_topk": _repo_rank_oracle_sql(BM25_QUERIES),
         "spell_suggest": _spell_oracle_sql(SPELL_QUERIES),
         "mlt_topk": _mlt_oracle_sql(MLT_QUERIES),
         "significant_terms": _significant_oracle_sql(SIG_QUERIES),
