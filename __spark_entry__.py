@@ -186,6 +186,7 @@ PERCOLATE_QUERIES = [
 _GATE_PRIORITY = [
     "winnow_fingerprints", "winnow_clone_pairs",
     "import_edges", "module_deps_topk", "repo_rank_topk",
+    "file_churn", "cochange_pairs",
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
     "bm25_code_rank",
@@ -395,6 +396,28 @@ def _imp_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", lang.alias("lang"), content.alias("content")
     )
+
+
+# full-history gate fixture (pipeline/churn.py): the input-hint
+# history shape folded from documents — 185 files (doc_id % 5 repos x
+# % 37 paths), commits md5(doc_id % 74) so a 3-version file carries a
+# REPEATED commit (370 = 5*74: n_versions=3, n_commits=2 — the
+# version/commit distinction is exercised in the gate itself)
+def _hist_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 5).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (d % 37).cast("string")).alias("path"),
+        F.md5((d % 74).cast("string")).alias("commit"),
+    )
+
+
+_HIST_SRC_SQL = """(
+  SELECT 'r' || (doc_id % 5)::VARCHAR AS repo,
+         'p' || (doc_id % 37)::VARCHAR AS path,
+         md5((doc_id % 74)::VARCHAR) AS commit
+  FROM documents
+)"""
 
 
 _IMP_SRC_SQL = """(
@@ -2886,6 +2909,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_imports(_imp_src(spark, sf)), meta, k=25
         )
 
+    def file_churn(spark, sf):
+        """File churn over the full-history shape (pipeline/churn.py):
+        per-file version/distinct-commit counts + first/last commit —
+        the hotspot signal mined from version control."""
+        from terrier_ef_spark.pipeline.churn import file_churn as fc
+
+        return fc(_hist_src(spark, sf))
+
+    def cochange_pairs(spark, sf):
+        """Co-change (logical) coupling: file pairs changed together
+        in >= 2 distinct commits, commit-size cap ahead of the
+        self-join (Zimmermann et al. ICSE'04)."""
+        from terrier_ef_spark.pipeline.churn import cochange_pairs as cp
+
+        return cp(_hist_src(spark, sf), min_cochanges=2)
+
     def symbol_defs(spark, sf):
         """Symbol extraction (query/symbols.py, the Zoekt ctags role):
         per-language definition regexes in one content scan over the
@@ -3873,6 +3912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_defs": symbol_defs,
         "import_edges": import_edges,
         "module_deps_topk": module_deps_topk,
+        "file_churn": file_churn,
+        "cochange_pairs": cochange_pairs,
         "symbol_search_topk": symbol_search_topk,
         "bm25_symbol_boost": bm25_symbol_boost,
         "snapshot_latest_files": snapshot_latest_files,
@@ -4307,6 +4348,24 @@ SELECT repo, path, "commit", doc_id FROM (
         "symbol_defs": _symbol_defs_oracle_sql(),
         "import_edges": _imports_oracle_sql(),
         "module_deps_topk": _module_deps_oracle_sql(k=25),
+        "file_churn": f"""
+SELECT repo, path, count(*)::BIGINT AS n_versions,
+       count(DISTINCT commit)::BIGINT AS n_commits,
+       min(commit) AS first_commit, max(commit) AS last_commit
+FROM {_HIST_SRC_SQL} h GROUP BY 1, 2
+""",
+        "cochange_pairs": f"""
+WITH t AS (SELECT DISTINCT commit, repo, path FROM {_HIST_SRC_SQL} h),
+capped AS (SELECT commit, repo, path FROM (
+    SELECT t.*, count(*) OVER (PARTITION BY commit) AS cn FROM t)
+  WHERE cn <= 100)
+SELECT a.repo AS repo_a, a.path AS path_a,
+       b.repo AS repo_b, b.path AS path_b,
+       count(*)::BIGINT AS n_cochanges
+FROM capped a JOIN capped b USING (commit)
+WHERE (a.repo, a.path) < (b.repo, b.path)
+GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+""",
         "symbol_search_topk": _symbol_search_oracle_sql(SYM_SEARCH_QUERIES),
         "bm25_symbol_boost": _bm25_oracle_sql(
             BM25_QUERIES, conjunctive=False,
