@@ -186,7 +186,7 @@ PERCOLATE_QUERIES = [
 _GATE_PRIORITY = [
     "winnow_fingerprints", "winnow_clone_pairs",
     "import_edges", "module_deps_topk", "repo_rank_topk",
-    "file_churn", "cochange_pairs",
+    "file_churn", "cochange_pairs", "sloc_stats", "loc_by_lang",
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
     "bm25_code_rank",
@@ -396,6 +396,49 @@ def _imp_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", lang.alias("lang"), content.alias("content")
     )
+
+
+# LOC gate fixture (pipeline/loc.py): multi-line content with one
+# line per marker family plus blank/space-only lines and the natural
+# text tail, lang cycling py/go/sql/md — each language classifies the
+# SAME fixed lines differently, so the marker table is hash-verified
+def _loc_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    lang = (
+        F.when(d % 4 == 0, "py")
+        .when(d % 4 == 1, "go")
+        .when(d % 4 == 2, "sql")
+        .otherwise("md")
+    )
+    content = F.concat_ws(
+        "\n",
+        F.concat(F.lit("line one v"), (d % 9).cast("string")),
+        F.lit(""),
+        F.lit("# hash line"),
+        F.lit("  // slash line"),
+        F.lit("-- dash line"),
+        F.lit("   "),
+        F.col("text"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+
+
+_LOC_SRC_SQL = """(
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'py' WHEN 1 THEN 'go'
+              WHEN 2 THEN 'sql' ELSE 'md' END AS lang,
+         concat_ws(chr(10),
+           'line one v' || (doc_id % 9)::VARCHAR,
+           '',
+           '# hash line',
+           '  // slash line',
+           '-- dash line',
+           '   ',
+           text) AS content
+  FROM documents
+)"""
 
 
 # full-history gate fixture (pipeline/churn.py): the input-hint
@@ -1327,6 +1370,20 @@ def _symbol_defs_oracle_sql() -> str:
     from terrier_ef_spark.query.symbols import symbols_sql_duckdb
 
     return symbols_sql_duckdb(f"{_SYM_SRC_SQL} s")
+
+
+def _loc_oracle_sql(which: str) -> str:
+    """Twins of pipeline/loc.py over the derived multi-line fixture
+    (the module's own DuckDB list-lambda formulation)."""
+    from terrier_ef_spark.pipeline.loc import (
+        loc_by_lang_sql_duckdb,
+        sloc_sql_duckdb,
+    )
+
+    src = f"{_LOC_SRC_SQL} s"
+    if which == "sloc":
+        return sloc_sql_duckdb(src)
+    return loc_by_lang_sql_duckdb(src)
 
 
 def _imports_oracle_sql() -> str:
@@ -2909,6 +2966,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_imports(_imp_src(spark, sf)), meta, k=25
         )
 
+    def sloc_stats(spark, sf):
+        """Per-file LOC accounting (pipeline/loc.py — the cloc/tokei
+        role): physical/blank/comment/code line counts with the
+        per-language line-comment marker table."""
+        from terrier_ef_spark.pipeline.loc import sloc_stats as ss
+
+        return ss(_loc_src(spark, sf))
+
+    def loc_by_lang(spark, sf):
+        """The cloc report: per-language file/line/blank/comment/code
+        totals — map-only stats, one language-cardinality fold."""
+        from terrier_ef_spark.pipeline.loc import loc_by_lang as lbl
+
+        return lbl(_loc_src(spark, sf))
+
     def file_churn(spark, sf):
         """File churn over the full-history shape (pipeline/churn.py):
         per-file version/distinct-commit counts + first/last commit —
@@ -3914,6 +3986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_deps_topk": module_deps_topk,
         "file_churn": file_churn,
         "cochange_pairs": cochange_pairs,
+        "sloc_stats": sloc_stats,
+        "loc_by_lang": loc_by_lang,
         "symbol_search_topk": symbol_search_topk,
         "bm25_symbol_boost": bm25_symbol_boost,
         "snapshot_latest_files": snapshot_latest_files,
@@ -4348,6 +4422,8 @@ SELECT repo, path, "commit", doc_id FROM (
         "symbol_defs": _symbol_defs_oracle_sql(),
         "import_edges": _imports_oracle_sql(),
         "module_deps_topk": _module_deps_oracle_sql(k=25),
+        "sloc_stats": _loc_oracle_sql("sloc"),
+        "loc_by_lang": _loc_oracle_sql("bylang"),
         "file_churn": f"""
 SELECT repo, path, count(*)::BIGINT AS n_versions,
        count(DISTINCT commit)::BIGINT AS n_commits,
