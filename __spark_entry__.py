@@ -183,10 +183,28 @@ PERCOLATE_QUERIES = [
 # pinned-literal pytest scores) join the out-of-window group with this
 # session's local ALL-OK sweeps (run in the same process as the new
 # keys) as their evidence.
+# Third amendment (continuation session): the 9 new-class keys —
+# winnow_fingerprints / winnow_clone_pairs (pipeline/winnow.py, the
+# MOSS clone-detection class), import_edges / module_deps_topk
+# (query/imports.py, the dependency-graph class), repo_rank_topk
+# (query/reporank.py, grouped-results serving), file_churn /
+# cochange_pairs (pipeline/churn.py, version-history mining) and
+# sloc_stats / loc_by_lang (pipeline/loc.py, the cloc report) — lead
+# the window for their first driver rows, with the 2 media keys moved
+# UP to slots 10-11 (their pinned-literal twins landed this round and
+# their first hash-verified driver rows must not be displaced — the
+# r4 verdict's task 2). The displaced tail (event_sessions,
+# funnel_steps, retention_cohorts, significant_terms, the 2 impact
+# keys, mlt_topk, bm25_cascade_topk) carries THIS session's full
+# 128-key check_contract sweep on this HEAD — ALL OK — as
+# out-of-window evidence (every pre-existing key was re-hash-verified
+# today before the new keys landed), on top of the per-key sweeps
+# recorded when each landed.
 _GATE_PRIORITY = [
     "winnow_fingerprints", "winnow_clone_pairs",
     "import_edges", "module_deps_topk", "repo_rank_topk",
     "file_churn", "cochange_pairs", "sloc_stats", "loc_by_lang",
+    "media_audio_features", "media_frame_stats",
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
     "bm25_code_rank",
@@ -204,7 +222,6 @@ _GATE_PRIORITY = [
     "event_sessions", "funnel_steps", "retention_cohorts",
     "significant_terms", "impact_postings_decoded",
     "bm25_impact_topk", "mlt_topk", "bm25_cascade_topk",
-    "media_audio_features", "media_frame_stats",
     "inl2_disjunctive", "dlh13_disjunctive", "tf_idf_disjunctive",
     "in_expb2_disjunctive", "ifb2_disjunctive", "bb2_disjunctive",
     "lgd_disjunctive", "dfree_disjunctive",
