@@ -538,6 +538,32 @@ def pipeline_queries(spark):
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     similarity.batch_cosine_topk(emb, qmat, k=10).count()
     timings["ann_batch16"] = time.time() - t0
+
+    # MOSS winnowing (pipeline/winnow.py): fingerprint the corpus
+    # (map-only mapInPandas — md5 per k-gram, the linear scan cost
+    # class) and derive capped clone pairs from a materialized
+    # fingerprint table (the dedup_pairs split discipline: the two
+    # stages run separately in production)
+    from terrier_ef_spark.pipeline import winnow
+
+    fp_dir = tempfile.mkdtemp(prefix="bench_winnow_")
+    try:
+        t0 = time.time()
+        (winnow.winnow_fingerprints(docs, k=8, w=4)
+         .write.mode("overwrite").parquet(fp_dir))
+        timings["winnow_fingerprints"] = time.time() - t0
+
+        # sharp-clone regime (min_shared=20, tight bucket cap): the
+        # synthetic prose is highly self-similar (a third of all doc
+        # pairs share >= 8 fingerprints), so the bench measures the
+        # clone-detection operating point, not an all-pairs blowup
+        t0 = time.time()
+        winnow.winnow_clone_pairs(
+            spark.read.parquet(fp_dir), min_shared=20, max_bucket=50
+        ).count()
+        timings["winnow_clone_pairs"] = time.time() - t0
+    finally:
+        shutil.rmtree(fp_dir, ignore_errors=True)
     return timings
 
 
