@@ -727,3 +727,67 @@ def test_submit_build_snapshot_latest(spark, tmp_path_factory):
     want = {(r["doc_id"], r["kind"], r["symbol"], r["n_defs"])
             for r in direct.collect()}
     assert got == want and got
+
+
+def test_submit_build_clones_out(spark, tmp_path_factory):
+    """--clones-out materializes the winnowing fingerprint + clone
+    pair relations at build time; both value-match direct
+    pipeline/winnow.py calls over the same corpus, and --compact-out
+    is refused (docid re-densification would misalign them)."""
+    base = tmp_path_factory.mktemp("clonebuild")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    tool = os.path.join(REPO, "tools", "submit_build.py")
+    p = subprocess.run(
+        [sys.executable, tool, "--synth-docs", "40", "--seed", "9",
+         "--out", str(base / "idx"), "--partitions", "4",
+         "--clones-out", str(base / "clones"),
+         "--clone-min-shared", "5"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["clone_fingerprints"] > 0
+
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.pipeline.winnow import (
+        winnow_clone_pairs,
+        winnow_fingerprints,
+    )
+
+    corpus = synthesize_corpus(spark, 40, seed=9, n_partitions=4)
+    want_fp = (
+        winnow_fingerprints(corpus, k=8, w=4, text_col="content")
+        .orderBy("doc_id", "pos", "fp").collect()
+    )
+    got_fp = (
+        spark.read.parquet(str(base / "clones" / "fingerprints"))
+        .orderBy("doc_id", "pos", "fp").collect()
+    )
+    assert len(got_fp) == out["clone_fingerprints"]
+    assert [tuple(r) for r in want_fp] == [tuple(r) for r in got_fp]
+
+    want_pairs = (
+        winnow_clone_pairs(
+            winnow_fingerprints(corpus, k=8, w=4, text_col="content"),
+            min_shared=5,
+        ).orderBy("doc_a", "doc_b").collect()
+    )
+    got_pairs = (
+        spark.read.parquet(str(base / "clones" / "pairs"))
+        .orderBy("doc_a", "doc_b").collect()
+    )
+    assert len(got_pairs) == out["clone_pairs"] > 0
+    assert [tuple(r) for r in want_pairs] == [tuple(r) for r in got_pairs]
+
+    refuse = subprocess.run(
+        [sys.executable, tool, "--synth-docs", "10",
+         "--out", str(base / "idx2"), "--partitions", "2",
+         "--delete-docids", "1",
+         "--compact-out", str(base / "idx2_live"),
+         "--clones-out", str(base / "c2")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert refuse.returncode != 0
+    assert "re-densifies docids" in refuse.stderr

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -77,6 +78,20 @@ def main() -> None:
                     "relation from the corpus (query/symbols.py) and "
                     "write it as parquet here (serve via submit_query "
                     "--symbols/--sym)")
+    ap.add_argument("--clones-out", default=None,
+                    help="also run MOSS winnowing over the corpus "
+                    "(pipeline/winnow.py) and write DIR/fingerprints "
+                    "+ DIR/pairs parquet — the clone/duplication "
+                    "receipt of a training-data build")
+    ap.add_argument("--clone-k", type=int, default=8,
+                    help="winnowing k-gram length")
+    ap.add_argument("--clone-w", type=int, default=4,
+                    help="winnowing window (guarantee length k+w-1)")
+    ap.add_argument("--clone-min-shared", type=int, default=8,
+                    help="min shared fingerprints per clone pair")
+    ap.add_argument("--clone-max-bucket", type=int, default=200,
+                    help="exclude fingerprints shared by more docs "
+                    "than this before the pair self-join")
     ap.add_argument("--export-prefix", default=None,
                     help="also export the final index to the reference's "
                          "Terrier-layout bitfiles at this path prefix")
@@ -84,13 +99,14 @@ def main() -> None:
                     help="comma-joined terms per query, e.g. 'a,b' 'c'")
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
-    if args.symbols_out and args.compact_out:
-        # the symbols relation is keyed by the build corpus's doc_id
+    if (args.symbols_out or args.clones_out) and args.compact_out:
+        # these relations are keyed by the build corpus's doc_id
         # == the built index's docid (dense aligned ids); compaction
-        # RE-densifies docids, which would silently misalign it
-        ap.error("--symbols-out with --compact-out: compaction "
-                 "re-densifies docids, misaligning the symbols "
-                 "relation — extract from the compacted corpus "
+        # RE-densifies docids, which would silently misalign them
+        which = "--symbols-out" if args.symbols_out else "--clones-out"
+        ap.error(f"{which} with --compact-out: compaction "
+                 "re-densifies docids, misaligning the doc_id-keyed "
+                 "relation — derive it from the compacted corpus "
                  "separately")
 
     # SparkSession comes from spark-submit (master/conf set there); the
@@ -123,10 +139,10 @@ def main() -> None:
         corpus = snapshot_latest(corpus, order_cols=order)
         if "doc_id" in corpus.columns:
             corpus = corpus.drop("doc_id")
-        if args.symbols_out:
+        if args.symbols_out or args.clones_out:
             # materialize the ids the builder would assign (same
-            # helper, same (repo, path, commit) order) so the symbols
-            # relation stays docid-aligned with the built index
+            # helper, same (repo, path, commit) order) so the
+            # doc_id-keyed relations stay aligned with the built index
             from terrier_ef_spark.index.ids import assign_dense_ids
 
             corpus = assign_dense_ids(
@@ -210,6 +226,27 @@ def main() -> None:
             .write.mode("overwrite").parquet(args.symbols_out))
         out["symbols_sec"] = round(time.time() - t0, 3)
         out["symbols_rows"] = spark.read.parquet(args.symbols_out).count()
+
+    if args.clones_out:
+        from terrier_ef_spark.pipeline.winnow import (
+            winnow_clone_pairs,
+            winnow_fingerprints,
+        )
+
+        t0 = time.time()
+        tc = "content" if "content" in corpus.columns else "text"
+        fps_dir = os.path.join(args.clones_out, "fingerprints")
+        pairs_dir = os.path.join(args.clones_out, "pairs")
+        (winnow_fingerprints(corpus, k=args.clone_k, w=args.clone_w,
+                             text_col=tc)
+         .write.mode("overwrite").parquet(fps_dir))
+        fps = spark.read.parquet(fps_dir)  # pairs re-read, not re-hash
+        (winnow_clone_pairs(fps, min_shared=args.clone_min_shared,
+                            max_bucket=args.clone_max_bucket)
+         .write.mode("overwrite").parquet(pairs_dir))
+        out["clones_sec"] = round(time.time() - t0, 3)
+        out["clone_fingerprints"] = fps.count()
+        out["clone_pairs"] = spark.read.parquet(pairs_dir).count()
 
     if args.impact_out:
         from terrier_ef_spark.index.impact import build_impact_index
