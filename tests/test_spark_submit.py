@@ -791,3 +791,70 @@ def test_submit_build_clones_out(spark, tmp_path_factory):
     )
     assert refuse.returncode != 0
     assert "re-densifies docids" in refuse.stderr
+
+
+def test_submit_build_imports_out_and_dep_query(spark, tmp_path_factory):
+    """--imports-out materializes the import relation at build time;
+    submit_query --imports/--dep answers verbatim module names with
+    reverse-dependency rows matching a direct computation, and an
+    unknown module yields an empty array."""
+    from pyspark.sql import functions as F
+
+    from terrier_ef_spark.corpus import synthesize_corpus
+
+    base = tmp_path_factory.mktemp("impship")
+    corp = (
+        synthesize_corpus(spark, 30, seed=13, n_partitions=4)
+        .withColumn("lang", F.lit("py"))
+        .withColumn(
+            "content",
+            F.concat(F.lit("import dep_mod"),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit("\n"), F.col("content")),
+        )
+    )
+    corp.write.parquet(str(base / "corp.parquet"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_build.py"),
+         "--input", str(base / "corp.parquet"),
+         "--out", str(base / "idx"), "--partitions", "4",
+         "--imports-out", str(base / "imports.parquet")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    out = json.loads(
+        [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+
+    from terrier_ef_spark.query.imports import extract_imports
+
+    want = extract_imports(corp).toPandas()
+    assert out["imports_rows"] == len(want)
+
+    q = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", str(base / "idx"),
+         "--imports", str(base / "imports.parquet"), "--dep",
+         "--k", "5", "--queries", "dep_mod1", "zz_absent"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert q.returncode == 0, q.stderr[-3000:]
+    rows = json.loads(
+        [ln for ln in q.stdout.splitlines() if ln.startswith("[")][-1]
+    )
+    # dep_mod1 importers are doc_id % 3 == 1, n_refs 1 each, ranked
+    # by docid asc, cut at k=5; the absent module contributes nothing
+    got = [(r["qid"], r["rank"], r["docid"], r["n_refs"]) for r in rows]
+    assert got == [(10_000, i + 1, 1 + 3 * i, 1) for i in range(5)]
+    assert all(r["module"] == "dep_mod1" for r in rows)
+
+    refuse = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", str(base / "idx"), "--dep", "--queries", "x"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert refuse.returncode != 0
+    assert "--dep needs --imports" in refuse.stderr

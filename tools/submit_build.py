@@ -78,6 +78,11 @@ def main() -> None:
                     "relation from the corpus (query/symbols.py) and "
                     "write it as parquet here (serve via submit_query "
                     "--symbols/--sym)")
+    ap.add_argument("--imports-out", default=None,
+                    help="also extract the per-language import/"
+                    "dependency relation (query/imports.py) and write "
+                    "it as parquet here (serve via submit_query "
+                    "--imports/--dep)")
     ap.add_argument("--clones-out", default=None,
                     help="also run MOSS winnowing over the corpus "
                     "(pipeline/winnow.py) and write DIR/fingerprints "
@@ -99,11 +104,14 @@ def main() -> None:
                     help="comma-joined terms per query, e.g. 'a,b' 'c'")
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
-    if (args.symbols_out or args.clones_out) and args.compact_out:
+    if (args.symbols_out or args.clones_out or args.imports_out) \
+            and args.compact_out:
         # these relations are keyed by the build corpus's doc_id
         # == the built index's docid (dense aligned ids); compaction
         # RE-densifies docids, which would silently misalign them
-        which = "--symbols-out" if args.symbols_out else "--clones-out"
+        which = ("--symbols-out" if args.symbols_out
+                 else "--clones-out" if args.clones_out
+                 else "--imports-out")
         ap.error(f"{which} with --compact-out: compaction "
                  "re-densifies docids, misaligning the doc_id-keyed "
                  "relation — derive it from the compacted corpus "
@@ -139,7 +147,7 @@ def main() -> None:
         corpus = snapshot_latest(corpus, order_cols=order)
         if "doc_id" in corpus.columns:
             corpus = corpus.drop("doc_id")
-        if args.symbols_out or args.clones_out:
+        if args.symbols_out or args.clones_out or args.imports_out:
             # materialize the ids the builder would assign (same
             # helper, same (repo, path, commit) order) so the
             # doc_id-keyed relations stay aligned with the built index
@@ -226,6 +234,20 @@ def main() -> None:
             .write.mode("overwrite").parquet(args.symbols_out))
         out["symbols_sec"] = round(time.time() - t0, 3)
         out["symbols_rows"] = spark.read.parquet(args.symbols_out).count()
+
+    if args.imports_out:
+        from terrier_ef_spark.query.imports import extract_imports
+
+        t0 = time.time()
+        imp = extract_imports(corpus)
+        # range-sort by module: --dep lookups and reverse-dependency
+        # scans prune parquet row-groups via min/max stats (the
+        # symbols-artifact discipline)
+        (imp.repartitionByRange(args.partitions, "module")
+            .sortWithinPartitions("module")
+            .write.mode("overwrite").parquet(args.imports_out))
+        out["imports_sec"] = round(time.time() - t0, 3)
+        out["imports_rows"] = spark.read.parquet(args.imports_out).count()
 
     if args.clones_out:
         from terrier_ef_spark.pipeline.winnow import (

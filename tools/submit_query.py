@@ -208,6 +208,52 @@ def _answer_sym(idx, sym, batch, args, out, *,
     out.flush()
 
 
+def _answer_dep(idx, imp, batch, args, out, *,
+                terminator: bool = False) -> None:
+    """batch = [(qid, module)]; one JSON array per batch of
+    qid/rank/module/docno/docid/n_refs rows — the reverse-dependency
+    lookup (who imports this module), ranked (n_refs desc, docid
+    asc). The literal module isin pushes into the (range-sorted)
+    imports scan; an unknown module yields no rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = imp.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), str(m)) for q, m in batch], "qid long, module string"
+    )
+    mods = sorted({str(m) for _, m in batch})
+    hits = (
+        imp.where(F.col("module").isin(mods))
+        .groupBy("module", "doc_id")
+        .agg(F.sum("n_refs").cast("long").alias("n_refs"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("n_refs"), F.asc("doc_id"))
+    res = (
+        qdf.join(hits, "module")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= args.k)
+    )
+    rows = (
+        res.join(
+            idx.docs.select(F.col("docid").alias("doc_id"), "docno"),
+            "doc_id",
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    out.write(json.dumps([
+        {"qid": r["qid"], "rank": r["rank"], "module": r["module"],
+         "docno": r["docno"], "docid": r["doc_id"],
+         "n_refs": r["n_refs"]}
+        for r in rows
+    ]) + "\n")
+    if terminator:
+        out.write("\n")
+    out.flush()
+
+
 def _pick_algo(idx, algo: str) -> str:
     # a tombstoned (uncompacted) index refuses pruning algorithms;
     # serve it exhaustively until compaction (same rule as submit_build)
@@ -390,6 +436,14 @@ def main() -> None:
                     "output: doc_id/kind/symbol/n_defs; submit_build "
                     "--symbols-out). Ranked retrieval gains the "
                     "--sym-beta definition boost; required by --sym")
+    ap.add_argument("--imports", default=None,
+                    help="materialized import relation parquet "
+                    "(doc_id, kind, module, n_refs — submit_build "
+                    "--imports-out); required by --dep")
+    ap.add_argument("--dep", action="store_true",
+                    help="topics are verbatim MODULE names answered "
+                    "by reverse-dependency lookup (who imports this) "
+                    "from --imports instead of BM25; JSON rows")
     ap.add_argument("--sym", action="store_true",
                     help="topics are symbol NAMES (qid<TAB>name, "
                     "verbatim): answer with definition-count ranking "
@@ -453,6 +507,13 @@ def main() -> None:
                  "has no path channel)")
     if (args.sym_prefix or args.sym_kind) and not args.sym:
         ap.error("--sym-prefix/--sym-kind only apply with --sym")
+    if args.dep and not args.imports:
+        ap.error("--dep needs --imports (materialized import parquet)")
+    if args.dep and (args.sym or args.grep or args.sdm or args.ql
+                     or args.significant or args.impact or args.paths
+                     or args.symbols):
+        ap.error("--dep is mutually exclusive with the retrieval and "
+                 "sym/grep modes (module-name lookup has no scorer)")
 
     from pyspark.sql import SparkSession
 
@@ -471,6 +532,15 @@ def main() -> None:
                 f"--symbols parquet lacks columns: {sorted(missing)}"
             )
         args._sym_df = sym_df
+    imp_df = None
+    if args.imports:
+        imp_df = spark.read.parquet(args.imports)
+        missing = {"doc_id", "kind", "module", "n_refs"} \
+            - set(imp_df.columns)
+        if missing:
+            raise SystemExit(
+                f"--imports parquet lacks columns: {sorted(missing)}"
+            )
     path_df = None
     if args.paths:
         import os as _os
@@ -499,9 +569,9 @@ def main() -> None:
                 if not line:
                     continue
                 qid, _, text = line.partition("\t")
-                if args.grep or args.sym:
-                    # verbatim topics: patterns / symbol names don't
-                    # ride the term pipeline
+                if args.grep or args.sym or args.dep:
+                    # verbatim topics: patterns / symbol / module
+                    # names don't ride the term pipeline
                     batch.append((int(qid), text))
                     continue
                 try:
@@ -515,7 +585,7 @@ def main() -> None:
                     # rejects per line instead)
                     ap.error(f"bad topic line {line!r}: {exc}")
     for i, q in enumerate(args.queries):
-        if args.grep or args.sym:
+        if args.grep or args.sym or args.dep:
             # inline patterns / names stay verbatim — a substring may
             # legitimately contain a comma
             batch.append((10_000 + i, q))
@@ -530,6 +600,8 @@ def main() -> None:
             _answer_grep(idx, corpus, batch, args, sys.stdout)
         elif args.sym:
             _answer_sym(idx, sym_df, batch, args, sys.stdout)
+        elif args.dep:
+            _answer_dep(idx, imp_df, batch, args, sys.stdout)
         else:
             _answer(idx, batch, args, sys.stdout)
     elif not args.server:
@@ -551,6 +623,11 @@ def main() -> None:
             path_df = path_df.persist()
             path_df.count()
             args._path_df = path_df
+        if imp_df is not None:
+            # pin the import relation for the serving lifetime (the
+            # sym_df discipline — import-statement-sized, not corpus)
+            imp_df = imp_df.persist()
+            imp_df.count()
         if args.grep:
             # pin content next to the index relations (the Zoekt
             # memory-mapped-shards discipline); Spark's columnar cache
@@ -574,6 +651,10 @@ def main() -> None:
                 continue
             if args.sym:
                 _answer_sym(idx, sym_df, [(int(qid), text)], args,
+                            sys.stdout, terminator=True)
+                continue
+            if args.dep:
+                _answer_dep(idx, imp_df, [(int(qid), text)], args,
                             sys.stdout, terminator=True)
                 continue
             try:
