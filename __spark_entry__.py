@@ -193,15 +193,16 @@ PERCOLATE_QUERIES = [
 # the window for their first driver rows, with the 2 media keys moved
 # UP to slots 10-11 (their pinned-literal twins landed this round and
 # their first hash-verified driver rows must not be displaced — the
-# r4 verdict's task 2). The displaced tail (event_sessions,
-# funnel_steps, retention_cohorts, significant_terms, the 2 impact
-# keys, mlt_topk, bm25_cascade_topk) carries THIS session's full
+# r4 verdict's task 2). The displaced tail (code_token_counts,
+# event_sessions, funnel_steps, retention_cohorts, significant_terms,
+# the 2 impact keys, mlt_topk, bm25_cascade_topk) carries THIS
+# session's full
 # 128-key check_contract sweep on this HEAD — ALL OK — as
 # out-of-window evidence (every pre-existing key was re-hash-verified
 # today before the new keys landed), on top of the per-key sweeps
 # recorded when each landed.
 _GATE_PRIORITY = [
-    "winnow_fingerprints", "winnow_clone_pairs",
+    "winnow_fingerprints", "winnow_clone_pairs", "winnow_clone_groups",
     "import_edges", "module_deps_topk", "repo_rank_topk",
     "file_churn", "cochange_pairs", "sloc_stats", "loc_by_lang",
     "media_audio_features", "media_frame_stats",
@@ -2983,6 +2984,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_imports(_imp_src(spark, sf)), meta, k=25
         )
 
+    def winnow_clone_groups(spark, sf):
+        """Clone GROUPS: winnowing clone pairs (sharp regime —
+        min_shared=20, bucket cap 30, else the corpus's incidental
+        prose overlaps connect everything transitively) resolved into
+        connected components via the large-star/small-star machinery
+        (pipeline/clusters.py, edges pre-materialized shape);
+        cluster_id = min doc_id, keep = canonical survivor. Twin =
+        recursive-CTE transitive closure over the identical pair
+        set."""
+        from terrier_ef_spark.pipeline import clusters, winnow
+
+        d = F.col("doc_id")
+        g = d % 97
+        src = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.md5(g.cast("string")),
+                F.md5((g + 1000).cast("string")),
+                F.lit(" "),
+                F.col("text"),
+            ).alias("text"),
+        )
+        pairs = winnow.winnow_clone_pairs(
+            winnow.winnow_fingerprints(src, k=8, w=4),
+            min_shared=20, max_bucket=30,
+        ).select("doc_a", "doc_b")
+        return clusters.dedup_clusters(_docs(spark, sf), edges=pairs)
+
     def sloc_stats(spark, sf):
         """Per-file LOC accounting (pipeline/loc.py — the cloc/tokei
         role): physical/blank/comment/code line counts with the
@@ -4005,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochange_pairs": cochange_pairs,
         "sloc_stats": sloc_stats,
         "loc_by_lang": loc_by_lang,
+        "winnow_clone_groups": winnow_clone_groups,
         "symbol_search_topk": symbol_search_topk,
         "bm25_symbol_boost": bm25_symbol_boost,
         "snapshot_latest_files": snapshot_latest_files,
@@ -4609,6 +4639,30 @@ FROM events GROUP BY 1, 2
         "winnow_fingerprints": winnow.winnow_sql_duckdb(
             "documents", k=8, w=4
         ),
+        "winnow_clone_groups": f"""
+WITH RECURSIVE fp0 AS ({winnow.winnow_sql_duckdb(
+            '''(SELECT doc_id,
+  md5((doc_id % 97)::VARCHAR) || md5(((doc_id % 97) + 1000)::VARCHAR)
+  || ' ' || text AS text FROM documents)''', k=8, w=4)}),
+dv AS (SELECT DISTINCT doc_id, fp FROM fp0),
+capped AS (SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bn FROM dv)
+  WHERE bn <= 30),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 20),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(node, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON edges.u = reach.r)
+SELECT node AS doc_id, min(r) AS cluster_id, node = min(r) AS keep
+FROM reach GROUP BY node
+""",
         "winnow_clone_pairs": f"""
 WITH fp0 AS ({winnow.winnow_sql_duckdb(
             '''(SELECT doc_id,

@@ -165,3 +165,28 @@ def test_guards(spark, win_corpus):
             winnow_fingerprints(win_corpus, text_col="content"),
             min_shared=0,
         )
+
+
+def test_clone_groups_composition(spark):
+    # pairs -> connected components: two planted clone families and
+    # an isolated doc; transitive closure merges A-B, B-C into one
+    # cluster even if A-C alone were weaker
+    import hashlib as _h
+
+    from terrier_ef_spark.pipeline.clusters import dedup_clusters
+
+    blk1 = _h.md5(b"g1").hexdigest() + _h.md5(b"g1b").hexdigest()
+    blk2 = _h.md5(b"g2").hexdigest() + _h.md5(b"g2b").hexdigest()
+    rows = [(i, blk1 + f" tail {i} " + ("a%d " % i) * 8) for i in (1, 2, 3)]
+    rows += [(7, blk2 + " tx " + "b1 " * 8), (8, blk2 + " ty " + "b2 " * 8)]
+    rows += [(9, "isolated document with nothing shared at all q w e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=K, w=W)
+    pairs = winnow_clone_pairs(fps, min_shared=5).select("doc_a", "doc_b")
+    cc = dedup_clusters(df, edges=pairs).toPandas()
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in cc.itertuples()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 8: (7, False),
+    }
+    assert 9 not in got  # isolated docs are implicitly kept
