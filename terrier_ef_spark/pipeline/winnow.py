@@ -76,33 +76,88 @@ _BIG = 1_000_000_000
 CLONE_MAX_BUCKET = 200
 
 
-def _winnow_one(text: str, k: int, w: int) -> list[tuple[int, str]]:
-    """Pure-Python/NumPy winnowing of one document: the distinct
-    (1-based gram position, md5-hex) fingerprints selected by the
-    rightmost-minimum rule over full windows only (a document with
-    fewer than w k-grams selects nothing — no shared passage of
-    guarantee length k + w - 1 fits in it)."""
+# polynomial base for the fast hash mode: odd multiplier with good
+# avalanche over 2^64 (the splitmix64 increment constant)
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _select(hs: np.ndarray, n: int, w: int):
+    """Rightmost-minimum window selection over a per-gram hash array
+    (any dtype with vectorized comparisons): returns the selected
+    (1-based pos, hash) arrays, one entry PER WINDOW — adjacent
+    windows re-select the same gram, so the caller dedups (per
+    Arrow batch, one C-speed drop_duplicates — a per-element Python
+    loop here dominated the kernel, not the hashing). Shift-reduce on
+    the (hash, position) pair, w-1 vectorized passes."""
+    base = np.arange(n - w + 1, dtype=np.int64)  # window starts
+    winh = hs[: n - w + 1].copy()
+    winp = base.copy()
+    for j in range(1, w):
+        ch = hs[j : n - w + 1 + j]
+        cp = base + j  # candidate absolute position at offset j
+        take = (ch < winh) | ((ch == winh) & (cp > winp))
+        winh = np.where(take, ch, winh)
+        winp = np.where(take, cp, winp)
+    return winp + 1, winh
+
+
+def _winnow_arrays_md5(text: str, k: int, w: int):
+    """md5-mode kernel: per-gram hashlib calls (the cross-engine
+    contract hash), array-native selection. None if no full window
+    fits (a document with fewer than w k-grams selects nothing — no
+    shared passage of guarantee length k + w - 1 fits in it)."""
     n = len(text) - k + 1
     if n < w:
-        return []
-    # selection keys: hash asc, then BIG - pos asc == pos desc
-    keys = np.array(
+        return None
+    hs = np.array(
         [
             hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()
-            + "#"
-            + str(_BIG - (i + 1)).zfill(10)
             for i in range(n)
         ],
-        dtype=f"<U{32 + 1 + 10}",
+        dtype="<U32",
     )
-    # per-window min via a w-way shift-reduce: numpy has no min ufunc
-    # loop for unicode, but elementwise < is vectorized; keys are
-    # unique (the position suffix), so strict compare is enough
-    win = keys[: n - w + 1]
-    for j in range(1, w):
-        cand = keys[j : n - w + 1 + j]
-        win = np.where(cand < win, cand, win)
-    return [(_BIG - int(s[33:]), s[:32]) for s in np.unique(win)]
+    return _select(hs, n, w)
+
+
+def _winnow_arrays_poly(text: str, k: int, w: int):
+    """Fast-mode kernel: 64-bit polynomial k-gram hashes over
+    CHARACTER code points (same gram positions as the md5 mode),
+    fully vectorized — h = h*B + c folded k times over shifted
+    codepoint arrays, uint64 wraparound as the modulus; hex rendering
+    via one hexlify over the big-endian byte buffer. The winnowing
+    guarantee holds for ANY gram hash, but DuckDB cannot reproduce
+    this one, so md5 stays the oracle-verifiable default and this is
+    the production fast path (document which mode an artifact was
+    built with — the two modes' fingerprints never match each
+    other)."""
+    import binascii
+
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = codes.size - k + 1
+    if n < w:
+        return None
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * _POLY_B + codes[j : j + n].astype(np.uint64)
+    hx = np.frombuffer(
+        binascii.hexlify(h.astype(">u8").tobytes()), dtype="S16"
+    ).astype("U16")
+    return _select(hx, n, w)
+
+
+def _winnow_one(text: str, k: int, w: int) -> list[tuple[int, str]]:
+    """Distinct (pos, md5-hex) list over the md5 kernel (tests and
+    small callers)."""
+    sel = _winnow_arrays_md5(text, k, w)
+    return [] if sel is None else sorted({(int(p), str(f))
+                                          for p, f in zip(*sel)})
+
+
+def _winnow_one_poly(text: str, k: int, w: int) -> list[tuple[int, str]]:
+    """Distinct (pos, 16-hex) list over the poly kernel."""
+    sel = _winnow_arrays_poly(text, k, w)
+    return [] if sel is None else sorted({(int(p), str(f))
+                                          for p, f in zip(*sel)})
 
 
 def winnow_fingerprints(
@@ -111,34 +166,57 @@ def winnow_fingerprints(
     w: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, pos, fp) winnowing fingerprints of every document:
-    fp = md5 hex of the k-gram at 1-based character position pos,
+    fp = hash of the k-gram at 1-based character position pos,
     selected by the w-window rightmost-minimum rule. Map-only
-    (mapInPandas), zero shuffle at any corpus size."""
+    (mapInPandas), zero shuffle at any corpus size.
+
+    hash_fn='md5' (default): cross-engine contract hash — the DuckDB
+    twin reproduces it, so gate/oracle comparisons work; per-gram
+    hashlib calls are the cost. hash_fn='poly': fully vectorized
+    64-bit polynomial hash (measured ~10x faster) for production
+    fingerprinting at scale; not SQL-reproducible, and its
+    fingerprints never match md5-mode artifacts — don't mix modes
+    across a clone-pair join."""
     if k < 2 or w < 1:
         raise ValueError(f"need k >= 2 and w >= 1, got k={k} w={w}")
+    if hash_fn not in ("md5", "poly"):
+        raise ValueError(f"hash_fn must be 'md5' or 'poly', got {hash_fn!r}")
+    kernel = _winnow_arrays_md5 if hash_fn == "md5" else _winnow_arrays_poly
 
     src = docs.select(F.col(id_col).alias("doc_id"),
                       F.col(text_col).alias("_t"))
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "pos": pd.Series([], dtype="int64"),
+        "fp": pd.Series([], dtype="object"),
+    })
 
     def gen(batches):
         for pdf in batches:
-            ids: list[int] = []
-            poss: list[int] = []
-            fps: list[str] = []
+            ids, poss, fps = [], [], []
             for did, txt in zip(pdf["doc_id"].values, pdf["_t"].values):
                 if txt is None:
                     continue
-                for pos, fp in _winnow_one(str(txt), k, w):
-                    ids.append(did)
-                    poss.append(pos)
-                    fps.append(fp)
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
-                 "pos": pd.Series(poss, dtype="int64"),
-                 "fp": pd.Series(fps, dtype="object")}
-            )
+                sel = kernel(str(txt), k, w)
+                if sel is None:
+                    continue
+                p, f = sel
+                ids.append(np.full(p.size, did, dtype=np.int64))
+                poss.append(p)
+                fps.append(f)
+            if not ids:
+                yield empty
+                continue
+            # one frame + one C-speed dedup per Arrow batch (windows
+            # re-select shared grams; duplicates are within-doc only)
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(poss),
+                "fp": np.concatenate(fps),
+            }).drop_duplicates(ignore_index=True)
 
     return src.mapInPandas(gen, "doc_id long, pos long, fp string")
 

@@ -190,3 +190,47 @@ def test_clone_groups_composition(spark):
         7: (7, True), 8: (7, False),
     }
     assert 9 not in got  # isolated docs are implicitly kept
+
+
+def test_poly_mode_mirror_guarantee_and_speed(spark, win_corpus):
+    # brute-force mirror of the poly arithmetic
+    import numpy as np
+
+    from terrier_ef_spark.pipeline.winnow import _POLY_B, _winnow_one_poly
+
+    def brute_poly(text, k=K, w=W):
+        codes = [ord(c) for c in text]
+        n = len(codes) - k + 1
+        if n < w:
+            return set()
+        B = int(_POLY_B)
+        hs = []
+        for i in range(n):
+            h = 0
+            for c in codes[i : i + k]:
+                h = (h * B + c) % (1 << 64)
+            hs.append(h)
+        sel = set()
+        for i in range(n - w + 1):
+            m = min(hs[i : i + w])
+            p = max(j for j in range(i, i + w) if hs[j] == m)
+            sel.add((p + 1, format(m, "016x")))
+        return sel
+
+    docs = {r["doc_id"]: r["content"] for r in win_corpus.limit(20).collect()}
+    for did, text in docs.items():
+        assert set(_winnow_one_poly(text, K, W)) == brute_poly(text), did
+
+    # shared-passage guarantee holds for any gram hash
+    s = " QWERTYUIOPA "
+    a = set(_winnow_one_poly("xxA" + s + "Btail one", K, W))
+    b = set(_winnow_one_poly("yyC" + s + "Dother yet", K, W))
+    assert {f for _, f in a} & {f for _, f in b}
+
+    # and the DataFrame path accepts the mode; md5/poly never mix
+    pdf = winnow_fingerprints(
+        win_corpus, k=K, w=W, text_col="content", hash_fn="poly"
+    ).toPandas()
+    assert (pdf.fp.str.len() == 16).all()
+    with pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints(win_corpus, text_col="content", hash_fn="sha")
