@@ -130,8 +130,6 @@ def _winnow_arrays_poly(text: str, k: int, w: int):
     the production fast path (document which mode an artifact was
     built with — the two modes' fingerprints never match each
     other)."""
-    import binascii
-
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     n = codes.size - k + 1
     if n < w:
@@ -139,10 +137,20 @@ def _winnow_arrays_poly(text: str, k: int, w: int):
     h = np.zeros(n, dtype=np.uint64)
     for j in range(k):
         h = h * _POLY_B + codes[j : j + n].astype(np.uint64)
-    hx = np.frombuffer(
-        binascii.hexlify(h.astype(">u8").tobytes()), dtype="S16"
+    # selection and dedup run on the raw uint64 hashes; hex rendering
+    # happens ONCE per batch over the (much smaller) deduped winners
+    # — rendering every gram first cost ~5 memory passes over arrays
+    # the selection was about to throw away
+    return _select(h, n, w)
+
+
+def _hex16(vals: np.ndarray) -> np.ndarray:
+    import binascii
+
+    return np.frombuffer(
+        binascii.hexlify(np.ascontiguousarray(vals, dtype=">u8").tobytes()),
+        dtype="S16",
     ).astype("U16")
-    return _select(hx, n, w)
 
 
 def _winnow_one(text: str, k: int, w: int) -> list[tuple[int, str]]:
@@ -156,8 +164,10 @@ def _winnow_one(text: str, k: int, w: int) -> list[tuple[int, str]]:
 def _winnow_one_poly(text: str, k: int, w: int) -> list[tuple[int, str]]:
     """Distinct (pos, 16-hex) list over the poly kernel."""
     sel = _winnow_arrays_poly(text, k, w)
-    return [] if sel is None else sorted({(int(p), str(f))
-                                          for p, f in zip(*sel)})
+    if sel is None:
+        return []
+    p, f = sel
+    return sorted({(int(a), str(b)) for a, b in zip(p, _hex16(f))})
 
 
 def winnow_fingerprints(
@@ -211,12 +221,17 @@ def winnow_fingerprints(
                 yield empty
                 continue
             # one frame + one C-speed dedup per Arrow batch (windows
-            # re-select shared grams; duplicates are within-doc only)
-            yield pd.DataFrame({
+            # re-select shared grams; duplicates are within-doc only);
+            # poly-mode hashes stay uint64 through the dedup and
+            # render to hex once over the deduped winners
+            df = pd.DataFrame({
                 "doc_id": np.concatenate(ids),
                 "pos": np.concatenate(poss),
                 "fp": np.concatenate(fps),
             }).drop_duplicates(ignore_index=True)
+            if df["fp"].dtype == np.uint64:
+                df["fp"] = _hex16(df["fp"].to_numpy())
+            yield df
 
     return src.mapInPandas(gen, "doc_id long, pos long, fp string")
 
