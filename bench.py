@@ -553,6 +553,13 @@ def pipeline_queries(spark):
          .write.mode("overwrite").parquet(fp_dir))
         timings["winnow_fingerprints"] = time.time() - t0
 
+        # the production fast path (vectorized polynomial hash) on
+        # the same corpus — count-only, no artifact
+        t0 = time.time()
+        winnow.winnow_fingerprints(docs, k=8, w=4,
+                                   hash_fn="poly").count()
+        timings["winnow_fingerprints_poly"] = time.time() - t0
+
         # sharp-clone regime (min_shared=20, tight bucket cap): the
         # synthetic prose is highly self-similar (a third of all doc
         # pairs share >= 8 fingerprints), so the bench measures the

@@ -858,3 +858,37 @@ def test_submit_build_imports_out_and_dep_query(spark, tmp_path_factory):
     )
     assert refuse.returncode != 0
     assert "--dep needs --imports" in refuse.stderr
+
+
+def test_submit_build_clones_poly_hash(spark, tmp_path_factory):
+    """--clone-hash poly ships the vectorized fast path: the
+    materialized fingerprints match a direct poly-mode call (16-hex
+    values, never md5-shaped)."""
+    base = tmp_path_factory.mktemp("clonepoly")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_build.py"),
+         "--synth-docs", "25", "--seed", "3",
+         "--out", str(base / "idx"), "--partitions", "4",
+         "--clones-out", str(base / "clones"),
+         "--clone-hash", "poly", "--clone-min-shared", "5"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+
+    from terrier_ef_spark.corpus import synthesize_corpus
+    from terrier_ef_spark.pipeline.winnow import winnow_fingerprints
+
+    corpus = synthesize_corpus(spark, 25, seed=3, n_partitions=4)
+    want = (
+        winnow_fingerprints(corpus, k=8, w=4, text_col="content",
+                            hash_fn="poly")
+        .orderBy("doc_id", "pos", "fp").collect()
+    )
+    got = (
+        spark.read.parquet(str(base / "clones" / "fingerprints"))
+        .orderBy("doc_id", "pos", "fp").collect()
+    )
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]
+    assert all(len(r["fp"]) == 16 for r in got)

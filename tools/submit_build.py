@@ -97,6 +97,12 @@ def main() -> None:
     ap.add_argument("--clone-max-bucket", type=int, default=200,
                     help="exclude fingerprints shared by more docs "
                     "than this before the pair self-join")
+    ap.add_argument("--clone-hash", choices=("md5", "poly"),
+                    default="md5",
+                    help="fingerprint hash: md5 = cross-engine "
+                    "verifiable (DuckDB twin), poly = vectorized "
+                    "fast path for corpus-scale runs (modes never "
+                    "match each other's artifacts)")
     ap.add_argument("--export-prefix", default=None,
                     help="also export the final index to the reference's "
                          "Terrier-layout bitfiles at this path prefix")
@@ -260,7 +266,7 @@ def main() -> None:
         fps_dir = os.path.join(args.clones_out, "fingerprints")
         pairs_dir = os.path.join(args.clones_out, "pairs")
         (winnow_fingerprints(corpus, k=args.clone_k, w=args.clone_w,
-                             text_col=tc)
+                             text_col=tc, hash_fn=args.clone_hash)
          .write.mode("overwrite").parquet(fps_dir))
         fps = spark.read.parquet(fps_dir)  # pairs re-read, not re-hash
         (winnow_clone_pairs(fps, min_shared=args.clone_min_shared,
