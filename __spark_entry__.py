@@ -193,10 +193,10 @@ PERCOLATE_QUERIES = [
 # the window for their first driver rows, with the 2 media keys moved
 # UP to slots 10-11 (their pinned-literal twins landed this round and
 # their first hash-verified driver rows must not be displaced — the
-# r4 verdict's task 2). The displaced tail (code_token_counts,
-# event_sessions, funnel_steps, retention_cohorts, significant_terms,
-# the 2 impact keys, mlt_topk, bm25_cascade_topk) carries THIS
-# session's full
+# r4 verdict's task 2). The displaced tail (bm25_tiered_topk,
+# hard_negatives, code_token_counts, event_sessions, funnel_steps,
+# retention_cohorts, significant_terms, the 2 impact keys, mlt_topk,
+# bm25_cascade_topk) carries THIS session's full
 # 128-key check_contract sweep on this HEAD — ALL OK — as
 # out-of-window evidence (every pre-existing key was re-hash-verified
 # today before the new keys landed), on top of the per-key sweeps
@@ -204,7 +204,8 @@ PERCOLATE_QUERIES = [
 _GATE_PRIORITY = [
     "winnow_fingerprints", "winnow_clone_pairs", "winnow_clone_groups",
     "import_edges", "module_deps_topk", "repo_rank_topk",
-    "file_churn", "cochange_pairs", "sloc_stats", "loc_by_lang",
+    "file_churn", "cochange_pairs", "hotspot_files", "reverse_deps",
+    "sloc_stats", "loc_by_lang",
     "media_audio_features", "media_frame_stats",
     "symbol_defs", "symbol_search_topk", "bm25_symbol_boost",
     "snapshot_latest_files", "path_search_topk", "bm25_path_boost",
@@ -3012,6 +3013,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_a", "doc_b")
         return clusters.dedup_clusters(_docs(spark, sf), edges=pairs)
 
+    def hotspot_files(spark, sf):
+        """Hotspot ranking over the history fixture: churn ranked
+        (n_commits desc, repo asc, path asc), top 20."""
+        from terrier_ef_spark.pipeline.churn import hotspot_files as hf
+
+        return hf(_hist_src(spark, sf), k=20)
+
+    def reverse_deps(spark, sf):
+        """Reverse-dependency lookup (the --dep serving verb's
+        relation): who imports these four modules — incl. a
+        defined-nowhere miss contributing no rows."""
+        from terrier_ef_spark.query.imports import (
+            extract_imports,
+            reverse_dependencies,
+        )
+
+        meta = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("r"),
+                     (F.col("doc_id") % 5).cast("string")).alias("repo"),
+        )
+        return reverse_dependencies(
+            extract_imports(_imp_src(spark, sf)),
+            ["mod_3", "pkg_2", "ns_1::x", "zz_absent"],
+            meta,
+        )
+
     def sloc_stats(spark, sf):
         """Per-file LOC accounting (pipeline/loc.py — the cloc/tokei
         role): physical/blank/comment/code line counts with the
@@ -4032,6 +4060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_deps_topk": module_deps_topk,
         "file_churn": file_churn,
         "cochange_pairs": cochange_pairs,
+        "hotspot_files": hotspot_files,
+        "reverse_deps": reverse_deps,
         "sloc_stats": sloc_stats,
         "loc_by_lang": loc_by_lang,
         "winnow_clone_groups": winnow_clone_groups,
@@ -4476,6 +4506,26 @@ SELECT repo, path, count(*)::BIGINT AS n_versions,
        count(DISTINCT commit)::BIGINT AS n_commits,
        min(commit) AS first_commit, max(commit) AS last_commit
 FROM {_HIST_SRC_SQL} h GROUP BY 1, 2
+""",
+        "hotspot_files": f"""
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_commits DESC, repo ASC,
+                            path ASC)::int AS rank,
+         repo, path, n_versions, n_commits, first_commit, last_commit
+  FROM (
+    SELECT repo, path, count(*)::BIGINT AS n_versions,
+           count(DISTINCT commit)::BIGINT AS n_commits,
+           min(commit) AS first_commit, max(commit) AS last_commit
+    FROM {_HIST_SRC_SQL} h GROUP BY 1, 2))
+WHERE rank <= 20
+""",
+        "reverse_deps": f"""
+WITH imp AS ({_imports_oracle_sql()}),
+q(module) AS (VALUES ('mod_3'), ('pkg_2'), ('ns_1::x'), ('zz_absent')),
+meta AS (SELECT doc_id, 'r' || (doc_id % 5)::VARCHAR AS repo
+         FROM documents)
+SELECT i.module, i.doc_id, m.repo, i.n_refs
+FROM imp i JOIN q USING (module) JOIN meta m USING (doc_id)
 """,
         "cochange_pairs": f"""
 WITH t AS (SELECT DISTINCT commit, repo, path FROM {_HIST_SRC_SQL} h),

@@ -234,3 +234,40 @@ def test_poly_mode_mirror_guarantee_and_speed(spark, win_corpus):
     assert (pdf.fp.str.len() == 16).all()
     with pytest.raises(ValueError, match="hash_fn"):
         winnow_fingerprints(win_corpus, text_col="content", hash_fn="sha")
+
+
+def test_winnow_guarantee_property():
+    """Property (Hypothesis): for ANY two texts sharing an injected
+    common substring of length >= k + w - 1, both winnowing modes
+    select at least one shared fingerprint — the MOSS guarantee,
+    kernel-only (no Spark), random flanks and random shared cores."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from terrier_ef_spark.pipeline.winnow import (
+        _winnow_one,
+        _winnow_one_poly,
+    )
+
+    alpha = st.text(
+        alphabet="abcdefghij XYZ", min_size=0, max_size=60
+    )
+    core = st.text(
+        alphabet="nopqrstuvw", min_size=K + W - 1, max_size=30
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(pre1=alpha, post1=alpha, pre2=alpha, post2=alpha, c=core)
+    def check(pre1, post1, pre2, post2, c):
+        t1 = pre1 + c + post1
+        t2 = pre2 + c + post2
+        for fn in (_winnow_one, _winnow_one_poly):
+            f1 = {f for _, f in fn(t1, K, W)}
+            f2 = {f for _, f in fn(t2, K, W)}
+            assert f1 & f2, (t1, t2, fn.__name__)
+        # density sanity on the longer text: selections exist and
+        # never exceed the window-start count
+        n = len(t1) - K + 1
+        assert 0 < len(_winnow_one(t1, K, W)) <= n - W + 1
+
+    check()
